@@ -1,0 +1,141 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.html.HtmlExtract
+import graft.pdf.PdfExtract
+
+/**
+ * Static runtime entry points for codegen: the generated Java calls these
+ * directly so string-output extraction stays inside whole-stage codegen
+ * (SURVEY.md §4 — never `udf()` lambdas; nullSafeEval over Array[Byte] →
+ * UTF8String, no boxing in the hot path).
+ */
+object ExprRuntime {
+  def extractMainContent(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(HtmlExtract.extract(html))
+
+  def parsePdfText(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(PdfExtract.text(bytes))
+
+  /** Payload dispatch: "%PDF-" magic → PDF reconstructor, else HTML extractor
+    * (reference magic check, security_validator.py:377). */
+  def extractAny(bytes: Array[Byte]): UTF8String =
+    if (PdfExtract.isPdfMagic(bytes)) parsePdfText(bytes)
+    else extractMainContent(bytes)
+}
+
+/** Strip HTML boilerplate, return main-content text (HtmlExtract contract). */
+case class ExtractMainContent(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprRuntime.extractMainContent(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprRuntime.extractMainContent($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractMainContent =
+    copy(child = newChild)
+}
+
+/** Layout-aware PDF text reconstruction (PdfExtract contract). */
+case class ParsePdfText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprRuntime.parsePdfText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprRuntime.parsePdfText($c)")
+  override protected def withNewChildInternal(newChild: Expression): ParsePdfText =
+    copy(child = newChild)
+}
+
+/** Magic-byte dispatch: PDF payloads → ParsePdfText, anything else → ExtractMainContent. */
+case class ExtractAnyText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ExprRuntime.extractAny(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprRuntime.extractAny($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractAnyText =
+    copy(child = newChild)
+}
+
+object ExtractBlocks {
+  val elementType: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("words", IntegerType, nullable = false),
+    StructField("link_words", IntegerType, nullable = false),
+    StructField("is_content", BooleanType, nullable = false)
+  ))
+}
+
+/** Per-block analysis of an HTML payload (debug/span analog of hOCR spans). */
+case class ExtractBlocks(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(ExtractBlocks.elementType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val bs = HtmlExtract.blocks(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(bs.map { b =>
+      InternalRow(b.idx, UTF8String.fromString(b.tag), UTF8String.fromString(b.text),
+        b.words, b.linkWords, b.isContent)
+    }.toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractBlocks =
+    copy(child = newChild)
+}
+
+object ParsePdfSpans {
+  /** hOCR word-span analog: (page, bbox, word) — reference ocr_combined.py:73-82. */
+  val elementType: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("x1", IntegerType, nullable = false),
+    StructField("y1", IntegerType, nullable = false),
+    StructField("x2", IntegerType, nullable = false),
+    StructField("y2", IntegerType, nullable = false),
+    StructField("word", StringType, nullable = false)
+  ))
+}
+
+case class ParsePdfSpans(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(ParsePdfSpans.elementType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val ss = PdfExtract.spans(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(ss.map { s =>
+      InternalRow(s.page, s.x1, s.y1, s.x2, s.y2, UTF8String.fromString(s.word))
+    }.toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): ParsePdfSpans =
+    copy(child = newChild)
+}
+
+object PdfPreflightExpr {
+  /** ValidationResult analog (security_validator.py:21-44, 370-461). */
+  val structType: StructType = StructType(Seq(
+    StructField("is_pdf", BooleanType, nullable = false),
+    StructField("version", StringType, nullable = false),
+    StructField("encrypted", BooleanType, nullable = false),
+    StructField("embedded", BooleanType, nullable = false),
+    StructField("issues", ArrayType(StringType, containsNull = false), nullable = false)
+  ))
+}
+
+case class PdfPreflightExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = PdfPreflightExpr.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val p = PdfExtract.preflight(input.asInstanceOf[Array[Byte]])
+    InternalRow(p.isPdf, UTF8String.fromString(p.version), p.encrypted, p.embedded,
+      new GenericArrayData(p.issues.map(UTF8String.fromString).toArray[Any]))
+  }
+  override protected def withNewChildInternal(newChild: Expression): PdfPreflightExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.{functions => F}
+
+import graft.expr._
+
+/**
+ * Public Column API of the engine — the Spark-first replacements for the
+ * reference's opaque per-file calls (ocrmypdf.ocr at ocr_combined.py:193-199,
+ * BeautifulSoup span selection at :71-82, security preflight at
+ * security_validator.py:370-461).
+ */
+object functions {
+
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
+  /** Main-content text from HTML bytes (boilerplate stripped). */
+  def extract_main_content(html: Column): Column =
+    ColumnBridge.column(ExtractMainContent(expr(html)))
+
+  /** Layout-aware text from PDF bytes (reading-order reconstruction, pages joined by \f). */
+  def parse_pdf_text(bytes: Column): Column =
+    ColumnBridge.column(ParsePdfText(expr(bytes)))
+
+  /** Dispatch on payload magic: PDF → parse_pdf_text, else extract_main_content. */
+  def extract_any_text(bytes: Column): Column =
+    ColumnBridge.column(ExtractAnyText(expr(bytes)))
+
+  /** Block-level analysis of HTML: array<struct(idx,tag,text,words,link_words,is_content)>. */
+  def extract_blocks(html: Column): Column =
+    ColumnBridge.column(ExtractBlocks(expr(html)))
+
+  /** Word spans from PDF bytes: array<struct(page,x1,y1,x2,y2,word)> (hOCR analog). */
+  def parse_pdf_spans(bytes: Column): Column =
+    ColumnBridge.column(ParsePdfSpans(expr(bytes)))
+
+  /** Security preflight: struct(is_pdf,version,encrypted,embedded,issues). */
+  def pdf_preflight(bytes: Column): Column =
+    ColumnBridge.column(PdfPreflightExpr(expr(bytes)))
+
+  /** Golden digest of extracted text: sha256 hex of UTF-8 bytes
+    * (reference checksum analog, security_validator.py:463-472). */
+  def text_digest(text: Column): Column =
+    F.sha2(F.encode(text, "UTF-8"), 256)
+
+  /** Payload is a PDF iff it starts with "%PDF-" (security_validator.py:377).
+    * Binary prefix compare only — never decodes the full payload (SURVEY.md A3). */
+  def is_pdf(bytes: Column): Column =
+    F.substring(bytes, 1, 5) === F.lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Host of a url — the skew/salting key (SURVEY.md §4). */
+  def url_host(url: Column): Column = F.parse_url(url, F.lit("HOST"))
+}

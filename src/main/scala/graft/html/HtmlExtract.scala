@@ -1,0 +1,264 @@
+package graft.html
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/**
+ * Streaming, linear-time HTML main-content extractor.
+ *
+ * Semantics (the engine's documented extraction contract — the reference analog is
+ * the class-based hOCR span selection at reference ocr_combined.py:73-82, generalized
+ * to boilerplate stripping in the style of Boilerpipe/Readability text-density +
+ * link-density block scoring):
+ *
+ *  1. Charset: UTF-8 by default; if a `charset=` declaration naming latin-1 /
+ *     iso-8859-1 / windows-1252 appears in the first 1024 bytes, decode as ISO-8859-1.
+ *     A UTF-8 BOM is skipped. Malformed sequences decode to U+FFFD (Java default).
+ *  2. Tokenize: tags, text, comments (`<!-- -->`), doctype/PI (`<! >`, `<? >`).
+ *     Every tag/comment/PI is a word boundary. Tags ending `/>` are treated as
+ *     self-closing (XHTML-style).
+ *     `<script>`, `<style>`, `<textarea>` contents are raw text and fully dropped.
+ *     Attribute values may be single/double-quoted or bare; `>` inside quotes is data.
+ *     The tokenizer is total: any byte sequence yields a result, never throws,
+ *     single forward pass (no backtracking — per-file timeout analog,
+ *     reference config.py:23).
+ *  3. Entities in text: named subset (amp lt gt quot apos nbsp mdash ndash hellip
+ *     copy reg trade laquo raquo shy) + numeric `&#NNN;` / `&#xHH;`. Unknown entities
+ *     are kept literally.
+ *  4. Block segmentation: opening/closing any block-level tag flushes the current
+ *     block. Words inside `<a>` are counted as link words.
+ *  5. Boilerplate containers: words inside head, title, nav, header, footer, aside,
+ *     form, noscript, button, select, label are never content.
+ *  6. A block is content iff: not inside a boilerplate container, wordCount >= 5,
+ *     and linkWords * 3 <= wordCount (link density <= 1/3).
+ *  7. Output: content block texts (words joined by single space; all whitespace
+ *     incl. U+00A0 collapses) joined by '\n'. Empty result -> "".
+ */
+object HtmlExtract {
+
+  final case class Block(
+      idx: Int,
+      tag: String,
+      text: String,
+      words: Int,
+      linkWords: Int,
+      isContent: Boolean
+  )
+
+  private val BlockTags: Set[String] = Set(
+    "html", "head", "body", "p", "div", "section", "article", "main",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd",
+    "td", "th", "tr", "table", "thead", "tbody", "tfoot", "caption",
+    "blockquote", "pre", "br", "hr", "figure", "figcaption", "address",
+    "nav", "header", "footer", "aside", "form", "fieldset", "title",
+    "noscript", "button", "select", "option", "label", "iframe"
+  )
+
+  private val BoilerTags: Set[String] = Set(
+    "head", "title", "nav", "header", "footer", "aside", "form",
+    "noscript", "button", "select", "option", "label", "iframe"
+  )
+
+  private val RawTextTags: Set[String] = Set("script", "style", "textarea")
+
+  private val Entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> "\u00A0", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "laquo" -> "«", "raquo" -> "»",
+    "shy" -> ""
+  )
+
+  /** Sniff charset from the first 1024 bytes; ISO-8859-1 family or UTF-8. */
+  private[graft] def decode(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length == 0) return ""
+    var off = 0
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) off = 3
+    val sniffLen = math.min(bytes.length, 1024)
+    val head = new String(bytes, 0, sniffLen, StandardCharsets.US_ASCII).toLowerCase
+    val cs = head.indexOf("charset=")
+    val latin1 = if (cs >= 0) {
+      var j = cs + 8
+      val sb = new StringBuilder
+      while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_' || head(j) == '"' || head(j) == '\'')) {
+        if (head(j) != '"' && head(j) != '\'') sb.append(head(j)); j += 1
+      }
+      val name = sb.result()
+      name.contains("8859-1") || name.contains("latin") || name.contains("1252")
+    } else false
+    val charset = if (latin1) StandardCharsets.ISO_8859_1 else StandardCharsets.UTF_8
+    new String(bytes, off, bytes.length - off, charset)
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00A0'
+
+  /** One word plus whether it occurred inside an <a>. */
+  private final class BlockAcc {
+    val sb = new java.lang.StringBuilder(64)
+    var words = 0
+    var linkWords = 0
+    def add(word: String, inLink: Boolean): Unit = {
+      if (sb.length() > 0) sb.append(' ')
+      sb.append(word)
+      words += 1
+      if (inLink) linkWords += 1
+    }
+    def nonEmpty: Boolean = words > 0
+    def reset(): Unit = { sb.setLength(0); words = 0; linkWords = 0 }
+  }
+
+  /** Full block analysis; `extract` is the text-only fast path over the same walk. */
+  def blocks(bytes: Array[Byte]): IndexedSeq[Block] = {
+    val out = mutable.ArrayBuffer.empty[Block]
+    walk(bytes, (tag, text, words, linkWords, boiler) => {
+      val content = !boiler && words >= MinWords && linkWords * 3 <= words
+      out += Block(out.length, tag, text, words, linkWords, content)
+    })
+    out.toIndexedSeq
+  }
+
+  val MinWords = 5
+
+  def extract(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(256)
+    walk(bytes, (_, text, words, linkWords, boiler) => {
+      if (!boiler && words >= MinWords && linkWords * 3 <= words) {
+        if (sb.length() > 0) sb.append('\n')
+        sb.append(text)
+      }
+    })
+    sb.toString
+  }
+
+  /** Core single-pass walk: (enclosingTag, blockText, words, linkWords, inBoilerplate). */
+  private def walk(bytes: Array[Byte], emit: (String, String, Int, Int, Boolean) => Unit): Unit = {
+    val s = decode(bytes)
+    val n = s.length
+    var i = 0
+    var linkDepth = 0
+    var boilerDepth = 0
+    var curTag = "body"
+    var blockBoiler = false
+    val acc = new BlockAcc
+    val word = new java.lang.StringBuilder(32)
+
+    def flushWord(): Unit = {
+      if (word.length() > 0) {
+        if (!acc.nonEmpty) blockBoiler = boilerDepth > 0
+        acc.add(word.toString, linkDepth > 0)
+        word.setLength(0)
+      }
+    }
+    def flushBlock(): Unit = {
+      flushWord()
+      if (acc.nonEmpty) {
+        emit(curTag, acc.sb.toString, acc.words, acc.linkWords, blockBoiler)
+        acc.reset()
+      }
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = s.charAt(i + 1)
+        // every tag/comment/PI is a word boundary (so a pending word's link flag
+        // is decided before <a>/</a> changes depth)
+        if (c1 == '!' || c1 == '?' || c1.isLetter || c1 == '/') flushWord()
+        if (c1 == '!') {
+          if (i + 3 < n && s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+            val e = s.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = s.indexOf('>', i + 2)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        } else if (c1.isLetter || c1 == '/') {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
+          val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          // scan to tag end honoring quotes
+          var selfClose = false
+          var done = false
+          while (j < n && !done) {
+            val cj = s.charAt(j)
+            if (cj == '"' || cj == '\'') {
+              val e = s.indexOf(cj, j + 1)
+              j = if (e < 0) n else e + 1
+            } else if (cj == '>') {
+              if (j > i && s.charAt(j - 1) == '/') selfClose = true
+              j += 1; done = true
+            } else j += 1
+          }
+          if (name.isEmpty) { i = j }
+          else {
+            if (BlockTags.contains(name)) flushBlock()
+            if (name == "a") {
+              if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+              else if (!selfClose) linkDepth += 1
+            }
+            if (BoilerTags.contains(name)) {
+              if (closing) { if (boilerDepth > 0) boilerDepth -= 1 }
+              else if (!selfClose) boilerDepth += 1
+            }
+            if (BlockTags.contains(name) && !closing) curTag = name
+            i = j
+            if (!closing && !selfClose && RawTextTags.contains(name)) {
+              // raw text until matching close tag (case-insensitive), dropped
+              val close = "</" + name
+              var k = i
+              var found = -1
+              while (found < 0 && k + close.length <= n) {
+                if (s.regionMatches(true, k, close, 0, close.length)) found = k
+                else k += 1
+              }
+              if (found < 0) i = n
+              else {
+                val e = s.indexOf('>', found)
+                i = if (e < 0) n else e + 1
+              }
+            }
+          }
+        } else {
+          // literal '<'
+          word.append(c); i += 1
+        }
+      } else if (c == '&') {
+        // entity
+        var j = i + 1
+        val lim = math.min(n, i + 32)
+        while (j < lim && s.charAt(j) != ';' && s.charAt(j) != '&' && s.charAt(j) != '<' && !isWs(s.charAt(j))) j += 1
+        if (j < lim && j < n && s.charAt(j) == ';') {
+          val ent = s.substring(i + 1, j)
+          val decoded: String =
+            if (ent.startsWith("#x") || ent.startsWith("#X")) {
+              try { val cp = Integer.parseInt(ent.substring(2), 16); if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�" }
+              catch { case _: Exception => "&" + ent + ";" }
+            } else if (ent.startsWith("#")) {
+              try { val cp = Integer.parseInt(ent.substring(1)); if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�" }
+              catch { case _: Exception => "&" + ent + ";" }
+            } else Entities.getOrElse(ent, "&" + ent + ";")
+          var k = 0
+          while (k < decoded.length) {
+            val dc = decoded.charAt(k)
+            if (isWs(dc)) flushWord() else word.append(dc)
+            k += 1
+          }
+          i = j + 1
+        } else {
+          word.append('&'); i += 1
+        }
+      } else {
+        if (isWs(c)) flushWord() else word.append(c)
+        i += 1
+      }
+    }
+    flushBlock()
+  }
+}

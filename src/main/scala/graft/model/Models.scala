@@ -1,0 +1,58 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Canonical input row (BASELINE.json input_hint; reference corpus analog
+  * ocr_combined.py:232-246 — a keyed collection of binary documents). */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String, // nullable: pre-existing extracted text ("already has OCR", ocr_combined.py:219-222)
+    lang: String
+)
+
+/** Extracted output row (reference sidecar text + hOCR spans, ocr_combined.py:193-199). */
+final case class ExtractedRow(
+    url: String,
+    warc_ts: Timestamp,
+    lang: String,
+    bucket: Int, // stable logical partition: pmod(xxhash64(url), nBuckets)
+    status: String, // extracted | skipped
+    text: String,
+    text_sha256: String,
+    n_chars: Int
+)
+
+/** Per-(run,bucket) lineage row — the checkpoint-resume unit
+  * (reference OCRFile/OCRJob store, database_manager.py:42-119). */
+final case class LineageRow(
+    run_id: String,
+    bucket: Int,
+    row_count: Long,
+    ok_count: Long,
+    skipped_count: Long,
+    digest: String, // sha256 over sorted per-url text digests in the bucket
+    status: String // committed
+)
+
+/** Quarantine row (security_validator.py:309-335 quarantine analog). */
+final case class QuarantineRow(
+    url: String,
+    reasons: Seq[String],
+    risk: String,
+    payload_sha256: String
+)
+
+/** Run-level job record (reference OCRJob, database_manager.py:42-84). */
+final case class JobRow(
+    run_id: String,
+    mode: String,
+    total_rows: Long,
+    extracted: Long,
+    skipped: Long,
+    quarantined: Long,
+    wall_sec: Double,
+    docs_per_sec: Double,
+    status: String
+)

@@ -1,0 +1,459 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/**
+ * Layout-aware PDF text reconstruction: parse PDF objects and content streams,
+ * interpret the text operators (BT ET Tf TL Td TD Tm T* Tj TJ '), build positioned
+ * glyph runs, group runs into lines by y-tolerance, sort into reading order
+ * (page asc, line y desc, run x asc), and emit text.
+ *
+ * Reference analogs: the hOCR positioned word-span model consumed at
+ * ocr_combined.py:73-82 (span = (page, bbox, word) in reading order) and the
+ * Tesseract sidecar text contract (lines joined by '\n', pages by '\f',
+ * ocr_combined.py:169,196). Preflight mirrors security_validator.py:370-461
+ * (header magic + version at :377-385, /Encrypt|/StmF|/StrF in first 2KB at
+ * :425-430, /EmbeddedFile in first 4KB at :450-455).
+ *
+ * Totality: every entry point catches internal errors and degrades (preflight
+ * reports issues; text/spans return empty on malformed bodies) — one bad payload
+ * must never kill a task (reference per-file catch, ocr_combined.py:219-230).
+ *
+ * Width model: PDF text extraction needs only relative ordering, so run advance
+ * width is approximated as 0.5 * fontSize per char (Helvetica-ish average);
+ * TJ numeric adjustments apply exactly (-n/1000 * fontSize).
+ */
+object PdfExtract {
+
+  final case class Run(page: Int, x: Float, y: Float, size: Float, text: String)
+  final case class Span(page: Int, x1: Int, y1: Int, x2: Int, y2: Int, word: String)
+  final case class Preflight(
+      isPdf: Boolean,
+      version: String,
+      encrypted: Boolean,
+      embedded: Boolean,
+      issues: List[String]
+  )
+
+  /** Line-grouping y tolerance in text-space units. */
+  val YTol = 2.0f
+
+  // ---------------------------------------------------------------- preflight
+
+  def isPdfMagic(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 5 &&
+      bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  def preflight(bytes: Array[Byte]): Preflight = {
+    val issues = mutable.ListBuffer.empty[String]
+    if (!isPdfMagic(bytes)) {
+      return Preflight(isPdf = false, version = "", encrypted = false, embedded = false,
+        issues = List("not_pdf_header"))
+    }
+    // version: chars after "%PDF-" up to whitespace, must parse as a float
+    var j = 5
+    val vs = new StringBuilder
+    while (j < math.min(bytes.length, 16) && !isWsByte(bytes(j))) { vs.append(bytes(j).toChar); j += 1 }
+    val version = vs.result()
+    val versionOk = try { version.toFloat; true } catch { case _: Exception => false }
+    if (!versionOk) issues += "bad_version"
+    def prefixHas(marker: String, limit: Int): Boolean = {
+      val m = marker.getBytes(StandardCharsets.US_ASCII)
+      val lim = math.min(bytes.length, limit)
+      var i = 0
+      var found = false
+      while (!found && i + m.length <= lim) {
+        var k = 0
+        while (k < m.length && bytes(i + k) == m(k)) k += 1
+        if (k == m.length) found = true else i += 1
+      }
+      found
+    }
+    val encrypted = prefixHas("/Encrypt", 2048) || prefixHas("/StmF", 2048) || prefixHas("/StrF", 2048)
+    if (encrypted) issues += "encrypted"
+    val embedded = prefixHas("/EmbeddedFile", 4096)
+    if (embedded) issues += "embedded_files"
+    Preflight(isPdf = versionOk, version = version, encrypted = encrypted,
+      embedded = embedded, issues = issues.toList)
+  }
+
+  private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
+
+  // ---------------------------------------------------------------- object model
+
+  private final case class PdfObj(num: Int, body: Array[Byte], bodyOff: Int, bodyLen: Int)
+
+  /** Scan `N G obj ... endobj` object frames; no xref needed (objects located by scan). */
+  private def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val out = mutable.Map.empty[Int, PdfObj]
+    val n = bytes.length
+    var i = 0
+    while (i + 3 < n) {
+      // find "obj" preceded by "N G "
+      if (bytes(i) == 'o' && bytes(i + 1) == 'b' && bytes(i + 2) == 'j' &&
+          (i + 3 >= n || !isRegular(bytes(i + 3)))) {
+        // walk back: ws, digits (gen), ws, digits (num)
+        var k = i - 1
+        while (k >= 0 && isWsByte(bytes(k))) k -= 1
+        val genEnd = k
+        while (k >= 0 && bytes(k) >= '0' && bytes(k) <= '9') k -= 1
+        val genStart = k + 1
+        var numEnd = -1; var numStart = -1
+        if (genEnd >= genStart) {
+          while (k >= 0 && isWsByte(bytes(k))) k -= 1
+          numEnd = k
+          while (k >= 0 && bytes(k) >= '0' && bytes(k) <= '9') k -= 1
+          numStart = k + 1
+        }
+        if (numEnd >= numStart && numStart >= 0 && (numStart == 0 || !isRegular(bytes(numStart - 1)))) {
+          val num = new String(bytes, numStart, numEnd - numStart + 1, StandardCharsets.US_ASCII).toInt
+          val bodyStart = i + 3
+          // find endobj; if a stream begins, skip its payload by /Length or search
+          var e = indexOf(bytes, "endobj", bodyStart)
+          val streamAt = indexOf(bytes, "stream", bodyStart)
+          if (streamAt >= 0 && (e < 0 || streamAt < e)) {
+            val endStream = indexOf(bytes, "endstream", streamAt)
+            if (endStream >= 0) e = indexOf(bytes, "endobj", endStream)
+          }
+          val bodyEnd = if (e < 0) n else e
+          out(num) = PdfObj(num, bytes, bodyStart, bodyEnd - bodyStart)
+          i = if (e < 0) n else e + 6
+        } else i += 1
+      } else i += 1
+    }
+    out.toMap
+  }
+
+  private def isRegular(b: Byte): Boolean =
+    !isWsByte(b) && b != '/' && b != '<' && b != '>' && b != '[' && b != ']' && b != '(' && b != ')' && b != '%'
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val m = needle.getBytes(StandardCharsets.US_ASCII)
+    var i = math.max(from, 0)
+    while (i + m.length <= hay.length) {
+      var k = 0
+      while (k < m.length && hay(i + k) == m(k)) k += 1
+      if (k == m.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Minimal dict probing inside an object body (ASCII view). */
+  private def bodyStr(o: PdfObj): String =
+    new String(o.body, o.bodyOff, o.bodyLen, StandardCharsets.ISO_8859_1)
+
+  private val RefRx = """(\d+)\s+\d+\s+R""".r
+
+  private def dictRef(body: String, key: String): Option[Int] = {
+    val at = body.indexOf(key)
+    if (at < 0) None
+    else RefRx.findFirstMatchIn(body.substring(at + key.length)).map(_.group(1).toInt)
+  }
+
+  private def dictInt(body: String, key: String): Option[Int] = {
+    val at = body.indexOf(key)
+    if (at < 0) None
+    else """\d+""".r.findFirstIn(body.substring(at + key.length)).map(_.toInt)
+  }
+
+  private def kidsRefs(body: String): List[Int] = {
+    val at = body.indexOf("/Kids")
+    if (at < 0) Nil
+    else {
+      val open = body.indexOf('[', at)
+      val close = if (open >= 0) body.indexOf(']', open) else -1
+      if (open < 0 || close < 0) Nil
+      else RefRx.findAllMatchIn(body.substring(open + 1, close)).map(_.group(1).toInt).toList
+    }
+  }
+
+  /** Decode an object's stream payload (FlateDecode or raw). */
+  private def streamBytes(o: PdfObj): Option[Array[Byte]] = {
+    val body = bodyStr(o)
+    val sAt = body.indexOf("stream")
+    if (sAt < 0) return None
+    var start = sAt + "stream".length
+    if (start < body.length && body.charAt(start) == '\r') start += 1
+    if (start < body.length && body.charAt(start) == '\n') start += 1
+    val len = dictInt(body, "/Length")
+    val endRel = body.indexOf("endstream", start)
+    val end = len match {
+      case Some(l) if start + l <= o.bodyLen && (endRel < 0 || start + l <= endRel + 9) => start + l
+      case _ => if (endRel < 0) o.bodyLen else endRel
+    }
+    if (end <= start) return Some(Array.emptyByteArray)
+    val raw = java.util.Arrays.copyOfRange(o.body, o.bodyOff + start, o.bodyOff + end)
+    if (body.indexOf("/FlateDecode") >= 0 && body.indexOf("/FlateDecode") < sAt) Some(inflate(raw))
+    else Some(raw)
+  }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    try {
+      val inf = new Inflater()
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      val buf = new Array[Byte](8192)
+      var guard = 0
+      val maxIters = 1 << 16
+      while (!inf.finished() && guard < maxIters) {
+        val k = inf.inflate(buf)
+        if (k == 0 && inf.needsInput()) guard = maxIters // truncated
+        else out.write(buf, 0, k)
+        guard += 1
+      }
+      inf.end()
+      out.toByteArray
+    } catch { case _: Exception => Array.emptyByteArray }
+  }
+
+  /** Page content streams in document page order (catalog → pages → kids). */
+  private def pageStreams(bytes: Array[Byte]): List[Array[Byte]] = {
+    val objs = scanObjects(bytes)
+    if (objs.isEmpty) return Nil
+    val bodies = objs.map { case (k, v) => k -> bodyStr(v) }
+    val pageOrder: List[Int] = {
+      val catalog = bodies.collectFirst { case (k, b) if b.contains("/Type") && b.contains("/Catalog") => k }
+      val viaKids = for {
+        c <- catalog
+        pagesRef <- dictRef(bodies(c), "/Pages")
+        pagesBody <- bodies.get(pagesRef)
+      } yield {
+        // one level of kids is enough for our corpus; nested Pages nodes flatten
+        def expand(ref: Int, depth: Int): List[Int] =
+          bodies.get(ref) match {
+            case Some(b) if b.contains("/Type") && b.contains("/Pages") && depth < 8 =>
+              kidsRefs(b).flatMap(expand(_, depth + 1))
+            case Some(b) if b.contains("/Type") && b.contains("/Page") => List(ref)
+            case _ => Nil
+          }
+        expand(pagesRef, 0)
+      }
+      viaKids.filter(_.nonEmpty).getOrElse {
+        bodies.collect { case (k, b) if b.contains("/Type") && b.contains("/Page") && !b.contains("/Pages") => k }
+          .toList.sorted
+      }
+    }
+    pageOrder.flatMap { p =>
+      for {
+        contentsRef <- dictRef(bodies(p), "/Contents")
+        obj <- objs.get(contentsRef)
+        sb <- streamBytes(obj)
+      } yield sb
+    }
+  }
+
+  // ------------------------------------------------------- content interpreter
+
+  /** Tokenize + interpret one content stream into positioned runs for `page`. */
+  private def interpret(content: Array[Byte], page: Int, out: mutable.ArrayBuffer[Run]): Unit = {
+    val n = content.length
+    var i = 0
+    val operands = mutable.ArrayBuffer.empty[Any] // Float | String | List[Any]
+    var fontSize = 12f
+    var leading = 0f
+    var lineX = 0f; var lineY = 0f
+    var curX = 0f; var curY = 0f
+
+    def emit(text: String): Unit = {
+      if (text.nonEmpty) {
+        out += Run(page, curX, curY, fontSize, text)
+        curX += 0.5f * fontSize * text.length
+      }
+    }
+    def num(a: Any): Float = a match {
+      case f: Float => f
+      case _ => 0f
+    }
+    def popN(k: Int): IndexedSeq[Float] = {
+      val vals = operands.takeRight(k).map(num).toIndexedSeq
+      operands.remove(math.max(0, operands.length - k), math.min(k, operands.length))
+      if (vals.length == k) vals else IndexedSeq.fill(k)(0f)
+    }
+
+    def parseString(): String = {
+      // at '(' — returns decoded text, advances i past ')'
+      var depth = 1
+      i += 1
+      val sb = new java.lang.StringBuilder(32)
+      while (i < n && depth > 0) {
+        val b = content(i)
+        if (b == '\\' && i + 1 < n) {
+          val e = content(i + 1)
+          e match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '(' => sb.append('('); i += 2
+            case ')' => sb.append(')'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; i += 1
+              while (k < 3 && i < n && content(i) >= '0' && content(i) <= '7') { v = v * 8 + (content(i) - '0'); i += 1; k += 1 }
+              sb.append((v & 0xff).toChar)
+            case _ => i += 2 // line continuation or unknown escape: drop
+          }
+        } else if (b == '(') { depth += 1; sb.append('('); i += 1 }
+        else if (b == ')') { depth -= 1; if (depth > 0) sb.append(')'); i += 1 }
+        else { sb.append((b & 0xff).toChar); i += 1 }
+      }
+      sb.toString
+    }
+
+    def parseHexString(): String = {
+      // at '<' (not '<<') — bytes from hex pairs, latin-1 view
+      i += 1
+      val sb = new java.lang.StringBuilder(16)
+      var hi = -1
+      while (i < n && content(i) != '>') {
+        val c = content(i).toChar
+        val d = Character.digit(c, 16)
+        if (d >= 0) { if (hi < 0) hi = d else { sb.append(((hi << 4) | d).toChar); hi = -1 } }
+        i += 1
+      }
+      if (hi >= 0) sb.append((hi << 4).toChar)
+      if (i < n) i += 1
+      sb.toString
+    }
+
+    def applyOp(op: String): Unit = op match {
+      case "Tf" => fontSize = num(operands.lastOption.getOrElse(0f)); operands.clear()
+      case "TL" => leading = popN(1)(0); operands.clear()
+      case "Td" =>
+        val v = popN(2); lineX += v(0); lineY += v(1); curX = lineX; curY = lineY; operands.clear()
+      case "TD" =>
+        val v = popN(2); leading = -v(1); lineX += v(0); lineY += v(1); curX = lineX; curY = lineY; operands.clear()
+      case "Tm" =>
+        val v = popN(6); lineX = v(4); lineY = v(5); curX = lineX; curY = lineY; operands.clear()
+      case "T*" =>
+        lineY -= leading; curX = lineX; curY = lineY; operands.clear()
+      case "BT" =>
+        lineX = 0f; lineY = 0f; curX = 0f; curY = 0f; operands.clear()
+      case "ET" => operands.clear()
+      case "Tj" =>
+        operands.lastOption match { case Some(s: String) => emit(s); case _ => }
+        operands.clear()
+      case "'" =>
+        lineY -= leading; curX = lineX; curY = lineY
+        operands.lastOption match { case Some(s: String) => emit(s); case _ => }
+        operands.clear()
+      case "TJ" =>
+        operands.lastOption match {
+          case Some(arr: List[_]) =>
+            arr.foreach {
+              case s: String => emit(s)
+              case f: Float => curX -= f / 1000f * fontSize
+              case _ =>
+            }
+          case _ =>
+        }
+        operands.clear()
+      case _ => operands.clear() // any other operator: consume operands
+    }
+
+    var arrayAcc: mutable.ArrayBuffer[Any] = null
+    while (i < n) {
+      val b = content(i)
+      if (isWsByte(b)) i += 1
+      else if (b == '%') { while (i < n && content(i) != '\n') i += 1 }
+      else if (b == '(') {
+        val s = parseString()
+        if (arrayAcc != null) arrayAcc += s else operands += s
+      } else if (b == '<' && i + 1 < n && content(i + 1) == '<') {
+        // inline dict: skip to >>
+        var depth = 0
+        while (i + 1 < n && !(depth == 1 && content(i) == '>' && content(i + 1) == '>')) {
+          if (content(i) == '<' && content(i + 1) == '<') { depth += 1; i += 2 }
+          else if (content(i) == '>' && content(i + 1) == '>') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        i = math.min(n, i + 2)
+      } else if (b == '<') {
+        val s = parseHexString()
+        if (arrayAcc != null) arrayAcc += s else operands += s
+      } else if (b == '[') { arrayAcc = mutable.ArrayBuffer.empty[Any]; i += 1 }
+      else if (b == ']') {
+        if (arrayAcc != null) { operands += arrayAcc.toList; arrayAcc = null }
+        i += 1
+      } else if (b == '/') {
+        i += 1
+        while (i < n && isRegular(content(i))) i += 1
+        // names are ignored as operands
+        if (arrayAcc == null) operands += 0f
+      } else if ((b >= '0' && b <= '9') || b == '-' || b == '+' || b == '.') {
+        val start = i
+        i += 1
+        while (i < n && ((content(i) >= '0' && content(i) <= '9') || content(i) == '.' || content(i) == '-' || content(i) == '+')) i += 1
+        val f = try new String(content, start, i - start, StandardCharsets.US_ASCII).toFloat catch { case _: Exception => 0f }
+        if (arrayAcc != null) arrayAcc += f else operands += f
+      } else {
+        val start = i
+        while (i < n && isRegular(content(i))) i += 1
+        if (i == start) i += 1
+        else {
+          val op = new String(content, start, i - start, StandardCharsets.US_ASCII)
+          applyOp(op)
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- assembly
+
+  def runs(bytes: Array[Byte]): IndexedSeq[Run] = {
+    try {
+      val out = mutable.ArrayBuffer.empty[Run]
+      pageStreams(bytes).zipWithIndex.foreach { case (cs, p) => interpret(cs, p, out) }
+      out.toIndexedSeq
+    } catch { case _: Exception => IndexedSeq.empty }
+  }
+
+  /** Lines: runs grouped by y within YTol (per page), ordered y desc then x asc. */
+  private def lines(rs: IndexedSeq[Run]): List[(Int, List[List[Run]])] = {
+    rs.groupBy(_.page).toList.sortBy(_._1).map { case (p, prs) =>
+      val sorted = prs.sortBy(r => (-r.y, r.x))
+      val ls = mutable.ListBuffer.empty[mutable.ListBuffer[Run]]
+      var lastY = Float.NaN
+      sorted.foreach { r =>
+        if (ls.isEmpty || math.abs(r.y - lastY) > YTol) {
+          ls += mutable.ListBuffer(r)
+          lastY = r.y
+        } else ls.last += r
+      }
+      p -> ls.map(_.sortBy(_.x).toList).toList
+    }
+  }
+
+  /** Extracted text: run texts joined by ' ' within a line, lines by '\n', pages by '\f'. */
+  def text(bytes: Array[Byte]): String = {
+    val ls = lines(runs(bytes))
+    ls.map { case (_, pageLines) =>
+      pageLines.map(_.map(_.text.trim).filter(_.nonEmpty).mkString(" "))
+        .filter(_.nonEmpty).mkString("\n")
+    }.mkString("\f")
+  }
+
+  /** Word spans (hOCR analog, ocr_combined.py:73-82): one span per word. */
+  def spans(bytes: Array[Byte]): IndexedSeq[Span] = {
+    val out = mutable.ArrayBuffer.empty[Span]
+    lines(runs(bytes)).foreach { case (p, pageLines) =>
+      pageLines.foreach { line =>
+        line.foreach { r =>
+          var x = r.x
+          r.text.split(' ').filter(_.nonEmpty).foreach { w =>
+            val wWidth = 0.5f * r.size * w.length
+            out += Span(p, math.round(x), math.round(r.y),
+              math.round(x + wWidth), math.round(r.y + r.size), w)
+            x += wWidth + 0.5f * r.size // advance past word + one space
+          }
+        }
+      }
+    }
+    out.toIndexedSeq
+  }
+}

@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{extract_any_text, is_pdf, pdf_preflight, text_digest, url_host}
+
+/**
+ * The extraction job: scan → validate/quarantine → mode filter → salt skewed
+ * hosts → extract → bucketed write → per-bucket lineage → resume.
+ *
+ * Dataflow mirrors the reference CLI lifecycle (ocr_combined.py:232-264) re-expressed
+ * as one declarative plan:
+ *
+ *   pages ─ preflight ─┬─ quarantine table           (security_validator.py:309-335)
+ *                      └─ mode filter (skip_text)     (ocr_combined.py:124-141)
+ *                          └─ anti-join done buckets  (resume; archive-dedup analog :147-157)
+ *                              └─ repartition(host, salt)  ← explicit skew handling
+ *                                  └─ extract_any_text (ExtractMainContent | ParsePdfText)
+ *                                      └─ write extracted/bucket=K  +  lineage rows
+ *
+ * Scale design (10^12 docs): every decision is per-row or per-bucket; no driver
+ * collect of data rows. Buckets are a *logical*, url-hash-stable partitioning
+ * (pmod(xxhash64(url), nBuckets)) — they survive reruns and cluster-size changes,
+ * which is what makes lineage rows a valid checkpoint unit. Physical parallelism
+ * (shuffle partitions, executor count) is free to differ from nBuckets.
+ */
+object ExtractPipeline {
+
+  final case class Config(
+      mode: String = "cli", // cli | visual (skip pre-extracted) | force (recompute all)
+      maxBytes: Long = 100L * 1024 * 1024, // reference default 100MB (config.py:24)
+      nBuckets: Int = 64,
+      saltsPerHost: Int = 8, // zipf head hosts split across this many shuffle keys
+      runId: String = "run-0"
+  )
+
+  /** Validation struct: quarantine reasons per row (empty ⇒ valid).
+    * Mirrors security_validator semantics: size cap (:177-179), magic/version
+    * (:370-390), encryption markers (:417-439). HTML payloads are accepted when
+    * the first non-whitespace byte is '<'; anything else is an unknown payload. */
+  def validationReasons(cfg: Config): org.apache.spark.sql.Column = {
+    val pf = pdf_preflight(col("html"))
+    array_compact(array(
+      when(length(col("html")) > cfg.maxBytes, lit("too_large")),
+      when(length(col("html")) === 0, lit("empty_payload")),
+      when(is_pdf(col("html")) && !pf.getField("is_pdf"), lit("bad_pdf_version")),
+      when(is_pdf(col("html")) && pf.getField("encrypted"), lit("encrypted")),
+      when(!is_pdf(col("html")) &&
+        !(ltrim(decode(substring(col("html"), 1, 64), "UTF-8")).startsWith("<")),
+        lit("unknown_payload"))
+    ))
+  }
+
+  /** Risk classification (security_validator.py:474-492 analog). */
+  private def risk(reasons: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(array_contains(reasons, "encrypted"), "high")
+      .when(array_contains(reasons, "too_large"), "medium")
+      .otherwise("low")
+
+  val BucketCol = "bucket"
+
+  def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+
+  /** Split input into (valid, quarantine). */
+  def validate(pages: DataFrame, cfg: Config): (DataFrame, DataFrame) = {
+    val withReasons = pages.withColumn("_reasons", validationReasons(cfg))
+    val valid = withReasons.filter(size(col("_reasons")) === 0).drop("_reasons")
+    val quarantine = withBucket(withReasons.filter(size(col("_reasons")) > 0), cfg.nBuckets)
+      .select(
+        col("url"),
+        col(BucketCol),
+        col("_reasons").as("reasons"),
+        risk(col("_reasons")).as("risk"),
+        sha2(col("html"), 256).as("payload_sha256"))
+    (valid, quarantine)
+  }
+
+  /** Mode semantics: cli/visual skip rows with pre-existing text (skip_text=True,
+    * ocr_combined.py:124-129); force recomputes everything (:130-135). */
+  def modeFilter(valid: DataFrame, mode: String): (DataFrame, DataFrame) = {
+    if (mode == "force") (valid, valid.limit(0))
+    else (valid.filter(col("text").isNull), valid.filter(col("text").isNotNull))
+  }
+
+  /**
+   * Extraction plan for the rows to process. The repartition key is
+   * (host, salt): hosts are zipfian (a handful dominate the corpus), so
+   * partitioning by host alone would put the head host's entire volume in one
+   * task; the salt splits each host across `saltsPerHost` shuffle keys while
+   * keeping same-host rows mostly co-located (useful for host-level politeness
+   * and compression locality at the 100 TB tier).
+   */
+  def extract(toProcess: DataFrame, cfg: Config): DataFrame = {
+    val salted = toProcess
+      .withColumn("_host", url_host(col("url")))
+      .withColumn("_salt", pmod(xxhash64(col("url")), lit(cfg.saltsPerHost)))
+      .repartition(col("_host"), col("_salt"))
+    withBucket(salted, cfg.nBuckets)
+      .withColumn("text", extract_any_text(col("html")))
+      .withColumn("text_sha256", text_digest(col("text")))
+      .select(
+        col("url"), col("warc_ts"), col("lang"), col(BucketCol),
+        lit("extracted").as("status"),
+        col("text"), col("text_sha256"),
+        length(col("text")).as("n_chars"))
+  }
+
+  /** Skipped rows carry their pre-existing text through unchanged. */
+  def passThroughSkipped(skipped: DataFrame, cfg: Config): DataFrame =
+    withBucket(skipped, cfg.nBuckets).select(
+      col("url"), col("warc_ts"), col("lang"), col(BucketCol),
+      lit("skipped").as("status"),
+      col("text"),
+      text_digest(col("text")).as("text_sha256"),
+      length(col("text")).as("n_chars"))
+
+  /** Per-bucket lineage from the *written* output: stable under reruns.
+    * digest = sha256 of the '\n'-joined, url-sorted per-row text digests —
+    * the bucket-level golden fingerprint (FIXTURES.md §4). */
+  def lineage(extracted: DataFrame, runId: String): DataFrame =
+    extracted
+      .groupBy(col(BucketCol))
+      .agg(
+        count(lit(1)).as("row_count"),
+        sum(when(col("status") === "extracted", 1L).otherwise(0L)).as("ok_count"),
+        sum(when(col("status") === "skipped", 1L).otherwise(0L)).as("skipped_count"),
+        sha2(encode(concat_ws("\n",
+          sort_array(collect_list(concat_ws("\t", col("url"), col("text_sha256"))))), "UTF-8"), 256)
+          .as("digest"))
+      .select(
+        lit(runId).as("run_id"), col(BucketCol), col("row_count"),
+        col("ok_count"), col("skipped_count"), col("digest"),
+        lit("committed").as("status"))
+
+  final case class RunResult(
+      extractedPath: String,
+      lineagePath: String,
+      quarantinePath: String,
+      totalIn: Long,
+      extracted: Long,
+      skipped: Long,
+      quarantined: Long,
+      resumedBuckets: Int
+  )
+
+  /**
+   * Full run with checkpoint-resume. Output layout under `outDir`:
+   *   extracted/bucket=K/...parquet   (one dir per logical bucket)
+   *   lineage/...parquet              (appended per run)
+   *   quarantine/...parquet
+   *
+   * Resume: buckets already present in lineage (status=committed) are
+   * anti-joined away (reference archive-dedup anti-join shape,
+   * ocr_combined.py:147-157); their output dirs are left untouched, so an
+   * interrupted run recomputes only missing buckets (FIXTURES.md invariant 4).
+   */
+  def run(spark: SparkSession, pages: DataFrame, outDir: String, cfg: Config): RunResult = {
+    val extractedPath = s"$outDir/extracted"
+    val lineagePath = s"$outDir/lineage"
+    val quarantinePath = s"$outDir/quarantine"
+
+    // resume: buckets with committed lineage are done — gate every sink on them
+    val doneBuckets: DataFrame =
+      if (fsExists(spark, lineagePath))
+        spark.read.parquet(lineagePath).filter(col("status") === "committed")
+          .select(col(BucketCol)).distinct()
+      else spark.emptyDataFrame.withColumn(BucketCol, lit(0)).limit(0).select(col(BucketCol))
+    val nDone = doneBuckets.count().toInt
+    def notDone(df: DataFrame): DataFrame =
+      if (nDone > 0) df.join(broadcast(doneBuckets), Seq(BucketCol), "left_anti") else df
+
+    val (valid, quarantine) = validate(pages, cfg)
+    // dynamic partition overwrite keyed by bucket ⇒ reruns are idempotent per
+    // bucket (exactly-once resume without a transactional catalog; the honest
+    // Iceberg-snapshot substitution, SURVEY.md §7.0)
+    notDone(quarantine).write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(quarantinePath)
+
+    val (toProcess0, skipped) = modeFilter(valid, cfg.mode)
+    val all = extract(toProcess0, cfg).unionByName(passThroughSkipped(skipped, cfg))
+    val todo = notDone(all)
+
+    todo.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(extractedPath)
+
+    // lineage from the written files (read-back guarantees we fingerprint what landed)
+    val written = spark.read.parquet(extractedPath)
+      .join(broadcast(doneBuckets), Seq(BucketCol), "left_anti")
+    val lin = lineage(written, cfg.runId)
+    lin.write.mode(SaveMode.Append).parquet(lineagePath)
+
+    val counts = spark.read.parquet(extractedPath)
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = try spark.read.parquet(quarantinePath).count() catch { case _: Exception => 0L }
+    RunResult(
+      extractedPath, lineagePath, quarantinePath,
+      totalIn = counts.values.sum + q,
+      extracted = counts.getOrElse("extracted", 0L),
+      skipped = counts.getOrElse("skipped", 0L),
+      quarantined = q,
+      resumedBuckets = nDone)
+  }
+
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
