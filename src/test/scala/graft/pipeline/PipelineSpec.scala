@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.fixtures.{Corpus, CorpusGen}
+
+/** End-to-end pipeline invariants (FIXTURES.md §5). */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val N = 500
+
+  private def tmp(): String = Files.createTempDirectory("graft-pipe").toString
+
+  private lazy val truth = Corpus.truth(N)
+
+  test("force mode: extracted text byte-identical to by-construction truth for every url") {
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "force", runId = "t1"))
+    assert(res.extracted + res.skipped + res.quarantined == N)
+    assert(res.skipped == 0)
+    val got = spark.read.parquet(res.extractedPath)
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == res.extracted)
+    got.foreach { case (url, text) =>
+      val (kind, expected) = truth(url)
+      assert(kind == "html" || kind == "pdf" || kind == "pre")
+      assert(text == expected, s"url=$url kind=$kind")
+    }
+  }
+
+  test("cli mode: pre-extracted rows are skipped, not recomputed") {
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "cli", runId = "t2"))
+    val preUrls = truth.collect { case (u, ("pre", _)) => u }.toSet
+    assert(res.skipped == preUrls.size)
+    val skippedRows = spark.read.parquet(res.extractedPath)
+      .filter(col("status") === "skipped")
+      .select("url", "text").collect()
+    assert(skippedRows.length == preUrls.size)
+    skippedRows.foreach { r =>
+      assert(preUrls.contains(r.getString(0)))
+      assert(r.getString(1).startsWith("pre-extracted text for ")) // carried through
+    }
+  }
+
+  test("quarantine: adversarial payloads flagged with reasons; partition of input exact") {
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "force", runId = "t3"))
+    val badUrls = truth.collect { case (u, (k, _)) if k == "enc_pdf" || k == "junk" => u }.toSet
+    assert(res.quarantined == badUrls.size)
+    val q = spark.read.parquet(res.quarantinePath).select("url", "reasons").collect()
+    q.foreach { r =>
+      assert(badUrls.contains(r.getString(0)))
+      assert(r.getSeq[String](1).nonEmpty)
+    }
+  }
+
+  test("digest invariance across shuffle-partition counts (1, 3, 7)") {
+    def digests(parts: Int): Map[Int, String] = {
+      val out = tmp()
+      val pages = Corpus.pages(spark, N).repartition(parts)
+      val res = ExtractPipeline.run(spark, pages, out,
+        ExtractPipeline.Config(mode = "force", runId = s"p$parts", nBuckets = 16))
+      spark.read.parquet(res.lineagePath)
+        .select("bucket", "digest").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+    }
+    val d1 = digests(1)
+    val d3 = digests(3)
+    val d7 = digests(7)
+    assert(d1 == d3 && d3 == d7)
+  }
+
+  test("resume: killed run recomputes only missing buckets, byte-identical result") {
+    val out = tmp()
+    val cfg = ExtractPipeline.Config(mode = "force", runId = "r1", nBuckets = 16)
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg)
+    val full = spark.read.parquet(res.extractedPath)
+      .select("url", "text_sha256").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+
+    // simulate kill: drop buckets 0-4 output and their lineage rows
+    val lin = spark.read.parquet(res.lineagePath).filter(col("bucket") >= 5)
+    val keep = lin.collect()
+    (0 until 5).foreach { b =>
+      val dir = new java.io.File(s"${res.extractedPath}/bucket=$b")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    val linDir = new java.io.File(res.lineagePath)
+    linDir.listFiles().foreach(_.delete())
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(keep.toSeq.asJava, lin.schema)
+      .write.mode("overwrite").parquet(res.lineagePath)
+
+    val res2 = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "r2"))
+    assert(res2.resumedBuckets == 11)
+    val after = spark.read.parquet(res.extractedPath)
+      .select("url", "text_sha256").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(after.toSeq == full.toSeq)
+  }
+
+  test("lineage row counts reconcile with extracted output") {
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "cli", runId = "t5"))
+    val linSum = spark.read.parquet(res.lineagePath)
+      .agg(sum("row_count"), sum("ok_count"), sum("skipped_count")).collect()(0)
+    assert(linSum.getLong(0) == res.extracted + res.skipped)
+    assert(linSum.getLong(1) == res.extracted)
+    assert(linSum.getLong(2) == res.skipped)
+  }
+}
