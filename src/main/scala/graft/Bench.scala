@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Per-round benchmark main (driver-run): times every SparkEntry query on
+ * SPARK_GRAFT_SF_DIR, plus the extraction-pipeline headline (docs/sec over the
+ * deterministic fixture corpus — the BASELINE.json metric). Prints ONE JSON line.
+ *
+ * Scaling evidence (local[8] vs local[32]) is produced by graft.tools.ScalingBench
+ * and recorded in BASELINE.md.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,41 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm the JVM/codegen once on the smallest scale
+    try SparkEntry.queries.values.foreach(q => q(spark, "/root/testdata/sf0.001").count())
+    catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // extraction headline: docs/sec through dispatch+extraction (no sink I/O)
+    val extractionDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val pages = graft.fixtures.Corpus.pages(spark, extractionDocs)
+    import org.apache.spark.sql.functions.col
+    val extractSec = time {
+      pages.select(graft.functions.text_digest(
+        graft.functions.extract_any_text(col("html"))).as("d"))
+        .filter(col("d").isNotNull).count()
+    }
+    val docsPerSec = extractionDocs / extractSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

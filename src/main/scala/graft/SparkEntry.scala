@@ -1,13 +1,369 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * Driver contract (see SURVEY.md §2 operator inventory): every implemented
+ * operator surfaces as a named query over the driver-generated parquet tables;
+ * oracleSql carries the DuckDB-equivalent for hash-compared correctness.
+ *
+ * Conventions for oracle parity:
+ *  - every computed column aliased identically in both engines;
+ *  - floating aggregates rounded to 4 (money to 2) decimals;
+ *  - every window/topk query totally ordered with explicit tie-breaks;
+ *  - extraction round-trips construct payloads from table text *inside the
+ *    query* (deterministic string building), so the oracle can state the
+ *    expected output in plain SQL.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // deterministic HTML wrapper around a text column (see q17/q18 oracles)
+  private def htmlOf(text: Column): Column =
+    concat(
+      lit("<html><head><title>x</title></head><body><nav><a href=\"/\">home</a> <a href=\"/\">about</a></nav><p>"),
+      text,
+      lit("</p><footer>footer words here</footer></body></html>"))
+
+  // deterministic minimal PDF wrapper: single page, single Tj of the text
+  // (documents text is [a-z ] only — no PDF string escaping needed)
+  private def pdfOf(text: Column): Column = {
+    val content = concat(lit("BT /F1 12 Tf 72 720 Td ("), text, lit(") Tj ET"))
+    encode(concat(
+      lit("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        "4 0 obj\n<< /Length "),
+      length(content).cast("string"),
+      lit(" >>\nstream\n"), content, lit("\nendstream\nendobj\n%%EOF\n")), "UTF-8")
+  }
+
+  /** Flagship: HTML-extraction round-trip over sf0.001 documents. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q17_extract_html_roundtrip")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational core (SURVEY.md §2 D/E/F analogs) ----------------
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q02_join_broadcast_segment" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+    "q03_topk_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("rn"))
+    }),
+    "q04_recent_activity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(lit("event").as("kind"), col("event_id").as("id"), col("ts"))
+      val or = t(s, dir, "orders").select(lit("order").as("kind"), col("o_orderkey").as("id"), col("o_orderdate").as("ts"))
+      ev.unionByName(or).orderBy(col("ts").desc, col("kind").asc, col("id").asc).limit(100)
+    }),
+    "q05_region_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+    }),
+    "q06_status_rollup" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))),
+    "q07_sliding_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-99, 0)
+      // integer-cents sum keeps the sliding aggregate exact (float avg differs
+      // in the last ulp between engines' window accumulation algorithms)
+      t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w).as("msum_cents"),
+          count(lit(1)).over(w).as("mcount"))
+    }),
+    "q21_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q22_props_buckets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+    }),
+    "q23_event_type_rollup" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))),
+
+    // ---------------- text analysis over documents ----------------
+    "q08_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          size(array_distinct(col("toks"))).as("n_unique_tokens"),
+          round((length(col("text")) - (size(col("toks")) - 1)).cast("double") / size(col("toks")), 4)
+            .as("avg_token_len"))
+    }),
+    "q09_quality" -> ((s, dir) => {
+      val stops = Seq("the", "a", "of", "and", "to", "in")
+      t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("stop_tokens", size(filter(col("toks"), w => w.isin(stops.map(lit): _*))))
+        .select(
+          col("doc_id"),
+          col("stop_tokens"),
+          round(col("stop_tokens").cast("double") / size(col("toks")), 4).as("stop_ratio"),
+          (size(col("toks")) >= 20 && col("stop_tokens") > 0).as("is_quality"))
+    }),
+    "q10_langid" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      def votes(ws: Seq[String]) = size(filter(toks, w => w.isin(ws.map(lit): _*)))
+      t(s, dir, "documents")
+        .withColumn("en", votes(Seq("the", "a", "of", "and", "to", "in")))
+        .withColumn("de", votes(Seq("der", "die", "das", "und", "nicht")))
+        .withColumn("es", votes(Seq("el", "la", "los", "que")))
+        .withColumn("fr", votes(Seq("le", "les", "des", "une", "est")))
+        .select(
+          col("doc_id"),
+          when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr").as("pred_lang"),
+          (col("lang") === lit("en")).as("label_is_en"))
+    }),
+
+    // ---------------- dedup family ----------------
+    "q11_dedup_stats" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))),
+    "q12_exact_dup_groups" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(sha2(encode(col("text"), "UTF-8"), 256).as("text_sha256"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+        .filter(col("cnt") > 1)),
+    // near-dup detection: corpus unioned with a mutated copy (first token dropped,
+    // doc_id offset) — near-dup pairs exist by construction; MinHash-LSH bucket
+    // join finds them without an O(n²) compare (SURVEY-scale path: band keys
+    // shuffle-join, candidates verified by signature similarity).
+    "q13_minhash_near_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val all = docs.unionByName(mutated)
+        .withColumn("sig", minhash_sig(col("text"), 64, 3))
+        .withColumn("band", explode(minhash_bands(col("text"), 64, 3, 8)))
+      val pairs = all.as("x").join(all.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sig").as("siga"), col("y.sig").as("sigb"))
+        .distinct()
+      val simUdfFree = expr(
+        "aggregate(zip_with(siga, sigb, (p,q) -> IF(p = q, 1, 0)), 0, (acc,v) -> acc + v)")
+      pairs
+        .withColumn("est_sim", round(simUdfFree.cast("double") / 64.0, 4))
+        .filter(col("est_sim") >= 0.5)
+        .select(col("a"), col("b"), col("est_sim"))
+        .orderBy(col("a"), col("b"))
+    }),
+    "q14_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
+    "q15_rolling_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), lower(hex(rolling_fingerprint(col("text"), 8))).as("fp_hex"))),
+
+    // ---------------- similarity search over embeddings ----------------
+    "q16_ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val pairs = q.crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine_sim(col("qv"), col("nv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+    }),
+
+    // ---------------- extraction round-trips (the engine core, oracle-checked) ----------------
+    "q17_extract_html_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("html", encode(htmlOf(col("text")), "UTF-8"))
+        .withColumn("extracted", extract_main_content(col("html")))
+        .select(
+          col("doc_id"),
+          col("extracted"),
+          text_digest(col("extracted")).as("extracted_sha256"))),
+    "q18_extract_blocks_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("blocks", extract_blocks(encode(htmlOf(col("text")), "UTF-8")))
+        .select(
+          col("doc_id"),
+          size(col("blocks")).as("n_blocks"),
+          size(filter(col("blocks"), b => b.getField("is_content"))).as("n_content"),
+          expr("aggregate(blocks, 0, (acc, b) -> acc + IF(b.is_content, b.words, 0))").as("content_words"))),
+    "q19_pdf_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("pdf", pdfOf(col("text")))
+        .select(col("doc_id"), parse_pdf_text(col("pdf")).as("pdf_text"))),
+    "q20_pdf_preflight" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", encode(
+          when(col("doc_id") % 3 === 0, lit("%PDF-1.4\nplain data"))
+            .when(col("doc_id") % 3 === 1, lit("%PDF-abc\nbad version"))
+            .otherwise(lit("%PDF-1.5\n<< /Encrypt 9 0 R >>")), "UTF-8"))
+        .withColumn("pf", pdf_preflight(col("payload")))
+        .select(
+          col("doc_id"),
+          col("pf.is_pdf").as("is_pdf"),
+          col("pf.encrypted").as("encrypted"))),
+
+    // ---------------- fixture-corpus extraction (rows-only; full pipeline surface) ----------------
+    "q24_fixture_extract" -> ((s, dir) => {
+      // sfDir-independent deterministic corpus; exercises dispatch + quarantine
+      val pages = graft.fixtures.Corpus.pages(s, 1000, 42)
+      val (valid, _) = graft.pipeline.ExtractPipeline.validate(pages, graft.pipeline.ExtractPipeline.Config())
+      valid.select(col("url"), text_digest(extract_any_text(col("html"))).as("text_sha256"))
+        .orderBy(col("url"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q03_topk_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |FROM orders QUALIFY rn <= 3""".stripMargin,
+    "q04_recent_activity" ->
+      """SELECT kind, id, ts FROM (
+        |  SELECT 'event' AS kind, event_id AS id, ts FROM events
+        |  UNION ALL
+        |  SELECT 'order' AS kind, o_orderkey AS id, o_orderdate AS ts FROM orders
+        |) ORDER BY ts DESC, kind ASC, id ASC LIMIT 100""".stripMargin,
+    "q05_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q06_status_rollup" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+    "q07_sliding_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT) AS msum_cents,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS mcount
+        |FROM events""".stripMargin,
+    "q21_sessionize" ->
+      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |) GROUP BY user_id""".stripMargin,
+    "q22_props_buckets" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) % 10 AS k_bucket,
+        |  count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q23_event_type_rollup" ->
+      "SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type",
+    "q08_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(text) AS INT) AS len_chars,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
+        |  round(CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q09_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS INT) AS stop_tokens,
+        |  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  (len(string_split(text, ' ')) >= 20 AND
+        |   len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) > 0) AS is_quality
+        |FROM documents""".stripMargin,
+    "q10_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+        |       WHEN de >= es AND de >= fr THEN 'de'
+        |       WHEN es >= fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  (lang = 'en') AS label_is_en
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) AS en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','nicht'))) AS de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','que'))) AS es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','une','est'))) AS fr
+        |  FROM documents)""".stripMargin,
+    "q11_dedup_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
+        |  count(*) - count(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,
+    "q12_exact_dup_groups" ->
+      """SELECT sha256(text) AS text_sha256, count(*) AS cnt, min(doc_id) AS keeper
+        |FROM documents GROUP BY text HAVING count(*) > 1""".stripMargin,
+    "q16_ann_cosine_topk" ->
+      """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |) WHERE rank <= 5""".stripMargin,
+    "q17_extract_html_roundtrip" ->
+      "SELECT doc_id, text AS extracted, sha256(text) AS extracted_sha256 FROM documents",
+    "q18_extract_blocks_stats" ->
+      """SELECT doc_id, 4 AS n_blocks, 1 AS n_content,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS content_words FROM documents""".stripMargin,
+    "q19_pdf_roundtrip" ->
+      "SELECT doc_id, text AS pdf_text FROM documents",
+    "q20_pdf_preflight" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN false ELSE true END AS is_pdf,
+        |  CASE WHEN doc_id % 3 = 2 THEN true ELSE false END AS encrypted
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,64 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.TextHash
+
+/** Codegen entry points (string in, primitive/array out — no boxing in eval). */
+object TextExprRuntime {
+  def simhash64(s: UTF8String): Long = TextHash.simhash64(s.toString)
+  def rollingFingerprint(s: UTF8String, n: Int): Long =
+    TextHash.rollingFingerprint(s.toString, n)
+}
+
+/** 64-bit SimHash of whitespace-tokenized text (near-dup fingerprint). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprRuntime.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextExprRuntime.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature (numHashes values over token shingleSize-shingles). */
+case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.minhash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** LSH band keys from text directly (minhash + banding fused). */
+case class MinHashBands(child: Expression, numHashes: Int, shingleSize: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = TextHash.minhash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
+    new GenericArrayData(TextHash.bandKeys(sig, rowsPerBand))
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Winnowing-style rolling fingerprint (min rolling hash over token n-grams). */
+case class RollingFingerprint(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprRuntime.rollingFingerprint(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextExprRuntime.rollingFingerprint($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}

@@ -53,4 +53,30 @@ object functions {
 
   /** Host of a url — the skew/salting key (SURVEY.md §4). */
   def url_host(url: Column): Column = F.parse_url(url, F.lit("HOST"))
+
+  // ---- large-scale dedup / fingerprinting (graft.text.TextHash semantics) ----
+
+  /** 64-bit SimHash near-dup fingerprint of whitespace-tokenized text. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(expr(text)))
+
+  /** MinHash signature: array<long> of numHashes min-hashes over token shingles. */
+  def minhash_sig(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    ColumnBridge.column(MinHashSig(expr(text), numHashes, shingleSize))
+
+  /** LSH band keys (minhash + banding fused): explode to bucket-join near-dup candidates. */
+  def minhash_bands(text: Column, numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8): Column =
+    ColumnBridge.column(MinHashBands(expr(text), numHashes, shingleSize, rowsPerBand))
+
+  /** Winnowing-style document fingerprint (min rolling hash over token n-grams). */
+  def rolling_fingerprint(text: Column, n: Int = 8): Column =
+    ColumnBridge.column(RollingFingerprint(expr(text), n))
+
+  /** Cosine similarity of two float-array embedding columns (codegen'd builtins:
+    * zip_with dot product + aggregate norms; no UDF). */
+  def cosine_sim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      F.aggregate(F.zip_with(x, y, (p, q) => p * q), F.lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/**
+ * Two-cluster-size scaling evidence (BASELINE.json north rule: ≥0.8 throughput
+ * scaling efficiency from N to 4N executors). No real cluster exists in this
+ * sandbox, so the same job runs at two parallelism levels (e.g. local[8] vs
+ * local[32]) on the same parquet input; efficiency = (docsPerSec_4N / docsPerSec_N) / 4.
+ *
+ * Methodology notes (learned the hard way):
+ *  - corpus materialized to parquet once, outside timing (the metric is docs/sec
+ *    extracted *from a table*, the pipeline's real input shape);
+ *  - ONE measurement per JVM: JIT state must not leak between the two runs
+ *    (a shared JVM gave the second run a fully-C2-compiled extractor and a
+ *    nonsense 5× "efficiency");
+ *  - a 10%-of-data warmup pass precedes the timed pass (C2 compilation of the
+ *    tokenizer/parser loops needs ~10^4 invocations);
+ *  - the job must be big enough that task-scheduling overhead doesn't floor
+ *    wall time (40k docs ≈ 8 CPU-s measures only overhead).
+ *
+ * Usage:
+ *   ScalingBench gen <nDocs> <dir>          — materialize corpus parquet
+ *   ScalingBench measure <cores> <nDocs> <dir>  — one timed run, one JSON line
+ */
+object ScalingBench {
+
+  private def session(cores: Int, name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def corpusPath(dir: String, nDocs: Long) = s"$dir/pages_$nDocs"
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: n :: dir :: Nil =>
+      val nDocs = n.toLong
+      val s = session(32, "graft-scaling-gen")
+      val p = new org.apache.hadoop.fs.Path(corpusPath(dir, nDocs))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        graft.fixtures.Corpus.pages(s, nDocs, 42L, parallelism = 256)
+          .write.mode("overwrite").parquet(p.toString)
+        println(s"""{"gen":"$p","n_docs":$nDocs}""")
+      } else println(s"""{"gen":"$p","n_docs":$nDocs,"cached":true}""")
+      s.stop()
+
+    case "measure" :: c :: n :: dir :: Nil =>
+      val cores = c.toInt
+      val nDocs = n.toLong
+      val s = session(cores, s"graft-scaling-$cores")
+      val path = corpusPath(dir, nDocs)
+      // ≥4 input splits per core so the long tail doesn't idle the extra cores
+      val total = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+      }
+      val splitBytes = math.max(2L << 20, total / (cores * 4L))
+      s.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+      s.conf.set("spark.sql.files.openCostInBytes", (256 << 10).toString)
+      def pass(): Long =
+        s.read.parquet(path)
+          .select(graft.functions.text_digest(graft.functions.extract_any_text(col("html"))).as("d"))
+          .filter(col("d").isNotNull).count()
+      pass() // warmup: full pass (C2 + page cache) — JIT needs ~10^4 invocations
+      // best-of-3: the sandbox is a shared host; min wall time is the least-noisy
+      // estimate of the job's true cost at this parallelism
+      val trials = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val counted = pass()
+        (counted, (System.nanoTime() - t0) / 1e9)
+      }
+      val (counted, sec) = trials.minBy(_._2)
+      val all = trials.map(t => f"${t._2}%.2f").mkString("[", ",", "]")
+      println(
+        f"""{"cores":$cores,"master":"${s.sparkContext.master}","n_docs":$counted,"sec":$sec%.2f,"trials_sec":$all,"docs_per_sec":${counted / sec}%.1f}""")
+      s.stop()
+
+    case _ =>
+      System.err.println("usage: ScalingBench gen <nDocs> <dir> | measure <cores> <nDocs> <dir>")
+      sys.exit(2)
+  }
+}
