@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Iceberg-semantics emulation (SURVEY.md §7.0 — no Iceberg runtime jar exists in
+ * this sandbox): a table is a directory of bucket-partitioned parquet plus a
+ * `_manifests/` log of immutable snapshot JSON files. Each snapshot records the
+ * run, schema fingerprint, bucket list with row counts and digests, and the
+ * parent snapshot — giving append/overwrite visibility, time-travel-by-run, and
+ * a commit record that pairs with the lineage table for checkpoint-resume.
+ *
+ * Isolated behind this object so a real `iceberg-spark-runtime` catalog could
+ * replace it without touching pipeline code.
+ */
+object CatalogIO {
+
+  final case class BucketEntry(bucket: Int, rowCount: Long, digest: String)
+  final case class Snapshot(
+      snapshotId: String,
+      runId: String,
+      parent: String, // "" for first
+      createdUtcMs: Long,
+      buckets: Seq[BucketEntry]
+  )
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def writeSnapshot(spark: SparkSession, tableDir: String, snap: Snapshot): Unit = {
+    val dir = new Path(s"$tableDir/_manifests")
+    val f = fs(spark, tableDir)
+    f.mkdirs(dir)
+    val body = {
+      val bs = snap.buckets.sortBy(_.bucket).map { b =>
+        s"""{"bucket":${b.bucket},"row_count":${b.rowCount},"digest":"${esc(b.digest)}"}"""
+      }.mkString("[", ",", "]")
+      s"""{"snapshot_id":"${esc(snap.snapshotId)}","run_id":"${esc(snap.runId)}","parent":"${esc(snap.parent)}","created_utc_ms":${snap.createdUtcMs},"buckets":$bs}"""
+    }
+    // two-phase: write tmp, rename into place (atomic on local/HDFS)
+    val tmp = new Path(dir, s".${snap.snapshotId}.json.tmp")
+    val dst = new Path(dir, s"${snap.snapshotId}.json")
+    val out = f.create(tmp, true)
+    out.write(body.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    f.rename(tmp, dst)
+  }
+
+  /** Snapshot ids in lexicographic (= commit) order. */
+  def listSnapshots(spark: SparkSession, tableDir: String): Seq[String] = {
+    val dir = new Path(s"$tableDir/_manifests")
+    val f = fs(spark, tableDir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).sorted.toSeq
+  }
+
+  def latestSnapshot(spark: SparkSession, tableDir: String): Option[String] =
+    listSnapshots(spark, tableDir).lastOption
+
+  def readSnapshotJson(spark: SparkSession, tableDir: String, snapshotId: String): String = {
+    val p = new Path(s"$tableDir/_manifests/$snapshotId.json")
+    val in = fs(spark, tableDir).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{extract_any_text, is_pdf, pdf_preflight, text_digest, url_host}
+import graft.functions.{extract_any_text, is_pdf, parse_pdf_spans, pdf_preflight, text_digest, url_host}
 
 /**
  * The extraction job: scan → validate/quarantine → mode filter → salt skewed
@@ -32,7 +32,8 @@ object ExtractPipeline {
       maxBytes: Long = 100L * 1024 * 1024, // reference default 100MB (config.py:24)
       nBuckets: Int = 64,
       saltsPerHost: Int = 8, // zipf head hosts split across this many shuffle keys
-      runId: String = "run-0"
+      runId: String = "run-0",
+      withSpans: Boolean = true // emit hOCR-analog word spans for PDF payloads (visual/force modes, A8)
   )
 
   /** Validation struct: quarantine reasons per row (empty ⇒ valid).
@@ -97,14 +98,24 @@ object ExtractPipeline {
       .withColumn("_host", url_host(col("url")))
       .withColumn("_salt", pmod(xxhash64(col("url")), lit(cfg.saltsPerHost)))
       .repartition(col("_host"), col("_salt"))
+    val spansCol =
+      if (cfg.withSpans)
+        when(is_pdf(col("html")), parse_pdf_spans(col("html")))
+          .otherwise(array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>"))
+      else array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>")
     withBucket(salted, cfg.nBuckets)
       .withColumn("text", extract_any_text(col("html")))
       .withColumn("text_sha256", text_digest(col("text")))
+      .withColumn("spans", spansCol)
       .select(
         col("url"), col("warc_ts"), col("lang"), col(BucketCol),
         lit("extracted").as("status"),
         col("text"), col("text_sha256"),
-        length(col("text")).as("n_chars"))
+        length(col("text")).as("n_chars"),
+        col("spans"),
+        size(col("spans")).as("n_spans"),
+        // pages are \f-separated in reconstructed text (Tesseract sidecar contract)
+        (size(split(col("text"), "\f")) ).as("n_pages"))
   }
 
   /** Skipped rows carry their pre-existing text through unchanged. */
@@ -114,7 +125,10 @@ object ExtractPipeline {
       lit("skipped").as("status"),
       col("text"),
       text_digest(col("text")).as("text_sha256"),
-      length(col("text")).as("n_chars"))
+      length(col("text")).as("n_chars"),
+      array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>").as("spans"),
+      lit(0).as("n_spans"),
+      lit(1).as("n_pages"))
 
   /** Per-bucket lineage from the *written* output: stable under reruns.
     * digest = sha256 of the '\n'-joined, url-sorted per-row text digests —
@@ -138,11 +152,13 @@ object ExtractPipeline {
       extractedPath: String,
       lineagePath: String,
       quarantinePath: String,
+      jobsPath: String,
       totalIn: Long,
       extracted: Long,
       skipped: Long,
       quarantined: Long,
-      resumedBuckets: Int
+      resumedBuckets: Int,
+      snapshotId: String
   )
 
   /**
@@ -157,9 +173,11 @@ object ExtractPipeline {
    * interrupted run recomputes only missing buckets (FIXTURES.md invariant 4).
    */
   def run(spark: SparkSession, pages: DataFrame, outDir: String, cfg: Config): RunResult = {
+    val t0 = System.nanoTime()
     val extractedPath = s"$outDir/extracted"
     val lineagePath = s"$outDir/lineage"
     val quarantinePath = s"$outDir/quarantine"
+    val jobsPath = s"$outDir/jobs"
 
     // resume: buckets with committed lineage are done — gate every sink on them
     val doneBuckets: DataFrame =
@@ -197,17 +215,49 @@ object ExtractPipeline {
     val lin = lineage(written, cfg.runId)
     lin.write.mode(SaveMode.Append).parquet(lineagePath)
 
+    // snapshot manifest over ALL committed buckets (Iceberg-emulation commit record)
+    val allLineage = spark.read.parquet(lineagePath)
+      .filter(col("status") === "committed")
+      .groupBy(col(BucketCol))
+      .agg(max(struct(col("run_id"), col("row_count"), col("digest"))).as("latest"))
+      .select(col(BucketCol), col("latest.row_count"), col("latest.digest"))
+      .collect()
+    val snapshotId = f"snap-${CatalogIO.listSnapshots(spark, extractedPath).size}%06d-${cfg.runId}"
+    CatalogIO.writeSnapshot(spark, extractedPath, CatalogIO.Snapshot(
+      snapshotId = snapshotId,
+      runId = cfg.runId,
+      parent = CatalogIO.latestSnapshot(spark, extractedPath).getOrElse(""),
+      createdUtcMs = System.currentTimeMillis(),
+      buckets = allLineage.map(r =>
+        CatalogIO.BucketEntry(r.getInt(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_.bucket)))
+
     val counts = spark.read.parquet(extractedPath)
       .groupBy(col("status")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val q = try spark.read.parquet(quarantinePath).count() catch { case _: Exception => 0L }
+    val nExtracted = counts.getOrElse("extracted", 0L)
+    val nSkipped = counts.getOrElse("skipped", 0L)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // jobs table row (reference OCRJob analog, database_manager.py:42-84)
+    import spark.implicits._
+    Seq(graft.model.JobRow(
+      run_id = cfg.runId, mode = cfg.mode,
+      total_rows = nExtracted + nSkipped + q,
+      extracted = nExtracted, skipped = nSkipped, quarantined = q,
+      wall_sec = wallSec,
+      docs_per_sec = if (wallSec > 0) (nExtracted + nSkipped + q) / wallSec else 0.0,
+      status = "completed"
+    )).toDF().write.mode(SaveMode.Append).parquet(jobsPath)
+
     RunResult(
-      extractedPath, lineagePath, quarantinePath,
-      totalIn = counts.values.sum + q,
-      extracted = counts.getOrElse("extracted", 0L),
-      skipped = counts.getOrElse("skipped", 0L),
+      extractedPath, lineagePath, quarantinePath, jobsPath,
+      totalIn = nExtracted + nSkipped + q,
+      extracted = nExtracted,
+      skipped = nSkipped,
       quarantined = q,
-      resumedBuckets = nDone)
+      resumedBuckets = nDone,
+      snapshotId = snapshotId)
   }
 
   private def fsExists(spark: SparkSession, path: String): Boolean = {

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface test: functions registered via SparkSessionExtensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // spark.sql.extensions is a static conf (bound at SparkContext creation), so
+    // the shared-context test uses the direct registration path; the --conf
+    // extensions path is exercised by spark-submit in the verify flow
+    val s = SparkTestBase.session
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("graft_* functions callable from SQL") {
+    val df = spark.sql(
+      """SELECT
+        |  graft_extract_any_text(encode('<p>five small words right here</p>', 'UTF-8')) AS t,
+        |  graft_simhash64('alpha beta gamma') AS sh,
+        |  graft_rolling_fingerprint('alpha beta gamma delta') AS fp,
+        |  size(graft_minhash_sig('alpha beta gamma delta epsilon')) AS nsig,
+        |  size(graft_minhash_bands('alpha beta gamma delta epsilon')) AS nbands,
+        |  graft_pdf_preflight(encode('%PDF-1.7 x', 'UTF-8')).is_pdf AS is_pdf
+        |""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "five small words right here")
+    assert(r.getLong(1) == graft.text.TextHash.simhash64("alpha beta gamma"))
+    assert(r.getInt(3) == 64 && r.getInt(4) == 8)
+    assert(r.getBoolean(5))
+  }
+}
