@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan audits (SURVEY.md §4): the scale properties the engine relies on
+ * must be visible in the plan, not assumed — filter pushdown to the parquet scan,
+ * column pruning, broadcast joins for small dims, and whole-stage codegen over
+ * the extraction expressions.
+ */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan
+    val resolved = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    resolved.toString
+  }
+
+  test("mode filter (text IS NULL) is pushed to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit").toString
+    fixtures.Corpus.pages(spark, 200).write.parquet(s"$dir/pages")
+    val pages = spark.read.parquet(s"$dir/pages")
+    val (toProcess, _) = pipeline.ExtractPipeline.modeFilter(pages, "cli")
+    val s = toProcess.queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: [IsNull(text)]"), s)
+  }
+
+  test("broadcast join used for small dimension (orders x customer)") {
+    val df = SparkEntry.queries("q02_join_broadcast_segment")(spark, sf)
+    val s = planString(df.groupBy().count()) // force final plan materialization shape
+    val s2 = planString(df)
+    assert(s2.contains("BroadcastHashJoin") || s.contains("BroadcastHashJoin"), s2)
+  }
+
+  test("multi-join rollup broadcasts both dims, no sort-merge join") {
+    val s = planString(SparkEntry.queries("q05_region_rollup")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"))
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("column pruning: simhash query reads only (doc_id, text)") {
+    val s = planString(SparkEntry.queries("q14_simhash")(spark, sf))
+    val scanLine = s.linesIterator.find(_.contains("ReadSchema")).getOrElse(fail(s))
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"), scanLine)
+    assert(!scanLine.contains("n_chars") && !scanLine.contains("source"), scanLine)
+  }
+
+  test("string-output extraction expressions run inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit2").toString
+    fixtures.Corpus.pages(spark, 50).write.parquet(s"$dir/pages")
+    val df = spark.read.parquet(s"$dir/pages")
+      .select(graft.functions.extract_any_text(col("html")).as("t"),
+        graft.functions.text_digest(graft.functions.extract_any_text(col("html"))).as("d"))
+    val s = planString(df)
+    // the Project carrying our expressions must be inside a WholeStageCodegen stage:
+    // formatted-plan marks codegen'd operators with an asterisk
+    val projLine = s.linesIterator.find(l => l.contains("Project") && l.contains("extractanytext")).getOrElse(
+      s.linesIterator.find(_.contains("Project")).getOrElse(fail(s)))
+    assert(projLine.trim.startsWith("*"), s"Project not codegen'd:\n$s")
+    df.count() // and the generated code actually compiles + runs
+  }
+
+  test("partial aggregation (map-side combine) present in groupBy plans") {
+    val s = planString(SparkEntry.queries("q01_agg_pricing")(spark, sf))
+    // two HashAggregate nodes (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+}
