@@ -250,6 +250,33 @@ object SparkEntry {
           col("pf.is_pdf").as("is_pdf"),
           col("pf.encrypted").as("encrypted"))),
 
+    // reading-order invariant under shuffle (SURVEY.md D1/F6): explode PDF word
+    // spans with their position index, force a shuffle, regroup + sort by index —
+    // the reassembled text must equal the original (collect_list alone is NOT
+    // order-stable; the explicit index is the point)
+    "q25_spans_order_under_shuffle" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("pdf", pdfOf(col("text")))
+        .select(col("doc_id"), posexplode(parse_pdf_spans(col("pdf"))).as(Seq("pos", "span")))
+        .repartition(col("span.word")) // adversarial shuffle: scatter words of a doc
+        .groupBy(col("doc_id"), col("span.page").as("page"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("span.word").as("word")))),
+            x => x.getField("word")), " ").as("reassembled"))
+    }),
+    "q26_pagination" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(50).limit(50)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+    "q27_sanitize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          substring(regexp_replace(upper(col("source")), "[^A-Z0-9]", "_"), 1, 4).as("src_clean"),
+          when(col("lang").isin("en", "de", "es", "fr", "zh"), col("lang"))
+            .otherwise(lit("unknown")).as("lang_clean"))),
+
     // ---------------- fixture-corpus extraction (rows-only; full pipeline surface) ----------------
     "q24_fixture_extract" -> ((s, dir) => {
       // sfDir-independent deterministic corpus; exercises dispatch + quarantine
@@ -360,6 +387,16 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS INT) AS content_words FROM documents""".stripMargin,
     "q19_pdf_roundtrip" ->
       "SELECT doc_id, text AS pdf_text FROM documents",
+    "q25_spans_order_under_shuffle" ->
+      "SELECT doc_id, 0 AS page, text AS reassembled FROM documents",
+    "q26_pagination" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 50""".stripMargin,
+    "q27_sanitize" ->
+      """SELECT doc_id,
+        |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,
+        |  CASE WHEN lang IN ('en','de','es','fr','zh') THEN lang ELSE 'unknown' END AS lang_clean
+        |FROM documents""".stripMargin,
     "q20_pdf_preflight" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 1 THEN false ELSE true END AS is_pdf,

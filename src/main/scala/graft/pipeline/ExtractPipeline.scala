@@ -178,6 +178,9 @@ object ExtractPipeline {
     val lineagePath = s"$outDir/lineage"
     val quarantinePath = s"$outDir/quarantine"
     val jobsPath = s"$outDir/jobs"
+    val metricsPath = s"$outDir/metrics"
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     // resume: buckets with committed lineage are done — gate every sink on them
     val doneBuckets: DataFrame =
@@ -249,6 +252,9 @@ object ExtractPipeline {
       docs_per_sec = if (wallSec > 0) (nExtracted + nSkipped + q) / wallSec else 0.0,
       status = "completed"
     )).toDF().write.mode(SaveMode.Append).parquet(jobsPath)
+
+    spark.sparkContext.removeSparkListener(metrics)
+    metrics.write(spark, cfg.runId, metricsPath)
 
     RunResult(
       extractedPath, lineagePath, quarantinePath, jobsPath,

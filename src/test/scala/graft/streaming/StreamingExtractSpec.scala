@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.fixtures.CorpusGen
+import graft.model.PageRow
+
+class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
+
+  private def fixtureRows(from: Int, until: Int): Seq[PageRow] =
+    (from until until).map { i =>
+      val p = CorpusGen.page(i.toLong)
+      PageRow(p.url, p.warcTs, p.html, p.text, p.lang)
+    }
+
+  test("streaming extraction produces the same digests as batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val source = MemoryStream[PageRow]
+    val q = StreamingExtract.extractTransform(source.toDF())
+      .writeStream.format("memory").queryName("stream_extracted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(fixtureRows(0, 100))
+      q.processAllAvailable()
+      source.addData(fixtureRows(100, 200)) // second micro-batch
+      q.processAllAvailable()
+      val got = s.table("stream_extracted")
+        .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val truth = graft.fixtures.Corpus.truth(200)
+      val validKinds = Set("html", "pdf")
+      val expected = truth.collect { case (u, (k, e)) if validKinds(k) => u -> e }
+      // 'pre' rows pass validation too (they are valid HTML with text set)
+      assert(got.size >= expected.size)
+      expected.foreach { case (u, e) =>
+        assert(got(u) == e, s"stream/batch divergence for $u")
+      }
+    } finally q.stop()
+  }
+
+  test("windowed per-host counts under watermark (event time)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val source = MemoryStream[PageRow]
+    val q = StreamingExtract.hostWindowCounts(source.toDF(), watermark = "10 minutes",
+        windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("host_windows")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      source.addData(fixtureRows(0, 300))
+      q.processAllAvailable()
+      val rows = s.table("host_windows").collect()
+      assert(rows.nonEmpty)
+      val total = rows.map(_.getLong(2)).sum
+      assert(total == 300)
+      // zipf skew visible per host
+      val byHost = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+      assert(byHost.values.max > byHost.values.sum / byHost.size)
+    } finally q.stop()
+  }
+}
