@@ -48,6 +48,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q17_extract_html_roundtrip")(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic pseudo-random hyperplanes for LSH bucketing (splitmix64-seeded,
+    * values in [-1,1]); shipped as a literal so the plan needs no side input. */
+  private[graft] def lshPlanes(nPlanes: Int, dim: Int): Column = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map { d => (mix(p.toLong * 1000003L + d) >>> 11) * 1.1102230246251565e-16 * 2 - 1 }
+    }
+    typedlit(planes)
+  }
+
+  /** LSH bucket id = integer of sign bits of dot(v, plane_i). */
+  private[graft] def lshBucket(v: Column, planes: Column): Column =
+    aggregate(
+      transform(planes, p =>
+        when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) > 0, 1).otherwise(0)),
+      lit(0),
+      (acc, bit) => acc * 2 + bit)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational core (SURVEY.md §2 D/E/F analogs) ----------------
     "q01_agg_pricing" -> ((s, dir) => {
@@ -209,6 +232,31 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val pairs = q.crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine_sim(col("qv"), col("nv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+    }),
+
+    // ANN scale path: hyperplane-LSH bucketing (sign bits of dot products with
+    // deterministic pseudo-random hyperplanes) — queries join only their bucket's
+    // candidates instead of the full cross join. Approximate by design → rows-only
+    // (recall vs brute force asserted in AnnSpec).
+    "q28_ann_lsh_bucketed" -> ((s, dir) => {
+      val nPlanes = 6
+      val planes = lshPlanes(nPlanes, dim = 64)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("bucket", lshBucket(col("v"), planes))
+      // multi-probe: each query also probes every Hamming-1 bucket — recovers
+      // neighbors that fall just across one hyperplane
+      val probes = array(col("bucket") +: (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), explode(probes).as("bucket"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
+      val pairs = q.join(cands, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", cosine_sim(col("qv"), col("nv")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
