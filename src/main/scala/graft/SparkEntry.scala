@@ -325,6 +325,35 @@ object SparkEntry {
           when(col("lang").isin("en", "de", "es", "fr", "zh"), col("lang"))
             .otherwise(lit("unknown")).as("lang_clean"))),
 
+    // multimodal binary columns: REAL header parsing (PNG IHDR big-endian,
+    // GIF LE screen descriptor, JPEG SOF scan) over payloads constructed
+    // in-query, so the oracle can state the expected metadata in plain SQL
+    "q29_media_sniff" -> ((s, dir) => {
+      val w = (col("doc_id") % 50 + 100).cast("int")
+      val h = (col("doc_id") % 30 + 200).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))
+      val gifHex = concat(lit("474946383961"), // "GIF89a"
+        lpad(hex(w), 2, "0"), lit("00"), lpad(hex(h), 2, "0"), lit("00")) // u16 LE, w/h < 256
+      val jpgHex = concat(lit("FFD8FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"))
+      t(s, dir, "documents")
+        .withColumn("payload", unhex(
+          when(col("doc_id") % 3 === 0, pngHex)
+            .when(col("doc_id") % 3 === 1, gifHex)
+            .otherwise(jpgHex)))
+        .withColumn("m", media_sniff(col("payload")))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    }),
+    // STUB-decode feature path: real schema/plumbing, deterministic fake features;
+    // rows-only (the stub is not SQL-replicable, by design)
+    "q30_media_features" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          round(aggregate(media_features(col("payload")),
+            lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))),
+
     // ---------------- fixture-corpus extraction (rows-only; full pipeline surface) ----------------
     "q24_fixture_extract" -> ((s, dir) => {
       // sfDir-independent deterministic corpus; exercises dispatch + quarantine
@@ -440,6 +469,12 @@ object SparkEntry {
     "q26_pagination" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 50""".stripMargin,
+    "q29_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 50 + 100 AS INT) AS width,
+        |  CAST(doc_id % 30 + 200 AS INT) AS height
+        |FROM documents""".stripMargin,
     "q27_sanitize" ->
       """SELECT doc_id,
         |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,

@@ -117,6 +117,34 @@ case class ParsePdfSpans(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 }
 
+object ExtractDoc {
+  /** struct(text, spans): single-parse fused extraction (PDF text + hOCR-analog
+    * spans from one content-stream interpretation; HTML → text + empty spans). */
+  val structType: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("spans", ArrayType(ParsePdfSpans.elementType, containsNull = false), nullable = false)
+  ))
+}
+
+case class ExtractDoc(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ExtractDoc.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (PdfExtract.isPdfMagic(bytes)) {
+      val (text, ss) = PdfExtract.textAndSpans(bytes)
+      InternalRow(UTF8String.fromString(text), new GenericArrayData(ss.map { s =>
+        InternalRow(s.page, s.x1, s.y1, s.x2, s.y2, UTF8String.fromString(s.word))
+      }.toArray[Any]))
+    } else {
+      InternalRow(ExprRuntime.extractMainContent(bytes),
+        new GenericArrayData(Array.empty[Any]))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractDoc =
+    copy(child = newChild)
+}
+
 object PdfPreflightExpr {
   /** ValidationResult analog (security_validator.py:21-44, 370-461). */
   val structType: StructType = StructType(Seq(

@@ -1,0 +1,41 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.media.MediaSniff
+
+object MediaSniffExpr {
+  val structType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)
+  ))
+}
+
+/** Typed metadata from an opaque binary media column (header inspection only —
+  * never decodes the full payload). */
+case class MediaSniffExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = MediaSniffExpr.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val i = MediaSniff.sniff(input.asInstanceOf[Array[Byte]])
+    InternalRow(UTF8String.fromString(i.format), i.width, i.height)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MediaSniffExpr =
+    copy(child = newChild)
+}
+
+/** STUB media feature sketch (see MediaSniff.features). */
+case class MediaFeatures(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaSniff.features(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): MediaFeatures =
+    copy(child = newChild)
+}

@@ -41,6 +41,11 @@ object functions {
   def pdf_preflight(bytes: Column): Column =
     ColumnBridge.column(PdfPreflightExpr(expr(bytes)))
 
+  /** Fused extraction: struct(text, spans) from a single parse — the pipeline's
+    * visual/force path (PDF content streams interpreted once, not twice). */
+  def extract_doc(bytes: Column): Column =
+    ColumnBridge.column(ExtractDoc(expr(bytes)))
+
   /** Golden digest of extracted text: sha256 hex of UTF-8 bytes
     * (reference checksum analog, security_validator.py:463-472). */
   def text_digest(text: Column): Column =
@@ -71,6 +76,14 @@ object functions {
   /** Winnowing-style document fingerprint (min rolling hash over token n-grams). */
   def rolling_fingerprint(text: Column, n: Int = 8): Column =
     ColumnBridge.column(RollingFingerprint(expr(text), n))
+
+  /** Typed metadata from opaque binary media: struct(format, width, height). */
+  def media_sniff(bytes: Column): Column =
+    ColumnBridge.column(MediaSniffExpr(expr(bytes)))
+
+  /** STUB media feature sketch: array<float>[8] (real schema/plumbing, fake decode). */
+  def media_features(bytes: Column): Column =
+    ColumnBridge.column(MediaFeatures(expr(bytes)))
 
   /** Cosine similarity of two float-array embedding columns (codegen'd builtins:
     * zip_with dot product + aggregate norms; no UDF). */

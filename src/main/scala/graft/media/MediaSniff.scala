@@ -1,0 +1,71 @@
+package graft.media
+
+/**
+ * Multimodal binary-column support: image/audio/video payloads are opaque
+ * `binary` columns with typed metadata extracted by header inspection.
+ *
+ * REAL: container detection + dimensions from headers (PNG IHDR, GIF logical
+ * screen descriptor, JPEG SOF scan, RIFF/WAVE, %PDF, HTML).
+ * STUB: content decode / feature extraction (`features`) — no image/audio codec
+ * libraries exist in this build environment, so features are a deterministic
+ * byte-hash fake with the real schema/batching plumbing around them.
+ */
+object MediaSniff {
+
+  final case class Info(format: String, width: Int, height: Int)
+
+  def sniff(b: Array[Byte]): Info = {
+    if (b == null || b.length < 4) return Info("unknown", -1, -1)
+    def u(i: Int): Int = b(i) & 0xff
+    // PNG: 89 50 4E 47 0D 0A 1A 0A, IHDR width/height at 16..23 (big-endian)
+    if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G') {
+      val w = (u(16) << 24) | (u(17) << 16) | (u(18) << 8) | u(19)
+      val h = (u(20) << 24) | (u(21) << 16) | (u(22) << 8) | u(23)
+      Info("png", w, h)
+    } else if (b.length >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F') {
+      // GIF: logical screen descriptor, little-endian u16 at 6/8
+      Info("gif", u(6) | (u(7) << 8), u(8) | (u(9) << 8))
+    } else if (u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff) {
+      // JPEG: scan segments for SOF0/1/2 (C0/C1/C2): height/width big-endian
+      var i = 2
+      var res = Info("jpeg", -1, -1)
+      var done = false
+      while (!done && i + 8 < b.length) {
+        if (u(i) != 0xff) { i += 1 }
+        else {
+          val marker = u(i + 1)
+          if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+            res = Info("jpeg", (u(i + 7) << 8) | u(i + 8), (u(i + 5) << 8) | u(i + 6))
+            done = true
+          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else if (i + 3 < b.length) i += 2 + ((u(i + 2) << 8) | u(i + 3))
+          else done = true
+        }
+      }
+      res
+    } else if (b.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E') {
+      Info("wav", -1, -1)
+    } else if (u(0) == '%' && u(1) == 'P' && u(2) == 'D' && u(3) == 'F') {
+      Info("pdf", -1, -1)
+    } else if (u(0) == '<') {
+      Info("html", -1, -1)
+    } else Info("unknown", -1, -1)
+  }
+
+  /** STUB feature extractor: deterministic 8-dim byte-hash sketch standing in for
+    * a real embedding model (codec libs absent). The Spark-side schema,
+    * partitioning and batch shape are the real contract. */
+  def features(b: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    if (b == null) return out
+    var i = 0
+    var h = 0x9e3779b97f4a7c15L
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+      out(i % 8) += ((h >>> 40).toInt & 0xffff) / 65536.0f - 0.5f
+      i += 1
+    }
+    out
+  }
+}

@@ -439,9 +439,11 @@ object PdfExtract {
   }
 
   /** Word spans (hOCR analog, ocr_combined.py:73-82): one span per word. */
-  def spans(bytes: Array[Byte]): IndexedSeq[Span] = {
+  def spans(bytes: Array[Byte]): IndexedSeq[Span] = spansFromRuns(runs(bytes))
+
+  private def spansFromRuns(rs: IndexedSeq[Run]): IndexedSeq[Span] = {
     val out = mutable.ArrayBuffer.empty[Span]
-    lines(runs(bytes)).foreach { case (p, pageLines) =>
+    lines(rs).foreach { case (p, pageLines) =>
       pageLines.foreach { line =>
         line.foreach { r =>
           var x = r.x
@@ -455,5 +457,17 @@ object PdfExtract {
       }
     }
     out.toIndexedSeq
+  }
+
+  /** Fused text + spans from a single parse (the pipeline's visual/force path —
+    * avoids interpreting every content stream twice). */
+  def textAndSpans(bytes: Array[Byte]): (String, IndexedSeq[Span]) = {
+    val rs = runs(bytes)
+    val ls = lines(rs)
+    val text = ls.map { case (_, pageLines) =>
+      pageLines.map(_.map(_.text.trim).filter(_.nonEmpty).mkString(" "))
+        .filter(_.nonEmpty).mkString("\n")
+    }.mkString("\f")
+    (text, spansFromRuns(rs))
   }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{extract_any_text, is_pdf, parse_pdf_spans, pdf_preflight, text_digest, url_host}
+import graft.functions.{extract_any_text, extract_doc, is_pdf, pdf_preflight, text_digest, url_host}
 
 /**
  * The extraction job: scan → validate/quarantine → mode filter → salt skewed
@@ -98,15 +98,19 @@ object ExtractPipeline {
       .withColumn("_host", url_host(col("url")))
       .withColumn("_salt", pmod(xxhash64(col("url")), lit(cfg.saltsPerHost)))
       .repartition(col("_host"), col("_salt"))
-    val spansCol =
+    val base =
       if (cfg.withSpans)
-        when(is_pdf(col("html")), parse_pdf_spans(col("html")))
-          .otherwise(array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>"))
-      else array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>")
-    withBucket(salted, cfg.nBuckets)
-      .withColumn("text", extract_any_text(col("html")))
+        withBucket(salted, cfg.nBuckets)
+          .withColumn("_doc", extract_doc(col("html"))) // fused single-parse text+spans
+          .withColumn("text", col("_doc.text"))
+          .withColumn("spans", col("_doc.spans"))
+      else
+        withBucket(salted, cfg.nBuckets)
+          .withColumn("text", extract_any_text(col("html")))
+          .withColumn("spans",
+            array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>"))
+    base
       .withColumn("text_sha256", text_digest(col("text")))
-      .withColumn("spans", spansCol)
       .select(
         col("url"), col("warc_ts"), col("lang"), col(BucketCol),
         lit("extracted").as("status"),
