@@ -218,6 +218,17 @@ object SparkEntry {
         .select(col("a"), col("b"), col("est_sim"))
         .orderBy(col("a"), col("b"))
     }),
+    // near-dup detection over the table's own content: the driver's documents
+    // table contains genuine near-dup clusters (J>0.95), which these surface
+    "q31_near_dup_pairs" -> ((s, dir) =>
+      graft.ops.DedupOps.nearDupPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id", 0.5)
+        .orderBy(col("a"), col("b"))),
+    "q32_simhash_near_dups" -> ((s, dir) =>
+      graft.ops.DedupOps.simhashNearDupPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id",
+        maxHamming = 8, prefixBits = 12)
+        .orderBy(col("a"), col("b"))),
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),

@@ -270,6 +270,22 @@ object ExtractPipeline {
       snapshotId = snapshotId)
   }
 
+  /** Per-run rollup joining jobs to lineage (reference job_summary view,
+    * docker/init.sql:28-49): run_id, mode, totals, buckets committed. */
+  def jobSummary(spark: SparkSession, outDir: String): DataFrame = {
+    val jobs = spark.read.parquet(s"$outDir/jobs")
+    val lin = spark.read.parquet(s"$outDir/lineage")
+      .groupBy(col("run_id"))
+      .agg(count(lit(1)).as("buckets_committed"),
+        sum("row_count").as("lineage_rows"),
+        sum("ok_count").as("lineage_ok"),
+        sum("skipped_count").as("lineage_skipped"))
+    jobs.join(lin, Seq("run_id"), "left")
+      .select(col("run_id"), col("mode"), col("total_rows"), col("extracted"),
+        col("skipped"), col("quarantined"), col("buckets_committed"),
+        col("lineage_rows"), col("docs_per_sec"), col("status"))
+  }
+
   private def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("dropExactDups keeps exactly one row per text, smallest id") {
+    val s = spark
+    import s.implicits._
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val deduped = DedupOps.dropExactDups(withDups, "text", "doc_id")
+    assert(deduped.count() == docs.count())
+    assert(deduped.agg(max("doc_id")).as[Long].head() < 10000) // originals kept
+  }
+
+  test("nearDupPairs recall on by-construction near-dups (drop first token)") {
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(mutated)
+    val pairs = DedupOps.nearDupPairs(all, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 1000000L)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.9, f"near-dup recall $recall%.2f")
+    // precision: every extra pair must be a GENUINE near-dup — the driver's
+    // documents table contains real near-dup clusters (e.g. J>0.95 pairs),
+    // verified here against exact shingle Jaccard
+    val texts = all.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val extras = (pairs -- expected).toSeq
+    val genuine = extras.count { case (a, b) =>
+      graft.text.TextHash.shingleJaccard(texts(a), texts(b), 3) >= 0.3
+    }
+    assert(extras.isEmpty || genuine.toDouble / extras.size >= 0.9,
+      s"non-genuine extra pairs: ${extras.size - genuine}/${extras.size}")
+  }
+
+  test("dropNearDups removes the mutated copies, keeps originals") {
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(mutated)
+    val kept = DedupOps.dropNearDups(all, "text", "doc_id", threshold = 0.5)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // originals kept except members of the table's own genuine near-dup clusters
+    // (the driver's documents table contains real J>0.95 pairs)
+    assert(keptIds.count(_ < 1000000L) >= docs.count() * 9 / 10)
+    assert(keptIds.count(_ >= 1000000L) <= docs.count() / 10) // most copies dropped
+    // the semantic guarantee: no kept mutated copy whose original was kept too
+    val survivingCopies = keptIds.filter(_ >= 1000000L).map(_ - 1000000L)
+    assert((survivingCopies & keptIds).size <= docs.count() / 20)
+  }
+
+  test("simhashNearDupPairs finds small-perturbation duplicates") {
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(mutated)
+    val pairs = DedupOps.simhashNearDupPairs(all, "text", "doc_id", maxHamming = 8, prefixBits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 1000000L)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.5, f"simhash recall $recall%.2f") // single-table prefix LSH is lossy by design
+  }
+}

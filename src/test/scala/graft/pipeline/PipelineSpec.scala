@@ -117,4 +117,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(linSum.getLong(1) == res.extracted)
     assert(linSum.getLong(2) == res.skipped)
   }
+
+  test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "force", runId = "t6", nBuckets = 16))
+    // jobs row
+    val job = spark.read.parquet(res.jobsPath).collect()(0)
+    assert(job.getAs[String]("run_id") == "t6")
+    assert(job.getAs[Long]("total_rows") == N)
+    // metrics rows exist with real task counts
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.count() > 0)
+    assert(metrics.agg(sum("tasks")).collect()(0).getLong(0) > 0)
+    // snapshot manifest lists all 16 buckets with digests
+    val snaps = CatalogIO.listSnapshots(spark, res.extractedPath)
+    assert(snaps.size == 1 && res.snapshotId == snaps.head)
+    val json = CatalogIO.readSnapshotJson(spark, res.extractedPath, snaps.head)
+    assert(json.contains("\"run_id\":\"t6\"") && json.contains("\"digest\""))
+    assert("\"bucket\":".r.findAllIn(json).size == 16)
+    // summary rollup
+    val summary = ExtractPipeline.jobSummary(spark, out).collect()(0)
+    assert(summary.getAs[Long]("buckets_committed") == 16)
+    assert(summary.getAs[Long]("lineage_rows") == res.extracted + res.skipped)
+  }
 }
