@@ -10,7 +10,11 @@ object ThreadBench {
   def main(args: Array[String]): Unit = {
     val nThreads = args.headOption.map(_.toInt).getOrElse(8)
     val docsPerThread = args.lift(1).map(_.toInt).getOrElse(30000)
-    val docs = (0 until 20000).map(i => CorpusGen.page(i.toLong).html).toArray
+    val kindFilter = args.lift(2) // html | pdf | all
+    val docs = (0 until 20000).map(i => CorpusGen.page(i.toLong))
+      .filter(p => kindFilter.forall(k => k == "all" || p.kind == k))
+      .map(_.html).toArray
+    require(docs.nonEmpty, "no docs after kind filter")
     (0 until 30000).foreach { i =>
       val d = docs(i % docs.length)
       if (PdfExtract.isPdfMagic(d)) PdfExtract.text(d) else HtmlExtract.extract(d)
