@@ -168,16 +168,22 @@ object CorpusGen {
     * positioned lines (Td, TD, Tj, TJ, T-star, quote). Returns (bytes, expectedText). */
   private def genPdf(r: Rng, flate: Boolean, shuffleObjs: Boolean): (Array[Byte], String) = {
     val nPages = 1 + r.nextInt(3)
-    val pageTexts = (0 until nPages).map { _ =>
-      val nLines = 2 + r.nextInt(6)
-      (0 until nLines).map(_ => sentence(r, "eng", 3 + r.nextInt(6)))
+    // style drawn before line generation: two-column pages (style 3) need short
+    // lines so the columns' x-coverages stay disjoint (PdfExtract.MinColGap)
+    val pageSpecs = (0 until nPages).map { _ =>
+      val style = r.nextInt(4)
+      val nLines = if (style == 3) 4 + r.nextInt(4) else 2 + r.nextInt(6)
+      val maxExtraWords = if (style == 3) 2 else 6
+      (style, (0 until nLines).map(_ => sentence(r, "eng", 3 + r.nextInt(maxExtraWords))))
     }
-    val expected = pageTexts.map(_.mkString("\n")).mkString("\f")
+    // reading order: two-column pages emit left column (first half of lines)
+    // top-down, then right column — which equals input line order by construction
+    val expected = pageSpecs.map(_._2.mkString("\n")).mkString("\f")
 
-    def contentStream(lines: Seq[String], r: Rng): Array[Byte] = {
+    def contentStream(styleIn: Int, lines: Seq[String], r: Rng): Array[Byte] = {
       val sb = new StringBuilder
       sb.append("BT\n/F1 12 Tf\n14 TL\n")
-      val style = r.nextInt(3)
+      val style = styleIn
       style match {
         case 0 => // absolute Td per line, emitted in order
           lines.zipWithIndex.foreach { case (l, k) =>
@@ -187,6 +193,18 @@ object CorpusGen {
           val idx = lines.indices.reverse
           idx.foreach { k =>
             sb.append(s"1 0 0 1 72 ${720 - 14 * k} Tm\n(${esc(lines(k))}) Tj\n")
+          }
+        case 3 => // two-column layout: left column then right, same y ladder
+          val k = lines.length / 2
+          val left = lines.take(k)
+          val right = lines.drop(k)
+          val leftW = left.map(_.length * 6).max
+          val x2 = 72 + leftW + 60 // >= MinColGap beyond the widest left line
+          left.zipWithIndex.foreach { case (l, i) =>
+            sb.append(s"1 0 0 1 72 ${720 - 14 * i} Tm\n(${esc(l)}) Tj\n")
+          }
+          right.zipWithIndex.foreach { case (l, i) =>
+            sb.append(s"1 0 0 1 $x2 ${720 - 14 * i} Tm\n(${esc(l)}) Tj\n")
           }
         case 2 => // relative positioning with T* / ' and TJ kerning splits
           sb.append("72 720 Td\n")
@@ -221,7 +239,7 @@ object CorpusGen {
       objs += pageObjNums(p) ->
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${contObjNums(p)} 0 R >>"
           .getBytes(StandardCharsets.US_ASCII)
-      val raw = contentStream(pageTexts(p), r)
+      val raw = contentStream(pageSpecs(p)._1, pageSpecs(p)._2, r)
       val (payload, filter) =
         if (flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
       val head = s"<< /Length ${payload.length}$filter >>\nstream\n".getBytes(StandardCharsets.US_ASCII)

@@ -413,19 +413,51 @@ object PdfExtract {
     } catch { case _: Exception => IndexedSeq.empty }
   }
 
-  /** Lines: runs grouped by y within YTol (per page), ordered y desc then x asc. */
+  /** Minimum x-gap (text-space units) between disjoint x-coverage clusters for
+    * a page to be treated as multi-column. */
+  val MinColGap = 24f
+
+  /** Column detection: 1D connected components of the page's x-coverage
+    * (run intervals merged while gaps < MinColGap). A split is accepted only if
+    * there are ≥2 clusters and every cluster spans ≥2 distinct text lines —
+    * a lone wide gap on a single line (table cell, kerning jump) is NOT a column. */
+  private def columnsOf(prs: IndexedSeq[Run]): List[IndexedSeq[Run]] = {
+    if (prs.isEmpty) return Nil
+    val intervals = prs.map(r => (r.x, r.x + 0.5f * r.size * r.text.length)).sortBy(_._1)
+    val bounds = mutable.ListBuffer.empty[(Float, Float)]
+    var cs = intervals.head._1
+    var ce = intervals.head._2
+    intervals.tail.foreach { case (s, e) =>
+      if (s - ce >= MinColGap) { bounds += ((cs, ce)); cs = s; ce = e }
+      else ce = math.max(ce, e)
+    }
+    bounds += ((cs, ce))
+    if (bounds.size <= 1) return List(prs)
+    val clusters = bounds.toList.map { case (s, e) =>
+      prs.filter(r => r.x >= s - 0.01f && r.x <= e + 0.01f)
+    }.filter(_.nonEmpty)
+    val allMultiLine = clusters.forall(_.map(r => math.round(r.y / YTol)).distinct.size >= 2)
+    if (clusters.size >= 2 && allMultiLine) clusters else List(prs)
+  }
+
+  /** Lines in reading order: page → column (left-to-right) → line (y desc) →
+    * run (x asc). Single-column pages skip the column stage. */
   private def lines(rs: IndexedSeq[Run]): List[(Int, List[List[Run]])] = {
     rs.groupBy(_.page).toList.sortBy(_._1).map { case (p, prs) =>
-      val sorted = prs.sortBy(r => (-r.y, r.x))
-      val ls = mutable.ListBuffer.empty[mutable.ListBuffer[Run]]
-      var lastY = Float.NaN
-      sorted.foreach { r =>
-        if (ls.isEmpty || math.abs(r.y - lastY) > YTol) {
-          ls += mutable.ListBuffer(r)
-          lastY = r.y
-        } else ls.last += r
+      val cols = columnsOf(prs)
+      val colLines = cols.flatMap { colRuns =>
+        val sorted = colRuns.sortBy(r => (-r.y, r.x))
+        val ls = mutable.ListBuffer.empty[mutable.ListBuffer[Run]]
+        var lastY = Float.NaN
+        sorted.foreach { r =>
+          if (ls.isEmpty || math.abs(r.y - lastY) > YTol) {
+            ls += mutable.ListBuffer(r)
+            lastY = r.y
+          } else ls.last += r
+        }
+        ls.map(_.sortBy(_.x).toList).toList
       }
-      p -> ls.map(_.sortBy(_.x).toList).toList
+      p -> colLines
     }
   }
 

@@ -88,6 +88,22 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(ss(0).y1 == 700 && ss(0).y2 == 712)
   }
 
+  test("two-column layout: left column read before right (x-coverage clustering)") {
+    val pdf = minimalPdf(
+      "BT\n/F1 12 Tf\n" +
+        "1 0 0 1 72 720 Tm\n(left one) Tj\n" +
+        "1 0 0 1 72 706 Tm\n(left two) Tj\n" +
+        "1 0 0 1 300 720 Tm\n(right one) Tj\n" +
+        "1 0 0 1 300 706 Tm\n(right two) Tj\nET")
+    assert(PdfExtract.text(pdf) == "left one\nleft two\nright one\nright two")
+  }
+
+  test("a lone wide gap on one line is NOT a column split") {
+    val pdf = minimalPdf(
+      "BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(cell) Tj\n1 0 0 1 400 720 Tm\n(far) Tj\nET")
+    assert(PdfExtract.text(pdf) == "cell far")
+  }
+
   test("fixture generator round-trip: flate + shuffled objects + all styles") {
     // exercised heavily in FixtureTruthSpec; here just one deterministic case
     import graft.fixtures.CorpusGen
