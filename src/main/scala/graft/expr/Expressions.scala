@@ -152,6 +152,7 @@ object PdfPreflightExpr {
     StructField("version", StringType, nullable = false),
     StructField("encrypted", BooleanType, nullable = false),
     StructField("embedded", BooleanType, nullable = false),
+    StructField("suspicious", BooleanType, nullable = false),
     StructField("issues", ArrayType(StringType, containsNull = false), nullable = false)
   ))
 }
@@ -162,6 +163,7 @@ case class PdfPreflightExpr(child: Expression) extends UnaryExpression with Code
   override protected def nullSafeEval(input: Any): Any = {
     val p = PdfExtract.preflight(input.asInstanceOf[Array[Byte]])
     InternalRow(p.isPdf, UTF8String.fromString(p.version), p.encrypted, p.embedded,
+      p.suspicious,
       new GenericArrayData(p.issues.map(UTF8String.fromString).toArray[Any]))
   }
   override protected def withNewChildInternal(newChild: Expression): PdfPreflightExpr =

@@ -286,9 +286,13 @@ object CorpusGen {
     } else if (roll < 21) { // PDF
       val (bytes, exp) = genPdf(r, flate = r.nextInt(2) == 0, shuffleObjs = r.nextInt(3) == 0)
       FixturePage(url, ts, bytes, null, "eng", "pdf", exp)
-    } else if (roll < 23) { // pre-extracted: skip in cli/visual modes
+    } else if (roll < 22) { // pre-extracted: skip in cli/visual modes
       val (bytes, exp) = genHtml(r, lang)
       FixturePage(url, ts, bytes, "pre-extracted text for " + url, lang, "pre", exp)
+    } else if (roll == 22) { // active-content pdf (B7 suspicious) → quarantine
+      val body = ("%PDF-1.6\n1 0 obj\n<< /OpenAction << /S /JavaScript /JS (x) >> >>\nendobj\n")
+        .getBytes(StandardCharsets.US_ASCII)
+      FixturePage(url, ts, body, null, "eng", "js_pdf", null)
     } else if (roll == 23) { // encrypted pdf → quarantine
       val body = s"%PDF-1.5\n1 0 obj\n<< /Encrypt 9 0 R >>\nendobj\n".getBytes(StandardCharsets.US_ASCII)
       FixturePage(url, ts, body, null, "eng", "enc_pdf", null)

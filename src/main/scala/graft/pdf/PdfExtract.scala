@@ -34,8 +34,18 @@ object PdfExtract {
       version: String,
       encrypted: Boolean,
       embedded: Boolean,
+      suspicious: Boolean,
       issues: List[String]
   )
+
+  /** Suspicious active-content markers scanned in the first 1MB
+    * (reference pattern list analog, security_validator.py:64-80):
+    * auto-executing actions and embedded scripts. */
+  private val SuspiciousMarkers: List[(String, String)] = List(
+    "/JavaScript" -> "suspicious_javascript",
+    "/OpenAction" -> "suspicious_openaction",
+    "/Launch" -> "suspicious_launch",
+    "/AA" -> "suspicious_autoaction")
 
   /** Line-grouping y tolerance in text-space units. */
   val YTol = 2.0f
@@ -50,7 +60,7 @@ object PdfExtract {
     val issues = mutable.ListBuffer.empty[String]
     if (!isPdfMagic(bytes)) {
       return Preflight(isPdf = false, version = "", encrypted = false, embedded = false,
-        issues = List("not_pdf_header"))
+        suspicious = false, issues = List("not_pdf_header"))
     }
     // version: chars after "%PDF-" up to whitespace, must parse as a float
     var j = 5
@@ -75,8 +85,10 @@ object PdfExtract {
     if (encrypted) issues += "encrypted"
     val embedded = prefixHas("/EmbeddedFile", 4096)
     if (embedded) issues += "embedded_files"
+    val hits = SuspiciousMarkers.collect { case (m, issue) if prefixHas(m, 1 << 20) => issue }
+    issues ++= hits
     Preflight(isPdf = versionOk, version = version, encrypted = encrypted,
-      embedded = embedded, issues = issues.toList)
+      embedded = embedded, suspicious = hits.nonEmpty, issues = issues.toList)
   }
 
   private def isWsByte(b: Byte): Boolean =

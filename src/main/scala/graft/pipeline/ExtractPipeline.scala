@@ -42,11 +42,18 @@ object ExtractPipeline {
     * the first non-whitespace byte is '<'; anything else is an unknown payload. */
   def validationReasons(cfg: Config): org.apache.spark.sql.Column = {
     val pf = pdf_preflight(col("html"))
+    def magic(bytes: Array[Byte]) =
+      substring(col("html"), 1, bytes.length) === lit(bytes)
     array_compact(array(
       when(length(col("html")) > cfg.maxBytes, lit("too_large")),
       when(length(col("html")) === 0, lit("empty_payload")),
       when(is_pdf(col("html")) && !pf.getField("is_pdf"), lit("bad_pdf_version")),
       when(is_pdf(col("html")) && pf.getField("encrypted"), lit("encrypted")),
+      // active-content PDFs (B7 suspicious patterns): /JavaScript /OpenAction /Launch /AA
+      when(is_pdf(col("html")) && pf.getField("suspicious"), lit("suspicious_pdf_action")),
+      // executable payloads masquerading as pages (PE / ELF / shebang magic)
+      when(magic("MZ".getBytes) || magic(Array(0x7f.toByte, 'E'.toByte, 'L'.toByte, 'F'.toByte)) ||
+        magic("#!".getBytes), lit("executable_payload")),
       when(!is_pdf(col("html")) &&
         !(ltrim(decode(substring(col("html"), 1, 64), "UTF-8")).startsWith("<")),
         lit("unknown_payload"))

@@ -14,7 +14,7 @@ class FixtureTruthSpec extends AnyFunSuite {
 
   test("corpus mix covers all kinds") {
     val kinds = corpus.groupBy(_.kind).view.mapValues(_.size).toMap
-    assert(kinds.keySet == Set("html", "pdf", "pre", "enc_pdf", "junk"),
+    assert(kinds.keySet == Set("html", "pdf", "pre", "enc_pdf", "js_pdf", "junk"),
       s"kinds: $kinds")
     assert(kinds("html") > N / 3)
     assert(kinds("pdf") > N / 12)
@@ -52,6 +52,11 @@ class FixtureTruthSpec extends AnyFunSuite {
   test("adversarial kinds are flagged by preflight / payload shape") {
     corpus.filter(_.kind == "enc_pdf").foreach { p =>
       assert(PdfExtract.preflight(p.html).encrypted)
+    }
+    corpus.filter(_.kind == "js_pdf").foreach { p =>
+      val pf = PdfExtract.preflight(p.html)
+      assert(pf.suspicious && pf.issues.contains("suspicious_javascript") &&
+        pf.issues.contains("suspicious_openaction"))
     }
     corpus.filter(_.kind == "junk").foreach { p =>
       assert(!PdfExtract.isPdfMagic(p.html))

@@ -53,7 +53,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
       ExtractPipeline.Config(mode = "force", runId = "t3"))
-    val badUrls = truth.collect { case (u, (k, _)) if k == "enc_pdf" || k == "junk" => u }.toSet
+    val badUrls = truth.collect {
+      case (u, (k, _)) if k == "enc_pdf" || k == "junk" || k == "js_pdf" => u
+    }.toSet
     assert(res.quarantined == badUrls.size)
     val q = spark.read.parquet(res.quarantinePath).select("url", "reasons").collect()
     q.foreach { r =>
