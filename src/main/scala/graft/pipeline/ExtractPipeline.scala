@@ -193,15 +193,18 @@ object ExtractPipeline {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
-    // resume: buckets with committed lineage are done — gate every sink on them
-    val doneBuckets: DataFrame =
+    // resume: buckets with committed lineage are done — gate every sink on them.
+    // The done list is at most nBuckets entries (driver-safe); a NOT-isin filter
+    // lets the parquet reader prune done bucket directories outright, which a
+    // left_anti join would not (no static partition pruning through joins).
+    val doneBucketIds: Array[Int] =
       if (fsExists(spark, lineagePath))
         spark.read.parquet(lineagePath).filter(col("status") === "committed")
-          .select(col(BucketCol)).distinct()
-      else spark.emptyDataFrame.withColumn(BucketCol, lit(0)).limit(0).select(col(BucketCol))
-    val nDone = doneBuckets.count().toInt
+          .select(col(BucketCol)).distinct().collect().map(_.getInt(0))
+      else Array.empty[Int]
+    val nDone = doneBucketIds.length
     def notDone(df: DataFrame): DataFrame =
-      if (nDone > 0) df.join(broadcast(doneBuckets), Seq(BucketCol), "left_anti") else df
+      if (nDone > 0) df.filter(!col(BucketCol).isin(doneBucketIds.toSeq: _*)) else df
 
     val (valid, quarantine) = validate(pages, cfg)
     // dynamic partition overwrite keyed by bucket ⇒ reruns are idempotent per
@@ -223,9 +226,9 @@ object ExtractPipeline {
       .partitionBy(BucketCol)
       .parquet(extractedPath)
 
-    // lineage from the written files (read-back guarantees we fingerprint what landed)
-    val written = spark.read.parquet(extractedPath)
-      .join(broadcast(doneBuckets), Seq(BucketCol), "left_anti")
+    // lineage from the written files (read-back guarantees we fingerprint what
+    // landed); NOT-isin on the partition column prunes done bucket dirs from the scan
+    val written = notDone(spark.read.parquet(extractedPath))
     val lin = lineage(written, cfg.runId)
     lin.write.mode(SaveMode.Append).parquet(lineagePath)
 
@@ -245,12 +248,15 @@ object ExtractPipeline {
       buckets = allLineage.map(r =>
         CatalogIO.BucketEntry(r.getInt(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_.bucket)))
 
-    val counts = spark.read.parquet(extractedPath)
-      .groupBy(col("status")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counters come from lineage (metadata-sized), never a rescan of the output
+    val linSums = spark.read.parquet(lineagePath)
+      .filter(col("status") === "committed")
+      .groupBy(col(BucketCol))
+      .agg(max(struct(col("run_id"), col("ok_count"), col("skipped_count"))).as("l"))
+      .agg(sum(col("l.ok_count")), sum(col("l.skipped_count"))).collect()(0)
+    val nExtracted = if (linSums.isNullAt(0)) 0L else linSums.getLong(0)
+    val nSkipped = if (linSums.isNullAt(1)) 0L else linSums.getLong(1)
     val q = try spark.read.parquet(quarantinePath).count() catch { case _: Exception => 0L }
-    val nExtracted = counts.getOrElse("extracted", 0L)
-    val nSkipped = counts.getOrElse("skipped", 0L)
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     // jobs table row (reference OCRJob analog, database_manager.py:42-84)
