@@ -61,6 +61,56 @@ object HtmlExtract {
 
   private val RawTextTags: Set[String] = Set("script", "style", "textarea")
 
+  // flag bits for the allocation-free tag classifier
+  private final val FBlock = 1
+  private final val FBoiler = 2
+  private final val FRaw = 4
+  private final val FAnchor = 8
+
+  // open-addressed lookup keyed by lowercased tag name — classifying a tag from
+  // its char region without allocating a substring (hot path: ~1 tag / 25 chars)
+  private val TagTableSize = 256
+  private val tagNames = new Array[String](TagTableSize)
+  private val tagFlags = new Array[Int](TagTableSize)
+  locally {
+    def put(name: String, flag: Int): Unit = {
+      var idx = hashName(name, 0, name.length) & (TagTableSize - 1)
+      while (tagNames(idx) != null && tagNames(idx) != name) idx = (idx + 1) & (TagTableSize - 1)
+      tagNames(idx) = name
+      tagFlags(idx) |= flag
+    }
+    BlockTags.foreach(put(_, FBlock))
+    BoilerTags.foreach(put(_, FBoiler))
+    RawTextTags.foreach(put(_, FRaw))
+    put("a", FAnchor)
+  }
+
+  @inline private def lowerAscii(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def hashName(s: CharSequence, start: Int, end: Int): Int = {
+    var h = 5381
+    var i = start
+    while (i < end) { h = h * 33 + lowerAscii(s.charAt(i)); i += 1 }
+    h & Int.MaxValue
+  }
+
+  /** Flags for the tag name at s[start,end), 0 if unknown — no allocation. */
+  private def classifyTag(s: String, start: Int, end: Int): Int = {
+    var idx = hashName(s, start, end) & (TagTableSize - 1)
+    val len = end - start
+    while (tagNames(idx) != null) {
+      val cand = tagNames(idx)
+      if (cand.length == len) {
+        var k = 0
+        while (k < len && cand.charAt(k) == lowerAscii(s.charAt(start + k))) k += 1
+        if (k == len) return tagFlags(idx)
+      }
+      idx = (idx + 1) & (TagTableSize - 1)
+    }
+    0
+  }
+
   private val Entities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> "\u00A0", "mdash" -> "—", "ndash" -> "–",
@@ -95,18 +145,15 @@ object HtmlExtract {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00A0'
 
   /** One word plus whether it occurred inside an <a>. */
+  /** Word chars are written straight into the block buffer (no per-word String);
+    * wordStart == -1 ⇔ between words. */
   private final class BlockAcc {
-    val sb = new java.lang.StringBuilder(64)
+    val sb = new java.lang.StringBuilder(256)
     var words = 0
     var linkWords = 0
-    def add(word: String, inLink: Boolean): Unit = {
-      if (sb.length() > 0) sb.append(' ')
-      sb.append(word)
-      words += 1
-      if (inLink) linkWords += 1
-    }
-    def nonEmpty: Boolean = words > 0
-    def reset(): Unit = { sb.setLength(0); words = 0; linkWords = 0 }
+    var wordStart = -1
+    def nonEmpty: Boolean = words > 0 || wordStart >= 0
+    def reset(): Unit = { sb.setLength(0); words = 0; linkWords = 0; wordStart = -1 }
   }
 
   /** Full block analysis; `extract` is the text-only fast path over the same walk. */
@@ -142,18 +189,25 @@ object HtmlExtract {
     var curTag = "body"
     var blockBoiler = false
     val acc = new BlockAcc
-    val word = new java.lang.StringBuilder(32)
 
+    def appendChar(c: Char): Unit = {
+      if (acc.wordStart < 0) {
+        if (acc.sb.length() == 0) blockBoiler = boilerDepth > 0
+        else acc.sb.append(' ')
+        acc.wordStart = acc.sb.length()
+      }
+      acc.sb.append(c)
+    }
     def flushWord(): Unit = {
-      if (word.length() > 0) {
-        if (!acc.nonEmpty) blockBoiler = boilerDepth > 0
-        acc.add(word.toString, linkDepth > 0)
-        word.setLength(0)
+      if (acc.wordStart >= 0) {
+        acc.words += 1
+        if (linkDepth > 0) acc.linkWords += 1
+        acc.wordStart = -1
       }
     }
     def flushBlock(): Unit = {
       flushWord()
-      if (acc.nonEmpty) {
+      if (acc.words > 0) {
         emit(curTag, acc.sb.toString, acc.words, acc.linkWords, blockBoiler)
         acc.reset()
       }
@@ -182,7 +236,8 @@ object HtmlExtract {
           var j = i + (if (closing) 2 else 1)
           val nameStart = j
           while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
-          val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          val nameEnd = j
+          val flags = classifyTag(s, nameStart, nameEnd)
           // scan to tag end honoring quotes
           var selfClose = false
           var done = false
@@ -196,22 +251,23 @@ object HtmlExtract {
               j += 1; done = true
             } else j += 1
           }
-          if (name.isEmpty) { i = j }
+          if (nameEnd == nameStart) { i = j }
           else {
-            if (BlockTags.contains(name)) flushBlock()
-            if (name == "a") {
+            if ((flags & FBlock) != 0) flushBlock()
+            if ((flags & FAnchor) != 0) {
               if (closing) { if (linkDepth > 0) linkDepth -= 1 }
               else if (!selfClose) linkDepth += 1
             }
-            if (BoilerTags.contains(name)) {
+            if ((flags & FBoiler) != 0) {
               if (closing) { if (boilerDepth > 0) boilerDepth -= 1 }
               else if (!selfClose) boilerDepth += 1
             }
-            if (BlockTags.contains(name) && !closing) curTag = name
+            if ((flags & FBlock) != 0 && !closing)
+              curTag = s.substring(nameStart, nameEnd).toLowerCase(java.util.Locale.ROOT)
             i = j
-            if (!closing && !selfClose && RawTextTags.contains(name)) {
+            if (!closing && !selfClose && (flags & FRaw) != 0) {
               // raw text until matching close tag (case-insensitive), dropped
-              val close = "</" + name
+              val close = "</" + s.substring(nameStart, nameEnd).toLowerCase(java.util.Locale.ROOT)
               var k = i
               var found = -1
               while (found < 0 && k + close.length <= n) {
@@ -227,7 +283,7 @@ object HtmlExtract {
           }
         } else {
           // literal '<'
-          word.append(c); i += 1
+          appendChar(c); i += 1
         }
       } else if (c == '&') {
         // entity
@@ -247,15 +303,15 @@ object HtmlExtract {
           var k = 0
           while (k < decoded.length) {
             val dc = decoded.charAt(k)
-            if (isWs(dc)) flushWord() else word.append(dc)
+            if (isWs(dc)) flushWord() else appendChar(dc)
             k += 1
           }
           i = j + 1
         } else {
-          word.append('&'); i += 1
+          appendChar('&'); i += 1
         }
       } else {
-        if (isWs(c)) flushWord() else word.append(c)
+        if (isWs(c)) flushWord() else appendChar(c)
         i += 1
       }
     }

@@ -31,8 +31,10 @@ object RunExtract {
       else Corpus.pages(spark, nPages, input.stripPrefix("fixture:").toLong)
 
     val t0 = System.nanoTime()
+    // mode-dependent output set (reference ocr_combined.py:208-214): cli = text
+    // only; visual/force additionally persist word spans
     val res = ExtractPipeline.run(spark, pages, outDir,
-      ExtractPipeline.Config(mode = mode, runId = runId))
+      ExtractPipeline.Config(mode = mode, runId = runId, withSpans = mode != "cli"))
     val sec = (System.nanoTime() - t0) / 1e9
     val processed = res.extracted + res.skipped + res.quarantined
     println(f"""{"run_id":"$runId","mode":"$mode","total":${res.totalIn},""" +

@@ -19,6 +19,7 @@ object ThreadBench {
       val d = docs(i % docs.length)
       if (PdfExtract.isPdfMagic(d)) PdfExtract.text(d) else HtmlExtract.extract(d)
     }
+    val stage = args.lift(3).getOrElse("extract") // extract | decode
     val t0 = System.nanoTime()
     val threads = (0 until nThreads).map { t =>
       new Thread(() => {
@@ -26,8 +27,12 @@ object ThreadBench {
         var acc = 0L
         while (i < docsPerThread) {
           val d = docs((t * 7919 + i) % docs.length)
-          val s = if (PdfExtract.isPdfMagic(d)) PdfExtract.text(d) else HtmlExtract.extract(d)
-          acc += s.length
+          val n = stage match {
+            case "decode" => HtmlExtract.decode(d).length
+            case _ =>
+              (if (PdfExtract.isPdfMagic(d)) PdfExtract.text(d) else HtmlExtract.extract(d)).length
+          }
+          acc += n
           i += 1
         }
         if (acc == -1) println("impossible")
