@@ -33,7 +33,9 @@ object ExtractPipeline {
       nBuckets: Int = 64,
       saltsPerHost: Int = 8, // zipf head hosts split across this many shuffle keys
       runId: String = "run-0",
-      withSpans: Boolean = true // emit hOCR-analog word spans for PDF payloads (visual/force modes, A8)
+      withSpans: Boolean = true, // emit hOCR-analog word spans for PDF payloads (visual/force modes, A8)
+      commitGroups: Int = 1, // >1 ⇒ buckets committed in batches (finer mid-job checkpoints, more input scans)
+      failAfterGroups: Option[Int] = None // test hook: inject a crash after N group commits
   )
 
   /** Validation struct: quarantine reasons per row (empty ⇒ valid).
@@ -220,17 +222,41 @@ object ExtractPipeline {
     val all = extract(toProcess0, cfg).unionByName(passThroughSkipped(skipped, cfg))
     val todo = notDone(all)
 
-    todo.write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(extractedPath)
-
-    // lineage from the written files (read-back guarantees we fingerprint what
-    // landed); NOT-isin on the partition column prunes done bucket dirs from the scan
-    val written = notDone(spark.read.parquet(extractedPath))
-    val lin = lineage(written, cfg.runId)
-    lin.write.mode(SaveMode.Append).parquet(lineagePath)
+    // Commit groups: the not-done buckets are processed in `commitGroups` batches,
+    // each batch's output write followed immediately by its lineage append — the
+    // checkpoint unit of a mid-job failure. A run killed between group commits
+    // resumes with only the uncommitted groups recomputed (north rule:
+    // checkpoint-resume of failed partitions without recomputation).
+    // Trade-off: G groups ⇒ G input scans (the bucket filter prunes extraction,
+    // not the scan); at the 100 TB tier pick G so a group is O(1-4 TB).
+    val todoBuckets = (0 until cfg.nBuckets).filterNot(doneBucketIds.toSet)
+    val groups: Seq[Seq[Int]] =
+      if (cfg.commitGroups <= 1 || todoBuckets.isEmpty) Seq(todoBuckets)
+      else {
+        val per = math.max(1, math.ceil(todoBuckets.size.toDouble / cfg.commitGroups).toInt)
+        todoBuckets.grouped(per).toSeq
+      }
+    var committed = 0
+    groups.filter(_.nonEmpty).foreach { group =>
+      val part =
+        if (groups.size == 1) todo
+        else todo.filter(col(BucketCol).isin(group: _*))
+      part.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol)
+        .parquet(extractedPath)
+      // lineage from the written files (read-back guarantees we fingerprint what
+      // landed); isin on the partition column prunes other bucket dirs from the scan
+      val written = spark.read.parquet(extractedPath)
+        .filter(col(BucketCol).isin(group: _*))
+      lineage(written, cfg.runId).write.mode(SaveMode.Append).parquet(lineagePath)
+      committed += 1
+      cfg.failAfterGroups.foreach { k =>
+        if (committed >= k && committed < groups.size)
+          throw new IllegalStateException(s"injected failure after $committed commit group(s)")
+      }
+    }
 
     // snapshot manifest over ALL committed buckets (Iceberg-emulation commit record)
     val allLineage = spark.read.parquet(lineagePath)

@@ -120,6 +120,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(linSum.getLong(2) == res.skipped)
   }
 
+  test("mid-job crash between commit groups: resume recomputes only uncommitted groups") {
+    val out = tmp()
+    val cfg = ExtractPipeline.Config(mode = "force", runId = "g1", nBuckets = 16, commitGroups = 4)
+    // uninterrupted reference run (separate dir) for byte-identity comparison
+    val ref = ExtractPipeline.run(spark, Corpus.pages(spark, N), tmp() + "/ref",
+      cfg.copy(runId = "ref"))
+    val refRows = spark.read.parquet(ref.extractedPath)
+      .select("url", "text_sha256").collect().map(r => (r.getString(0), r.getString(1))).sorted
+
+    // crashing run: dies after 2 of 4 group commits
+    val crash = intercept[IllegalStateException] {
+      ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+        cfg.copy(failAfterGroups = Some(2)))
+    }
+    assert(crash.getMessage.contains("injected failure"))
+    val committedAfterCrash = spark.read.parquet(s"$out/lineage")
+      .select("bucket").distinct().count()
+    assert(committedAfterCrash == 8, s"expected 8 committed buckets, got $committedAfterCrash")
+
+    // resume: finishes the remaining groups only
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "g2"))
+    assert(res.resumedBuckets == 8)
+    val rows = spark.read.parquet(res.extractedPath)
+      .select("url", "text_sha256").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == refRows.toSeq)
+    // lineage carries both run attempts
+    val runs = spark.read.parquet(res.lineagePath).select("run_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(runs == Set("g1", "g2"))
+  }
+
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
