@@ -202,20 +202,8 @@ object SparkEntry {
       val mutated = docs.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-      val all = docs.unionByName(mutated)
-        .withColumn("sig", minhash_sig(col("text"), 64, 3))
-        .withColumn("band", explode(minhash_bands(col("text"), 64, 3, 8)))
-      val pairs = all.as("x").join(all.as("y"),
-          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sig").as("siga"), col("y.sig").as("sigb"))
-        .distinct()
-      val simUdfFree = expr(
-        "aggregate(zip_with(siga, sigb, (p,q) -> IF(p = q, 1, 0)), 0, (acc,v) -> acc + v)")
-      pairs
-        .withColumn("est_sim", round(simUdfFree.cast("double") / 64.0, 4))
-        .filter(col("est_sim") >= 0.5)
-        .select(col("a"), col("b"), col("est_sim"))
+      graft.ops.DedupOps.nearDupPairs(docs.unionByName(mutated), "text", "doc_id", 0.5)
+        .select(col("a"), col("b"), col("est_jaccard").as("est_sim"))
         .orderBy(col("a"), col("b"))
     }),
     // near-dup detection over the table's own content: the driver's documents

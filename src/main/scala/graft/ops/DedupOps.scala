@@ -28,18 +28,23 @@ object DedupOps {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
                    numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8): DataFrame = {
-    val sigs = df.select(
+    // the band self-join shuffles only (id, band) — signatures (8× wider) are
+    // attached AFTER candidate pairs are deduped, keeping the explosive stage narrow
+    val bands = df.select(
       col(idCol).as("_id"),
-      minhash_sig(col(textCol), numHashes, shingleSize).as("_sig"),
       explode(minhash_bands(col(textCol), numHashes, shingleSize, rowsPerBand)).as("_band"))
-    val pairs = sigs.as("x").join(sigs.as("y"),
+    val candidates = bands.as("x").join(bands.as("y"),
         col("x._band") === col("y._band") && col("x._id") < col("y._id"))
-      .select(col("x._id").as("a"), col("y._id").as("b"),
-        col("x._sig").as("_siga"), col("y._sig").as("_sigb"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
+    val sigs = df.select(col(idCol).as("_sid"),
+      minhash_sig(col(textCol), numHashes, shingleSize).as("_sig"))
     val est = expr(s"aggregate(zip_with(_siga, _sigb, (p,q) -> IF(p = q, 1, 0)), 0, (acc,v) -> acc + v)")
       .cast("double") / numHashes
-    pairs.withColumn("est_jaccard", est)
+    candidates
+      .join(sigs.select(col("_sid"), col("_sig").as("_siga")), col("a") === col("_sid")).drop("_sid")
+      .join(sigs.select(col("_sid"), col("_sig").as("_sigb")), col("b") === col("_sid")).drop("_sid")
+      .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

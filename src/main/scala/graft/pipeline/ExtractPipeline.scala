@@ -34,6 +34,7 @@ object ExtractPipeline {
       saltsPerHost: Int = 8, // zipf head hosts split across this many shuffle keys
       runId: String = "run-0",
       withSpans: Boolean = true, // emit hOCR-analog word spans for PDF payloads (visual/force modes, A8)
+      freqAwareSalt: Boolean = false, // sample host shares, salt only the zipf head (SkewSalting)
       commitGroups: Int = 1, // >1 ⇒ buckets committed in batches (finer mid-job checkpoints, more input scans)
       failAfterGroups: Option[Int] = None // test hook: inject a crash after N group commits
   )
@@ -103,9 +104,18 @@ object ExtractPipeline {
    * and compression locality at the 100 TB tier).
    */
   def extract(toProcess: DataFrame, cfg: Config): DataFrame = {
+    val saltExpr =
+      if (cfg.freqAwareSalt) {
+        // one sampled host-frequency pass → salt only the zipf head, keep the
+        // tail fully co-located (SkewSalting)
+        val parts = toProcess.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        val salts = SkewSalting.headHostSalts(
+          toProcess.withColumn("_host", url_host(col("url"))), col("_host"), parts)
+        SkewSalting.saltColumn(col("url"), col("_host"), salts)
+      } else pmod(xxhash64(col("url")), lit(cfg.saltsPerHost))
     val salted = toProcess
       .withColumn("_host", url_host(col("url")))
-      .withColumn("_salt", pmod(xxhash64(col("url")), lit(cfg.saltsPerHost)))
+      .withColumn("_salt", saltExpr)
       .repartition(col("_host"), col("_salt"))
     val base =
       if (cfg.withSpans)

@@ -69,6 +69,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     df.count() // and the generated code actually compiles + runs
   }
 
+  test("bucket filter pushes below the extraction projection (commit-group pruning)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit3").toString
+    fixtures.Corpus.pages(spark, 50).write.parquet(s"$dir/pages")
+    val pages = spark.read.parquet(s"$dir/pages")
+    val extracted = pipeline.ExtractPipeline.extract(pages, pipeline.ExtractPipeline.Config())
+    val filtered = extracted.filter(col(pipeline.ExtractPipeline.BucketCol).isin(1, 2, 3))
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    // after pushdown the predicate is re-expressed on xxhash64(url) and no longer
+    // sits above the extraction Project — extraction must not run for pruned buckets
+    val lines = plan.linesIterator.toList
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.toLowerCase.contains("xxhash64"))
+    val projIdx = lines.indexWhere(l => l.toLowerCase.contains("extractdoc") || l.toLowerCase.contains("extractanytext"))
+    assert(filterIdx >= 0, plan)
+    assert(projIdx >= 0, plan)
+    assert(filterIdx > projIdx, s"filter (line $filterIdx) should be BELOW extraction project (line $projIdx):\n$plan")
+  }
+
   test("partial aggregation (map-side combine) present in groupBy plans") {
     val s = planString(SparkEntry.queries("q01_agg_pricing")(spark, sf))
     // two HashAggregate nodes (partial + final) around the exchange

@@ -151,6 +151,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(runs == Set("g1", "g2"))
   }
 
+  test("freqAwareSalt pipeline run produces identical digests to uniform salting") {
+    val outA = tmp()
+    val outB = tmp()
+    val base = ExtractPipeline.Config(mode = "force", runId = "s1", nBuckets = 16)
+    ExtractPipeline.run(spark, Corpus.pages(spark, N), outA, base)
+    ExtractPipeline.run(spark, Corpus.pages(spark, N), outB, base.copy(freqAwareSalt = true))
+    def digs(out: String) = spark.read.parquet(s"$out/extracted")
+      .select("url", "text_sha256").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(digs(outA) == digs(outB))
+  }
+
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
