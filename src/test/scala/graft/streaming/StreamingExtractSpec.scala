@@ -42,6 +42,36 @@ class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("file sink with checkpoint: stop/restart neither loses nor duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val source = MemoryStream[PageRow]
+    def start() = StreamingExtract.extractTransform(source.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    source.addData(fixtureRows(0, 80))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the same checkpoint; feed the next batch
+    val q2 = start()
+    source.addData(fixtureRows(80, 160))
+    q2.processAllAvailable()
+    q2.stop()
+    val urls = s.read.parquet(s"$dir/out").select("url").collect().map(_.getString(0))
+    assert(urls.length == urls.distinct.length, "duplicates after restart")
+    val validCount = fixtureRows(0, 160).count { p =>
+      val k = graft.fixtures.CorpusGen.page(
+        p.url.split('/').last.toLong).kind
+      k == "html" || k == "pdf" || k == "pre"
+    }
+    assert(urls.length == validCount, s"${urls.length} != $validCount")
+  }
+
   test("windowed per-host counts under watermark (event time)") {
     val s = spark
     import s.implicits._
