@@ -96,7 +96,17 @@ object PdfExtract {
 
   // ---------------------------------------------------------------- object model
 
-  private final case class PdfObj(num: Int, body: Array[Byte], bodyOff: Int, bodyLen: Int)
+  /** streamOff = index just after the "stream" keyword (-1 if no stream);
+    * endStreamAt = absolute index of "endstream" (-1 if none). Offsets captured
+    * during the single object scan so stream decoding never re-searches. */
+  private final case class PdfObj(num: Int, body: Array[Byte], bodyOff: Int, bodyLen: Int,
+      streamOff: Int, endStreamAt: Int) {
+    /** Dict region only (up to the stream payload) — never copies stream bytes. */
+    def dictStr: String = {
+      val end = if (streamOff >= 0) streamOff - "stream".length else bodyOff + bodyLen
+      new String(body, bodyOff, math.max(0, end - bodyOff), StandardCharsets.ISO_8859_1)
+    }
+  }
 
   /** Scan `N G obj ... endobj` object frames; no xref needed (objects located by scan). */
   private def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
@@ -123,15 +133,18 @@ object PdfExtract {
         if (numEnd >= numStart && numStart >= 0 && (numStart == 0 || !isRegular(bytes(numStart - 1)))) {
           val num = new String(bytes, numStart, numEnd - numStart + 1, StandardCharsets.US_ASCII).toInt
           val bodyStart = i + 3
-          // find endobj; if a stream begins, skip its payload by /Length or search
+          // find endobj; if a stream begins, skip its payload by search
           var e = indexOf(bytes, "endobj", bodyStart)
           val streamAt = indexOf(bytes, "stream", bodyStart)
+          var streamOff = -1
+          var endStreamAt = -1
           if (streamAt >= 0 && (e < 0 || streamAt < e)) {
-            val endStream = indexOf(bytes, "endstream", streamAt)
-            if (endStream >= 0) e = indexOf(bytes, "endobj", endStream)
+            streamOff = streamAt + "stream".length
+            endStreamAt = indexOf(bytes, "endstream", streamAt)
+            if (endStreamAt >= 0) e = indexOf(bytes, "endobj", endStreamAt)
           }
           val bodyEnd = if (e < 0) n else e
-          out(num) = PdfObj(num, bytes, bodyStart, bodyEnd - bodyStart)
+          out(num) = PdfObj(num, bytes, bodyStart, bodyEnd - bodyStart, streamOff, endStreamAt)
           i = if (e < 0) n else e + 6
         } else i += 1
       } else i += 1
@@ -154,9 +167,6 @@ object PdfExtract {
     -1
   }
 
-  /** Minimal dict probing inside an object body (ASCII view). */
-  private def bodyStr(o: PdfObj): String =
-    new String(o.body, o.bodyOff, o.bodyLen, StandardCharsets.ISO_8859_1)
 
   private val RefRx = """(\d+)\s+\d+\s+R""".r
 
@@ -183,23 +193,24 @@ object PdfExtract {
     }
   }
 
-  /** Decode an object's stream payload (FlateDecode or raw). */
+  /** Decode an object's stream payload (FlateDecode or raw) using the offsets
+    * captured at scan time — no re-search, no stream-bytes-into-String copies. */
   private def streamBytes(o: PdfObj): Option[Array[Byte]] = {
-    val body = bodyStr(o)
-    val sAt = body.indexOf("stream")
-    if (sAt < 0) return None
-    var start = sAt + "stream".length
-    if (start < body.length && body.charAt(start) == '\r') start += 1
-    if (start < body.length && body.charAt(start) == '\n') start += 1
-    val len = dictInt(body, "/Length")
-    val endRel = body.indexOf("endstream", start)
+    if (o.streamOff < 0) return None
+    val dict = o.dictStr
+    var start = o.streamOff
+    if (start < o.body.length && o.body(start) == '\r') start += 1
+    if (start < o.body.length && o.body(start) == '\n') start += 1
+    val len = dictInt(dict, "/Length")
+    val bodyEndAbs = o.bodyOff + o.bodyLen
     val end = len match {
-      case Some(l) if start + l <= o.bodyLen && (endRel < 0 || start + l <= endRel + 9) => start + l
-      case _ => if (endRel < 0) o.bodyLen else endRel
+      case Some(l) if start + l <= bodyEndAbs && (o.endStreamAt < 0 || start + l <= o.endStreamAt + 9) =>
+        start + l
+      case _ => if (o.endStreamAt < 0) bodyEndAbs else o.endStreamAt
     }
     if (end <= start) return Some(Array.emptyByteArray)
-    val raw = java.util.Arrays.copyOfRange(o.body, o.bodyOff + start, o.bodyOff + end)
-    if (body.indexOf("/FlateDecode") >= 0 && body.indexOf("/FlateDecode") < sAt) Some(inflate(raw))
+    val raw = java.util.Arrays.copyOfRange(o.body, start, end)
+    if (dict.contains("/FlateDecode")) Some(inflate(raw))
     else Some(raw)
   }
 
@@ -226,7 +237,7 @@ object PdfExtract {
   private def pageStreams(bytes: Array[Byte]): List[Array[Byte]] = {
     val objs = scanObjects(bytes)
     if (objs.isEmpty) return Nil
-    val bodies = objs.map { case (k, v) => k -> bodyStr(v) }
+    val bodies = objs.map { case (k, v) => k -> v.dictStr }
     val pageOrder: List[Int] = {
       val catalog = bodies.collectFirst { case (k, b) if b.contains("/Type") && b.contains("/Catalog") => k }
       val viaKids = for {
