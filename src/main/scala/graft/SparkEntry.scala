@@ -48,28 +48,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q17_extract_html_roundtrip")(spark, "/root/testdata/sf0.001")
 
-  /** Deterministic pseudo-random hyperplanes for LSH bucketing (splitmix64-seeded,
-    * values in [-1,1]); shipped as a literal so the plan needs no side input. */
-  private[graft] def lshPlanes(nPlanes: Int, dim: Int): Column = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dim).map { d => (mix(p.toLong * 1000003L + d) >>> 11) * 1.1102230246251565e-16 * 2 - 1 }
-    }
-    typedlit(planes)
-  }
-
-  /** LSH bucket id = integer of sign bits of dot(v, plane_i). */
-  private[graft] def lshBucket(v: Column, planes: Column): Column =
-    aggregate(
-      transform(planes, p =>
-        when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) > 0, 1).otherwise(0)),
-      lit(0),
-      (acc, bit) => acc * 2 + bit)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational core (SURVEY.md §2 D/E/F analogs) ----------------
@@ -217,6 +195,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id",
         maxHamming = 8, prefixBits = 12)
         .orderBy(col("a"), col("b"))),
+    // two-phase dedup: LSH candidates verified by exact shingle Jaccard
+    "q33_verified_near_dups" -> ((s, dir) =>
+      graft.ops.DedupOps.verifiedNearDupPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id",
+        threshold = 0.8, candidateThreshold = 0.4)
+        .orderBy(col("a"), col("b"))),
+    // embedding-cosine near-dup via bucketed multi-probe LSH
+    "q34_embedding_near_dups" -> ((s, dir) =>
+      graft.ops.SimilarityOps.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.9)
+        .orderBy(col("a"), col("b"))),
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
@@ -244,16 +233,17 @@ object SparkEntry {
     // candidates instead of the full cross join. Approximate by design → rows-only
     // (recall vs brute force asserted in AnnSpec).
     "q28_ann_lsh_bucketed" -> ((s, dir) => {
+      import graft.ops.SimilarityOps
       val nPlanes = 6
-      val planes = lshPlanes(nPlanes, dim = 64)
+      val planes = SimilarityOps.lshPlanes(nPlanes, dim = 64)
       val emb = t(s, dir, "embeddings")
         .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("bucket", lshBucket(col("v"), planes))
+        .withColumn("bucket", SimilarityOps.lshBucket(col("v"), planes))
       // multi-probe: each query also probes every Hamming-1 bucket — recovers
       // neighbors that fall just across one hyperplane
-      val probes = array(col("bucket") +: (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
       val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), explode(probes).as("bucket"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(SimilarityOps.probeBuckets(col("bucket"), nPlanes)).as("bucket"))
       val cands = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
       val pairs = q.join(cands, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))

@@ -51,6 +51,21 @@ case class MinHashBands(child: Expression, numHashes: Int, shingleSize: Int, row
     copy(child = newChild)
 }
 
+/** Exact token-shingle Jaccard between two texts (the verifier behind MinHash
+  * candidates — run only on LSH-bucketed pairs, never O(n²)). */
+case class ShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextHash.shingleJaccard(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.text.TextHash.shingleJaccard($a.toString(), $b.toString(), $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Winnowing-style rolling fingerprint (min rolling hash over token n-grams). */
 case class RollingFingerprint(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = LongType

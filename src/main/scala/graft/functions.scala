@@ -77,6 +77,10 @@ object functions {
   def rolling_fingerprint(text: Column, n: Int = 8): Column =
     ColumnBridge.column(RollingFingerprint(expr(text), n))
 
+  /** Exact token-shingle Jaccard (verification pass over LSH candidate pairs). */
+  def shingle_jaccard(a: Column, b: Column, k: Int = 3): Column =
+    ColumnBridge.column(ShingleJaccard(expr(a), expr(b), k))
+
   /** Typed metadata from opaque binary media: struct(format, width, height). */
   def media_sniff(bytes: Column): Column =
     ColumnBridge.column(MediaSniffExpr(expr(bytes)))

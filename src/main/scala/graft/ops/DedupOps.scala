@@ -49,6 +49,21 @@ object DedupOps {
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Two-phase near-dup detection: MinHash-LSH candidates verified by EXACT
+    * token-shingle Jaccard (computed only on candidate pairs — the standard
+    * generate-then-verify shape; estimates never reach the output). */
+  def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                           threshold: Double = 0.8,
+                           candidateThreshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+    val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_t"))
+    nearDupPairs(df, textCol, idCol, candidateThreshold, shingleSize = shingleSize)
+      .join(texts.select(col("_tid"), col("_t").as("_ta")), col("a") === col("_tid")).drop("_tid")
+      .join(texts.select(col("_tid"), col("_t").as("_tb")), col("b") === col("_tid")).drop("_tid")
+      .withColumn("jaccard", round(shingle_jaccard(col("_ta"), col("_tb"), shingleSize), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Greedy near-dup removal: drop every row whose id appears as the larger member
     * of a qualifying pair (single left_anti join; approximate — a chain a~b~c with
     * a≁c still drops b and c, the standard one-pass LSH-dedup compromise vs full

@@ -58,6 +58,42 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert((survivingCopies & keptIds).size <= docs.count() / 20)
   }
 
+  test("verifiedNearDupPairs: output jaccard equals the exact driver-side value") {
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(mutated)
+    val pairs = DedupOps.verifiedNearDupPairs(all, "text", "doc_id",
+      threshold = 0.8, candidateThreshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.nonEmpty)
+    val texts = all.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { case ((a, b), j) =>
+      val exact = graft.text.TextHash.shingleJaccard(texts(a), texts(b), 3)
+      assert(math.abs(j - exact) < 0.0001, s"($a,$b): $j vs $exact")
+      assert(j >= 0.8)
+    }
+    // the constructed (i, i+1M) pairs with high exact jaccard must be found
+    val expected = texts.keys.filter(_ < 1000000L).filter { i =>
+      texts.contains(i + 1000000L) &&
+        graft.text.TextHash.shingleJaccard(texts(i), texts(i + 1000000L), 3) >= 0.85
+    }.map(i => (i, i + 1000000L)).toSet
+    val found = expected.count(pairs.contains)
+    assert(found.toDouble / expected.size >= 0.9, s"$found/${expected.size}")
+  }
+
+  test("embeddingNearDupPairs finds mirrored-vector duplicates via LSH buckets") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // construct exact duplicates: copy vectors with offset ids → cosine 1.0
+    val dup = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val all = emb.unionByName(dup)
+    val pairs = graft.ops.SimilarityOps.embeddingNearDupPairs(all, "embedding", "vec_id", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.select("vec_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 1000000L)).toSet
+    // identical vectors share every LSH bucket → recall 1.0 on exact dups
+    assert(expected.forall(pairs.contains), s"missing ${expected.count(p => !pairs.contains(p))}")
+  }
+
   test("simhashNearDupPairs finds small-perturbation duplicates") {
     val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
