@@ -201,11 +201,19 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id",
         threshold = 0.8, candidateThreshold = 0.4)
         .orderBy(col("a"), col("b"))),
-    // embedding-cosine near-dup via bucketed multi-probe LSH
-    "q34_embedding_near_dups" -> ((s, dir) =>
+    // embedding-cosine near-dup via bucketed multi-probe LSH; testdata embeddings
+    // have no genuine near-dups (max pairwise cosine ≈ 0.49), so the corpus is
+    // unioned with perturbed copies (one component nudged; cosine ≈ 0.99) that
+    // the LSH buckets must recover
+    "q34_embedding_near_dups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, x * 1.2f + 0.1f, x))").as("embedding"))
       graft.ops.SimilarityOps.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.9)
-        .orderBy(col("a"), col("b"))),
+        emb.unionByName(perturbed), "embedding", "vec_id", threshold = 0.95)
+        .orderBy(col("a"), col("b"))
+    }),
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
