@@ -251,7 +251,12 @@ object ExtractPipeline {
       val part =
         if (groups.size == 1) todo
         else todo.filter(col(BucketCol).isin(group: _*))
-      part.write
+      // range-partitioned write (north rule): physical partitions are contiguous
+      // (bucket, url) ranges, so each bucket dir holds url-sorted files — url
+      // point/prefix reads touch one file, and parquet min/max url stats prune
+      part.repartitionByRange(col(BucketCol), col("url"))
+        .sortWithinPartitions(col(BucketCol), col("url"))
+        .write
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
