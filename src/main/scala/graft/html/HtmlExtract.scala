@@ -119,23 +119,39 @@ object HtmlExtract {
     "shy" -> ""
   )
 
-  /** Sniff charset from the first 1024 bytes; ISO-8859-1 family or UTF-8. */
+  /** Case-insensitive ASCII search for `needle` (lowercase) in bytes[from, until). */
+  private def byteIndexOfIgnoreCase(b: Array[Byte], needle: String, from: Int, until: Int): Int = {
+    val m = needle
+    var i = from
+    val lim = until - m.length
+    while (i <= lim) {
+      var k = 0
+      while (k < m.length && lowerAscii((b(i + k) & 0xff).toChar) == m.charAt(k)) k += 1
+      if (k == m.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Sniff charset from the first 1024 bytes (allocation-free scan);
+    * ISO-8859-1 family or UTF-8. */
   private[graft] def decode(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length == 0) return ""
     var off = 0
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
         (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) off = 3
     val sniffLen = math.min(bytes.length, 1024)
-    val head = new String(bytes, 0, sniffLen, StandardCharsets.US_ASCII).toLowerCase
-    val cs = head.indexOf("charset=")
+    val cs = byteIndexOfIgnoreCase(bytes, "charset=", 0, sniffLen)
     val latin1 = if (cs >= 0) {
       var j = cs + 8
-      val sb = new StringBuilder
-      while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_' || head(j) == '"' || head(j) == '\'')) {
-        if (head(j) != '"' && head(j) != '\'') sb.append(head(j)); j += 1
-      }
-      val name = sb.result()
-      name.contains("8859-1") || name.contains("latin") || name.contains("1252")
+      var end = j
+      while (end < sniffLen && {
+        val c = (bytes(end) & 0xff).toChar
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '"' || c == '\''
+      }) end += 1
+      byteIndexOfIgnoreCase(bytes, "8859-1", j, end) >= 0 ||
+        byteIndexOfIgnoreCase(bytes, "latin", j, end) >= 0 ||
+        byteIndexOfIgnoreCase(bytes, "1252", j, end) >= 0
     } else false
     val charset = if (latin1) StandardCharsets.ISO_8859_1 else StandardCharsets.UTF_8
     new String(bytes, off, bytes.length - off, charset)
