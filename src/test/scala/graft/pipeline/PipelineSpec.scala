@@ -162,6 +162,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(digs(outA) == digs(outB))
   }
 
+  test("cross-config invariance: partitions x freqAwareSalt x commitGroups → identical digests") {
+    def digests(parts: Int, freq: Boolean, groups: Int): Seq[(String, String)] = {
+      val out = tmp()
+      ExtractPipeline.run(spark, Corpus.pages(spark, N).repartition(parts), out,
+        ExtractPipeline.Config(mode = "force", runId = s"x$parts$freq$groups",
+          nBuckets = 16, freqAwareSalt = freq, commitGroups = groups))
+      spark.read.parquet(s"$out/extracted")
+        .select("url", "text_sha256").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    }
+    val base = digests(2, freq = false, groups = 1)
+    assert(digests(5, freq = true, groups = 1) == base)
+    assert(digests(3, freq = false, groups = 3) == base)
+    assert(digests(7, freq = true, groups = 4) == base)
+  }
+
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
