@@ -104,9 +104,12 @@ object SparkEntry {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
       t(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        // microsecond-exact gap compare: unix_timestamp truncates to seconds
+        // while DuckDB's epoch() keeps micros — a gap straddling the 1800s
+        // boundary by <1s would diverge (events carry microsecond precision)
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
@@ -398,10 +401,10 @@ object SparkEntry {
         |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS mcount
         |FROM events""".stripMargin,
     "q21_sessionize" ->
-      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |) GROUP BY user_id""".stripMargin,

@@ -203,8 +203,11 @@ object PdfExtract {
     if (start < o.body.length && o.body(start) == '\n') start += 1
     val len = dictInt(dict, "/Length")
     val bodyEndAbs = o.bodyOff + o.bodyLen
+    // declared /Length is trusted only when it stays strictly inside the
+    // payload region (before the "endstream" keyword itself); a wrong /Length
+    // must not feed keyword bytes to inflate/interpret
     val end = len match {
-      case Some(l) if start + l <= bodyEndAbs && (o.endStreamAt < 0 || start + l <= o.endStreamAt + 9) =>
+      case Some(l) if l >= 0 && start + l <= bodyEndAbs && (o.endStreamAt < 0 || start + l <= o.endStreamAt) =>
         start + l
       case _ => if (o.endStreamAt < 0) bodyEndAbs else o.endStreamAt
     }
@@ -362,6 +365,12 @@ object PdfExtract {
         operands.lastOption match { case Some(s: String) => emit(s); case _ => }
         operands.clear()
       case "'" =>
+        lineY -= leading; curX = lineX; curY = lineY
+        operands.lastOption match { case Some(s: String) => emit(s); case _ => }
+        operands.clear()
+      case "\"" =>
+        // aw ac string ": set word/char spacing (ignored by the 0.5em width
+        // model), then next-line-show like ' — the string must not be dropped
         lineY -= leading; curX = lineX; curY = lineY
         operands.lastOption match { case Some(s: String) => emit(s); case _ => }
         operands.clear()

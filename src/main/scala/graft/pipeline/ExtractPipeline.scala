@@ -57,17 +57,34 @@ object ExtractPipeline {
       // executable payloads masquerading as pages (PE / ELF / shebang magic)
       when(magic("MZ".getBytes) || magic(Array(0x7f.toByte, 'E'.toByte, 'L'.toByte, 'F'.toByte)) ||
         magic("#!".getBytes), lit("executable_payload")),
+      // B8 url sanity: path-traversal patterns incl. single/double URL-encoded
+      // forms (security_validator.py:337-347)
+      when(lower(col("url")).rlike("""\.\./|\.\.\\|%2e%2e%2f|%2e%2e%5c|\.\.%252f|\.\.%255c"""),
+        lit("path_traversal_url")),
+      // "first non-whitespace byte is '<'": strip ALL leading whitespace plus a
+      // UTF-8 BOM — ltrim alone strips only U+0020, misclassifying payloads that
+      // start with \n, \t, \r\n, or a BOM. The binary→string CAST (not decode):
+      // strict decode throws MALFORMED_CHARACTER_CODING on any non-UTF-8 payload
+      // (real crawls are full of latin-1/binary), killing the task; the cast
+      // wraps raw bytes and the regex engine substitutes U+FFFD lazily
       when(!is_pdf(col("html")) &&
-        !(ltrim(decode(substring(col("html"), 1, 64), "UTF-8")).startsWith("<")),
+        !(regexp_replace(substring(col("html"), 1, 64).cast("string"),
+          "^[\\s\\uFEFF]+", "").startsWith("<")),
         lit("unknown_payload"))
     ))
   }
 
-  /** Risk classification (security_validator.py:474-492 analog). */
-  private def risk(reasons: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(array_contains(reasons, "encrypted"), "high")
-      .when(array_contains(reasons, "too_large"), "medium")
+  /** Risk classification, keyword semantics per security_validator.py:474-492:
+    * traversal/executable → critical, encrypted/suspicious → high,
+    * >2 issues → medium, else low. */
+  private def risk(reasons: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def anyContains(needle: String) =
+      exists(reasons, r => r.contains(needle))
+    when(anyContains("traversal") || anyContains("executable"), "critical")
+      .when(anyContains("encrypted") || anyContains("suspicious"), "high")
+      .when(size(reasons) > 2, "medium")
       .otherwise("low")
+  }
 
   val BucketCol = "bucket"
 
@@ -169,7 +186,10 @@ object ExtractPipeline {
       .select(
         lit(runId).as("run_id"), col(BucketCol), col("row_count"),
         col("ok_count"), col("skipped_count"), col("digest"),
-        lit("committed").as("status"))
+        lit("committed").as("status"),
+        // monotonic commit stamp: "latest lineage per bucket" orders by this,
+        // never by run_id strings ('run-10' sorts before 'run-2' lexically)
+        lit(System.currentTimeMillis()).as("committed_utc_ms"))
 
   final case class RunResult(
       extractedPath: String,
@@ -277,7 +297,7 @@ object ExtractPipeline {
     val allLineage = spark.read.parquet(lineagePath)
       .filter(col("status") === "committed")
       .groupBy(col(BucketCol))
-      .agg(max(struct(col("run_id"), col("row_count"), col("digest"))).as("latest"))
+      .agg(max(struct(col("committed_utc_ms"), col("run_id"), col("row_count"), col("digest"))).as("latest"))
       .select(col(BucketCol), col("latest.row_count"), col("latest.digest"))
       .collect()
     val snapshotId = f"snap-${CatalogIO.listSnapshots(spark, extractedPath).size}%06d-${cfg.runId}"
@@ -293,7 +313,7 @@ object ExtractPipeline {
     val linSums = spark.read.parquet(lineagePath)
       .filter(col("status") === "committed")
       .groupBy(col(BucketCol))
-      .agg(max(struct(col("run_id"), col("ok_count"), col("skipped_count"))).as("l"))
+      .agg(max(struct(col("committed_utc_ms"), col("run_id"), col("ok_count"), col("skipped_count"))).as("l"))
       .agg(sum(col("l.ok_count")), sum(col("l.skipped_count"))).collect()(0)
     val nExtracted = if (linSums.isNullAt(0)) 0L else linSums.getLong(0)
     val nSkipped = if (linSums.isNullAt(1)) 0L else linSums.getLong(1)

@@ -126,9 +126,13 @@ object TextHash {
   /** Exact Jaccard over token k-shingle sets (the truth MinHash estimates). */
   def shingleJaccard(x: String, y: String, k: Int): Double = {
     def set(t: String): Set[Long] = {
+      if (t == null) return Set.empty
       val b = tokenBounds(t)
       val nTok = b.length / 2
-      val effK = math.min(k, math.max(1, nTok))
+      // token-less text has an empty shingle set (mirrors the minhash guard);
+      // without this the forced single shingleHash indexes an empty bounds array
+      if (nTok == 0) return Set.empty
+      val effK = math.min(k, nTok)
       val n = math.max(1, nTok - k + 1)
       (0 until n).map(ti => shingleHash(t, b, ti, effK)).toSet
     }

@@ -178,6 +178,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(digests(7, freq = true, groups = 4) == base)
   }
 
+  test("risk classification and url sanity follow reference keyword semantics") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    def row(url: String, html: Array[Byte]) =
+      graft.model.PageRow(url, ts, html, null, "en")
+    val pages = Seq(
+      row("http://a.example/exe", "MZ\u0090\u0000payload".getBytes("ISO-8859-1") /* deliberately malformed UTF-8 */),
+      row("http://a.example/../../etc/passwd", "<html><p>x</p></html>".getBytes),
+      row("http://a.example/enc", "%PDF-1.4\n<< /Encrypt 9 0 R >>".getBytes),
+      row("http://a.example/js", "%PDF-1.4\n<< /OpenAction << /JS (x) >> /JavaScript >>".getBytes),
+      // leading newline + BOM-prefixed HTML must NOT be quarantined
+      row("http://a.example/nl", "\n\t<html><body><p>the quick brown fox runs</p></body></html>".getBytes),
+      row("http://a.example/bom", "\uFEFF<html><body><p>the quick brown fox runs</p></body></html>".getBytes("UTF-8")),
+      row("http://a.example/junk", "JUNKJUNK".getBytes)
+    ).toDF()
+    val (valid, quarantine) = ExtractPipeline.validate(pages, ExtractPipeline.Config())
+    val q = quarantine.select("url", "risk", "reasons").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getSeq[String](2))).toMap
+    assert(q("http://a.example/exe")._1 == "critical")
+    assert(q("http://a.example/../../etc/passwd")._1 == "critical")
+    assert(q("http://a.example/../../etc/passwd")._2.contains("path_traversal_url"))
+    assert(q("http://a.example/enc")._1 == "high")
+    assert(q("http://a.example/js")._1 == "high")
+    assert(q("http://a.example/junk")._1 == "low")
+    val okUrls = valid.select("url").collect().map(_.getString(0)).toSet
+    assert(okUrls == Set("http://a.example/nl", "http://a.example/bom"))
+  }
+
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,

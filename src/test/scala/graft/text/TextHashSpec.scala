@@ -74,6 +74,16 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.minhash("a b", 16, 5).toSeq == TextHash.minhash("a b", 16, 5).toSeq)
   }
 
+  test("shingleJaccard: total on empty/whitespace-only text (no bounds crash)") {
+    // empty docs share identical minhash signatures → always LSH candidates;
+    // the verifier must not kill the task on them
+    assert(TextHash.shingleJaccard("", "", 3) == 1.0)
+    assert(TextHash.shingleJaccard("   ", " \t\n", 3) == 1.0)
+    assert(TextHash.shingleJaccard("", "alpha beta", 3) == 0.0)
+    assert(TextHash.shingleJaccard("alpha beta", "  ", 3) == 0.0)
+    assert(TextHash.shingleJaccard("alpha beta", "alpha beta", 3) == 1.0)
+  }
+
   test("rolling fingerprint: stable under suffix append beyond window coverage") {
     val x = words(5, 100)
     val fp1 = TextHash.rollingFingerprint(x, 8)
