@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` output goes straight to stdout, NOT through sbt's logger —
+// the per-round driver parses graft.Bench's one-line JSON from stdout, and
+// the "[info] " prefix broke its parse in round 1 (BENCH_r01 "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

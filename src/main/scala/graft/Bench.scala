@@ -5,7 +5,17 @@ import org.apache.spark.sql.SparkSession
 /**
  * Per-round benchmark main (driver-run): times every SparkEntry query on
  * SPARK_GRAFT_SF_DIR, plus the extraction-pipeline headline (docs/sec over the
- * deterministic fixture corpus — the BASELINE.json metric). Prints ONE JSON line.
+ * deterministic fixture corpus — the BASELINE.json metric). Prints ONE JSON
+ * line as the LAST stdout line and mirrors it to BENCH_LOCAL.json in the cwd.
+ *
+ * Methodology (same as tools.ScalingBench, the repo's measured-ladder source):
+ *  - corpus materialized to parquet once, OUTSIDE timing;
+ *  - ≥1M docs so the timed job is ≥30 CPU-seconds (smaller jobs measure task
+ *    scheduling, not extraction — the round-1 default of 100k docs reported
+ *    4.2× below the repo's own ladder for exactly this reason);
+ *  - one full warmup pass (C2 compilation of tokenizer/parser loops);
+ *  - best-of-3 timed passes (shared-host noise ±30%);
+ *  - input split size tuned to ≥4 splits per core.
  *
  * Scaling evidence (local[8] vs local[32]) is produced by graft.tools.ScalingBench
  * and recorded in BASELINE.md.
@@ -37,25 +47,41 @@ object Bench {
       name -> sec
     }
 
-    // extraction headline: docs/sec from a materialized table (the BASELINE.json
-    // metric shape) — corpus gen excluded from timing, one warmup pass for JIT
-    val extractionDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    // extraction headline: docs/sec from a materialized parquet table (the
+    // BASELINE.json metric shape); corpus gen excluded from timing
+    val extractionDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     val corpusPath = s"/tmp/graft-bench-pages-$extractionDocs"
     import org.apache.spark.sql.functions.col
     if (!new java.io.File(corpusPath).exists())
-      graft.fixtures.Corpus.pages(spark, extractionDocs).write.mode("overwrite").parquet(corpusPath)
+      graft.fixtures.Corpus.pages(spark, extractionDocs, parallelism = 256)
+        .write.mode("overwrite").parquet(corpusPath)
+    // ≥4 input splits per core so the long tail doesn't idle cores
+    val totalBytes = {
+      val p = new org.apache.hadoop.fs.Path(corpusPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    }
+    val splitBytes = math.max(2L << 20, totalBytes / (cpus.toInt * 4L))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (256 << 10).toString)
     def extractPass(): Long =
       spark.read.parquet(corpusPath)
         .select(graft.functions.text_digest(graft.functions.extract_any_text(col("html"))).as("d"))
         .filter(col("d").isNotNull).count()
-    extractPass() // warmup
-    val extractSec = time(extractPass())
+    extractPass() // warmup (C2 + page cache)
+    val trials = (1 to 3).map(_ => time(extractPass()))
+    val extractSec = trials.min
     val docsPerSec = extractionDocs / extractSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}""")
-    spark.stop()
+    val trialsJson = trials.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_trials_sec":$trialsJson,"extract_docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}"""
+    // file mirror first (driver fallback), then the bare line LAST on stdout
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => }
+    spark.stop() // stop before the final println so no log line trails the JSON
+    System.out.println(json)
+    System.out.flush()
   }
 }
