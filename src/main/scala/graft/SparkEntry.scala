@@ -107,9 +107,12 @@ object SparkEntry {
         // microsecond-exact gap compare: unix_timestamp truncates to seconds
         // while DuckDB's epoch() keeps micros — a gap straddling the 1800s
         // boundary by <1s would diverge (events carry microsecond precision)
+        // events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session TZ
+        // is UTC, so the cast is value-preserving and applied to both operands)
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0))
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
@@ -354,6 +357,22 @@ object SparkEntry {
           round(aggregate(media_features(col("payload")),
             lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))),
 
+    // C8 per-row extraction-failure classification: payloads constructed
+    // in-query (healthy PDF / object-less PDF / healthy HTML) so the expected
+    // status+reason is plain SQL
+    "q36_error_class" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload",
+          when(col("doc_id") % 3 === 0, pdfOf(col("text")))
+            .when(col("doc_id") % 3 === 1,
+              encode(lit("%PDF-1.4\nnothing resembling an object"), "UTF-8"))
+            .otherwise(encode(concat(lit("<html><body><nav><a href=\"/\">home</a></nav><p>"),
+              col("text"), lit("</p></body></html>")), "UTF-8")))
+        .withColumn("d", extract_doc(col("payload")))
+        .select(col("doc_id"),
+          when(col("d.error").isNotNull, "error").otherwise("extracted").as("status"),
+          col("d.error").as("error_class"))),
+
     // ---------------- fixture-corpus extraction (rows-only; full pipeline surface) ----------------
     "q24_fixture_extract" -> ((s, dir) => {
       // sfDir-independent deterministic corpus; exercises dispatch + quarantine
@@ -479,6 +498,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,
         |  CASE WHEN lang IN ('en','de','es','fr','zh') THEN lang ELSE 'unknown' END AS lang_clean
+        |FROM documents""".stripMargin,
+    "q36_error_class" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'error' ELSE 'extracted' END AS status,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'pdf_no_objects' ELSE NULL END AS error_class
         |FROM documents""".stripMargin,
     "q20_pdf_preflight" ->
       """SELECT doc_id,

@@ -118,11 +118,15 @@ case class ParsePdfSpans(child: Expression) extends UnaryExpression with Codegen
 }
 
 object ExtractDoc {
-  /** struct(text, spans): single-parse fused extraction (PDF text + hOCR-analog
-    * spans from one content-stream interpretation; HTML → text + empty spans). */
+  /** struct(text, spans, error): single-parse fused extraction (PDF text +
+    * hOCR-analog spans from one content-stream interpretation; HTML → text +
+    * empty spans). `error` is null on success, else a stable failure category
+    * (error_handler.py:305-325 analog) — a malformed-but-valid-magic payload
+    * must be distinguishable from a genuinely empty document. */
   val structType: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),
-    StructField("spans", ArrayType(ParsePdfSpans.elementType, containsNull = false), nullable = false)
+    StructField("spans", ArrayType(ParsePdfSpans.elementType, containsNull = false), nullable = false),
+    StructField("error", StringType, nullable = true)
   ))
 }
 
@@ -132,13 +136,18 @@ case class ExtractDoc(child: Expression) extends UnaryExpression with CodegenFal
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     if (PdfExtract.isPdfMagic(bytes)) {
-      val (text, ss) = PdfExtract.textAndSpans(bytes)
-      InternalRow(UTF8String.fromString(text), new GenericArrayData(ss.map { s =>
+      val o = PdfExtract.outcome(bytes)
+      InternalRow(UTF8String.fromString(o.text), new GenericArrayData(o.spans.map { s =>
         InternalRow(s.page, s.x1, s.y1, s.x2, s.y2, UTF8String.fromString(s.word))
-      }.toArray[Any]))
+      }.toArray[Any]),
+        if (o.error == null) null else UTF8String.fromString(o.error))
     } else {
-      InternalRow(ExprRuntime.extractMainContent(bytes),
-        new GenericArrayData(Array.empty[Any]))
+      try InternalRow(ExprRuntime.extractMainContent(bytes),
+        new GenericArrayData(Array.empty[Any]), null)
+      catch { case e: Exception =>
+        InternalRow(UTF8String.EMPTY_UTF8, new GenericArrayData(Array.empty[Any]),
+          UTF8String.fromString("html_" + graft.ErrorClass.classify(e)))
+      }
     }
   }
   override protected def withNewChildInternal(newChild: Expression): ExtractDoc =

@@ -18,7 +18,8 @@ final case class ExtractedRow(
     warc_ts: Timestamp,
     lang: String,
     bucket: Int, // stable logical partition: pmod(xxhash64(url), nBuckets)
-    status: String, // extracted | skipped
+    status: String, // extracted | skipped | error
+    error_class: String, // null unless status=error (error_handler.py:305-325 analog)
     text: String,
     text_sha256: String,
     n_chars: Int
@@ -32,8 +33,10 @@ final case class LineageRow(
     row_count: Long,
     ok_count: Long,
     skipped_count: Long,
+    err_count: Long, // rows whose extraction failed (status=error)
     digest: String, // sha256 over sorted per-url text digests in the bucket
-    status: String // committed
+    status: String, // committed
+    committed_utc_ms: Long // monotonic commit stamp; latest-per-bucket orders by this
 )
 
 /** Quarantine row (security_validator.py:309-335 quarantine analog). */
@@ -51,6 +54,7 @@ final case class JobRow(
     total_rows: Long,
     extracted: Long,
     skipped: Long,
+    errors: Long, // per-row extraction failures (kept in output with error_class)
     quarantined: Long,
     wall_sec: Double,
     docs_per_sec: Double,

@@ -237,8 +237,10 @@ object PdfExtract {
   }
 
   /** Page content streams in document page order (catalog → pages → kids). */
-  private def pageStreams(bytes: Array[Byte]): List[Array[Byte]] = {
-    val objs = scanObjects(bytes)
+  private def pageStreams(bytes: Array[Byte]): List[Array[Byte]] =
+    pageStreamsOf(scanObjects(bytes))
+
+  private def pageStreamsOf(objs: Map[Int, PdfObj]): List[Array[Byte]] = {
     if (objs.isEmpty) return Nil
     val bodies = objs.map { case (k, v) => k -> v.dictStr }
     val pageOrder: List[Int] = {
@@ -526,12 +528,35 @@ object PdfExtract {
   /** Fused text + spans from a single parse (the pipeline's visual/force path —
     * avoids interpreting every content stream twice). */
   def textAndSpans(bytes: Array[Byte]): (String, IndexedSeq[Span]) = {
-    val rs = runs(bytes)
-    val ls = lines(rs)
-    val text = ls.map { case (_, pageLines) =>
-      pageLines.map(_.map(_.text.trim).filter(_.nonEmpty).mkString(" "))
-        .filter(_.nonEmpty).mkString("\n")
-    }.mkString("\f")
-    (text, spansFromRuns(rs))
+    val o = outcome(bytes)
+    (o.text, o.spans)
+  }
+
+  /** Single-parse extraction with a per-row failure signal. `error` is null on
+    * success; otherwise a stable category ("pdf_no_objects",
+    * "pdf_no_content_stream", or "pdf_" + ErrorClass keyword category). The
+    * reference swallows per-file failures into its error handler
+    * (ocr_combined.py:219-230, error_handler.py:305-325); at 10^12 docs a
+    * silent empty string is indistinguishable from a genuinely empty doc, so
+    * the reason must ride on the row. */
+  final case class Outcome(text: String, spans: IndexedSeq[Span], error: String)
+
+  def outcome(bytes: Array[Byte]): Outcome = {
+    try {
+      val objs = scanObjects(bytes)
+      if (objs.isEmpty) return Outcome("", IndexedSeq.empty, "pdf_no_objects")
+      val streams = pageStreamsOf(objs)
+      if (streams.isEmpty) return Outcome("", IndexedSeq.empty, "pdf_no_content_stream")
+      val out = mutable.ArrayBuffer.empty[Run]
+      streams.zipWithIndex.foreach { case (cs, p) => interpret(cs, p, out) }
+      val rs = out.toIndexedSeq
+      val text = lines(rs).map { case (_, pageLines) =>
+        pageLines.map(_.map(_.text.trim).filter(_.nonEmpty).mkString(" "))
+          .filter(_.nonEmpty).mkString("\n")
+      }.mkString("\f")
+      Outcome(text, spansFromRuns(rs), null)
+    } catch {
+      case e: Throwable => Outcome("", IndexedSeq.empty, "pdf_" + graft.ErrorClass.classify(e))
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{extract_any_text, extract_doc, is_pdf, pdf_preflight, text_digest, url_host}
+import graft.functions.{extract_doc, is_pdf, pdf_preflight, text_digest, url_host}
 
 /**
  * The extraction job: scan → validate/quarantine → mode filter → salt skewed
@@ -134,22 +134,22 @@ object ExtractPipeline {
       .withColumn("_host", url_host(col("url")))
       .withColumn("_salt", saltExpr)
       .repartition(col("_host"), col("_salt"))
-    val base =
-      if (cfg.withSpans)
-        withBucket(salted, cfg.nBuckets)
-          .withColumn("_doc", extract_doc(col("html"))) // fused single-parse text+spans
-          .withColumn("text", col("_doc.text"))
-          .withColumn("spans", col("_doc.spans"))
-      else
-        withBucket(salted, cfg.nBuckets)
-          .withColumn("text", extract_any_text(col("html")))
-          .withColumn("spans",
-            array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>"))
+    // fused single-parse extraction with a per-row failure signal; withSpans
+    // only controls whether the (wider) spans column is materialized
+    val base = withBucket(salted, cfg.nBuckets)
+      .withColumn("_doc", extract_doc(col("html")))
+      .withColumn("text", col("_doc.text"))
+      .withColumn("error_class", col("_doc.error"))
+      .withColumn("spans",
+        if (cfg.withSpans) col("_doc.spans")
+        else array().cast("array<struct<page:int,x1:int,y1:int,x2:int,y2:int,word:string>>"))
     base
       .withColumn("text_sha256", text_digest(col("text")))
       .select(
         col("url"), col("warc_ts"), col("lang"), col(BucketCol),
-        lit("extracted").as("status"),
+        // C8 per-row status: a parse failure is NOT a silent empty doc
+        when(col("error_class").isNotNull, "error").otherwise("extracted").as("status"),
+        col("error_class"),
         col("text"), col("text_sha256"),
         length(col("text")).as("n_chars"),
         col("spans"),
@@ -163,6 +163,7 @@ object ExtractPipeline {
     withBucket(skipped, cfg.nBuckets).select(
       col("url"), col("warc_ts"), col("lang"), col(BucketCol),
       lit("skipped").as("status"),
+      lit(null).cast("string").as("error_class"),
       col("text"),
       text_digest(col("text")).as("text_sha256"),
       length(col("text")).as("n_chars"),
@@ -180,12 +181,13 @@ object ExtractPipeline {
         count(lit(1)).as("row_count"),
         sum(when(col("status") === "extracted", 1L).otherwise(0L)).as("ok_count"),
         sum(when(col("status") === "skipped", 1L).otherwise(0L)).as("skipped_count"),
+        sum(when(col("status") === "error", 1L).otherwise(0L)).as("err_count"),
         sha2(encode(concat_ws("\n",
           sort_array(collect_list(concat_ws("\t", col("url"), col("text_sha256"))))), "UTF-8"), 256)
           .as("digest"))
       .select(
         lit(runId).as("run_id"), col(BucketCol), col("row_count"),
-        col("ok_count"), col("skipped_count"), col("digest"),
+        col("ok_count"), col("skipped_count"), col("err_count"), col("digest"),
         lit("committed").as("status"),
         // monotonic commit stamp: "latest lineage per bucket" orders by this,
         // never by run_id strings ('run-10' sorts before 'run-2' lexically)
@@ -199,6 +201,7 @@ object ExtractPipeline {
       totalIn: Long,
       extracted: Long,
       skipped: Long,
+      errors: Long,
       quarantined: Long,
       resumedBuckets: Int,
       snapshotId: String
@@ -313,21 +316,24 @@ object ExtractPipeline {
     val linSums = spark.read.parquet(lineagePath)
       .filter(col("status") === "committed")
       .groupBy(col(BucketCol))
-      .agg(max(struct(col("committed_utc_ms"), col("run_id"), col("ok_count"), col("skipped_count"))).as("l"))
-      .agg(sum(col("l.ok_count")), sum(col("l.skipped_count"))).collect()(0)
+      .agg(max(struct(col("committed_utc_ms"), col("run_id"),
+        col("ok_count"), col("skipped_count"), col("err_count"))).as("l"))
+      .agg(sum(col("l.ok_count")), sum(col("l.skipped_count")), sum(col("l.err_count"))).collect()(0)
     val nExtracted = if (linSums.isNullAt(0)) 0L else linSums.getLong(0)
     val nSkipped = if (linSums.isNullAt(1)) 0L else linSums.getLong(1)
+    val nErrors = if (linSums.isNullAt(2)) 0L else linSums.getLong(2)
     val q = try spark.read.parquet(quarantinePath).count() catch { case _: Exception => 0L }
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     // jobs table row (reference OCRJob analog, database_manager.py:42-84)
     import spark.implicits._
+    val totalRows = nExtracted + nSkipped + nErrors + q
     Seq(graft.model.JobRow(
       run_id = cfg.runId, mode = cfg.mode,
-      total_rows = nExtracted + nSkipped + q,
-      extracted = nExtracted, skipped = nSkipped, quarantined = q,
+      total_rows = totalRows,
+      extracted = nExtracted, skipped = nSkipped, errors = nErrors, quarantined = q,
       wall_sec = wallSec,
-      docs_per_sec = if (wallSec > 0) (nExtracted + nSkipped + q) / wallSec else 0.0,
+      docs_per_sec = if (wallSec > 0) totalRows / wallSec else 0.0,
       status = "completed"
     )).toDF().write.mode(SaveMode.Append).parquet(jobsPath)
 
@@ -336,9 +342,10 @@ object ExtractPipeline {
 
     RunResult(
       extractedPath, lineagePath, quarantinePath, jobsPath,
-      totalIn = nExtracted + nSkipped + q,
+      totalIn = totalRows,
       extracted = nExtracted,
       skipped = nSkipped,
+      errors = nErrors,
       quarantined = q,
       resumedBuckets = nDone,
       snapshotId = snapshotId)

@@ -36,9 +36,9 @@ object RunExtract {
     val res = ExtractPipeline.run(spark, pages, outDir,
       ExtractPipeline.Config(mode = mode, runId = runId, withSpans = mode != "cli"))
     val sec = (System.nanoTime() - t0) / 1e9
-    val processed = res.extracted + res.skipped + res.quarantined
+    val processed = res.extracted + res.skipped + res.errors + res.quarantined
     println(f"""{"run_id":"$runId","mode":"$mode","total":${res.totalIn},""" +
-      f""""extracted":${res.extracted},"skipped":${res.skipped},"quarantined":${res.quarantined},""" +
+      f""""extracted":${res.extracted},"skipped":${res.skipped},"errors":${res.errors},"quarantined":${res.quarantined},""" +
       f""""resumed_buckets":${res.resumedBuckets},"wall_sec":$sec%.2f,"docs_per_sec":${processed / sec}%.1f}""")
     spark.stop()
   }

@@ -206,6 +206,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(okUrls == Set("http://a.example/nl", "http://a.example/bom"))
   }
 
+  test("per-row extraction failure: malformed-but-valid-magic PDF lands as status=error with a reason") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    def row(url: String, html: Array[Byte]) =
+      graft.model.PageRow(url, ts, html, null, "en")
+    val pages = Seq(
+      // passes preflight (version ok, not encrypted) but has no object frames
+      row("http://err.example/no-objects", "%PDF-1.4\nnothing resembling an object".getBytes),
+      // objects exist but no page content stream
+      row("http://err.example/no-content",
+        "%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n%%EOF".getBytes),
+      // healthy HTML control row
+      row("http://err.example/ok", "<html><body><p>the quick brown fox runs today</p></body></html>".getBytes)
+    ).toDF()
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, pages, out,
+      ExtractPipeline.Config(mode = "force", runId = "e1", nBuckets = 4))
+    assert(res.errors == 2 && res.extracted == 1 && res.quarantined == 0, res.toString)
+    val rows = spark.read.parquet(res.extractedPath)
+      .select("url", "status", "error_class").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("http://err.example/no-objects") == (("error", "pdf_no_objects")))
+    assert(rows("http://err.example/no-content") == (("error", "pdf_no_content_stream")))
+    assert(rows("http://err.example/ok")._1 == "extracted")
+    assert(rows("http://err.example/ok")._2 == null)
+    // lineage reconciles the error rows separately from ok rows
+    val lin = spark.read.parquet(res.lineagePath)
+      .agg(sum("ok_count"), sum("err_count")).collect()(0)
+    assert(lin.getLong(0) == 1 && lin.getLong(1) == 2)
+  }
+
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
