@@ -36,6 +36,8 @@ object GraftExtensions {
     "graft_extract_any_text" -> one(ExtractAnyText.apply),
     "graft_extract_blocks" -> one(ExtractBlocks.apply),
     "graft_parse_pdf_spans" -> one(ParsePdfSpans.apply),
+    "graft_parse_hocr_spans" -> one(ParseHocrSpans.apply),
+    "graft_extract_doc" -> one(ExtractDoc.apply),
     "graft_pdf_preflight" -> one(PdfPreflightExpr.apply),
     "graft_simhash64" -> one(SimHash64.apply),
     "graft_rolling_fingerprint" -> one(RollingFingerprint(_, 8)),

@@ -357,6 +357,25 @@ object SparkEntry {
           round(aggregate(media_features(col("payload")),
             lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))),
 
+    // hOCR word-span parse (the reference's literal core operator,
+    // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
+    // with deterministic bboxes, so the oracle states the spans in plain SQL
+    "q35_hocr_spans" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val spansHtml = array_join(transform(toks, (w, i) =>
+        concat(lit("<span class=\"ocrx_word\" title=\"bbox "),
+          (i * 100).cast("string"), lit(" 50 "),
+          (i * 100 + 80).cast("string"), lit(" 62; x_wconf 95\">"), w, lit("</span> "))), "")
+      val hocr = concat(
+        lit("<html><body><div class=\"ocr_page\" id=\"page_1\" title=\"bbox 0 0 2480 3508\">"),
+        spansHtml, lit("</div></body></html>"))
+      t(s, dir, "documents")
+        .withColumn("sp", explode(parse_hocr_spans(encode(hocr, "UTF-8"))))
+        .select(col("doc_id"),
+          col("sp.page").as("page"), col("sp.x1").as("x1"), col("sp.y1").as("y1"),
+          col("sp.x2").as("x2"), col("sp.y2").as("y2"), col("sp.word").as("word"))
+    }),
+
     // C8 per-row extraction-failure classification: payloads constructed
     // in-query (healthy PDF / object-less PDF / healthy HTML) so the expected
     // status+reason is plain SQL
@@ -499,6 +518,14 @@ object SparkEntry {
         |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,
         |  CASE WHEN lang IN ('en','de','es','fr','zh') THEN lang ELSE 'unknown' END AS lang_clean
         |FROM documents""".stripMargin,
+    "q35_hocr_spans" ->
+      """SELECT doc_id, 1 AS page,
+        |  CAST(pos*100 AS INT) AS x1, 50 AS y1,
+        |  CAST(pos*100+80 AS INT) AS x2, 62 AS y2, word
+        |FROM (SELECT doc_id,
+        |        unnest(string_split(text,' ')) AS word,
+        |        unnest(range(len(string_split(text,' ')))) AS pos
+        |      FROM documents)""".stripMargin,
     "q36_error_class" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 1 THEN 'error' ELSE 'extracted' END AS status,

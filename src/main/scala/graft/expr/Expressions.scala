@@ -117,6 +117,24 @@ case class ParsePdfSpans(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 }
 
+/** hOCR word spans (the reference's literal core operator,
+  * ocr_combined.py:73-82): `ocrx_word` spans with bbox from the title
+  * attribute and page from the enclosing ocr_page/parent id. Same element
+  * type as ParsePdfSpans — hOCR input and PDF reconstruction meet in one
+  * span schema. */
+case class ParseHocrSpans(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(ParsePdfSpans.elementType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val ss = graft.html.HocrParse.spans(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(ss.map { s =>
+      InternalRow(s.page, s.x1, s.y1, s.x2, s.y2, UTF8String.fromString(s.word))
+    }.toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): ParseHocrSpans =
+    copy(child = newChild)
+}
+
 object ExtractDoc {
   /** struct(text, spans, error): single-parse fused extraction (PDF text +
     * hOCR-analog spans from one content-stream interpretation; HTML → text +

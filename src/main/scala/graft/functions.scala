@@ -37,6 +37,11 @@ object functions {
   def parse_pdf_spans(bytes: Column): Column =
     ColumnBridge.column(ParsePdfSpans(expr(bytes)))
 
+  /** hOCR word spans from HTML bytes: array<struct(page,x1,y1,x2,y2,word)> —
+    * the reference's literal core operator (ocr_combined.py:73-82). */
+  def parse_hocr_spans(html: Column): Column =
+    ColumnBridge.column(ParseHocrSpans(expr(html)))
+
   /** Security preflight: struct(is_pdf,version,encrypted,embedded,issues). */
   def pdf_preflight(bytes: Column): Column =
     ColumnBridge.column(PdfPreflightExpr(expr(bytes)))
