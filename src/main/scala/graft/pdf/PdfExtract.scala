@@ -108,8 +108,68 @@ object PdfExtract {
     }
   }
 
-  /** Scan `N G obj ... endobj` object frames; no xref needed (objects located by scan). */
+  /** Scan `N G obj ... endobj` object frames; no xref needed (objects located
+    * by scan). PDF ≥1.5 packs objects — including page/catalog dicts — into
+    * compressed `/Type /ObjStm` streams; those are inflated and their
+    * contained objects added (top-level frames win on number collision).
+    * Without this, ObjStm documents silently extract as empty. */
   private def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val top = scanTopLevel(bytes)
+    // gate on a single substring scan: most documents have no ObjStm and the
+    // hot path must not allocate per-object dict strings twice
+    if (indexOf(bytes, "/ObjStm", 0) < 0) top else expandObjStm(top)
+  }
+
+  /** Objects contained in /ObjStm streams: header is N pairs "objnum offset"
+    * (offset relative to /First); object k's body is decoded[First+off_k,
+    * First+off_{k+1}). Contained objects cannot themselves hold streams. */
+  private def expandObjStm(objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+    val extra = mutable.Map.empty[Int, PdfObj]
+    objs.values.foreach { o =>
+      if (o.streamOff >= 0) {
+        val dict = o.dictStr
+        if (dict.contains("/ObjStm")) {
+          for {
+            nObjs <- dictInt(dict, "/N")
+            first <- dictInt(dict, "/First")
+            data <- streamBytes(o)
+            if nObjs > 0 && nObjs <= (1 << 20) && first > 0 && first <= data.length
+          } {
+            val nums = new Array[Long](nObjs * 2)
+            var i = 0
+            var count = 0
+            var ok = true
+            while (count < nObjs * 2 && ok) {
+              while (i < first && isWsByte(data(i))) i += 1
+              if (i >= first) ok = false
+              else {
+                var v = 0L
+                val st = i
+                while (i < first && data(i) >= '0' && data(i) <= '9') { v = v * 10 + (data(i) - '0'); i += 1 }
+                if (i == st) ok = false else { nums(count) = v; count += 1 }
+              }
+            }
+            if (ok) {
+              var k = 0
+              while (k < nObjs) {
+                val num = nums(k * 2)
+                val off = first.toLong + nums(k * 2 + 1)
+                val end = if (k + 1 < nObjs) first.toLong + nums(k * 2 + 3) else data.length.toLong
+                if (num > 0 && num <= Int.MaxValue && off >= 0 && off < data.length &&
+                    end > off && end <= data.length &&
+                    !objs.contains(num.toInt) && !extra.contains(num.toInt))
+                  extra(num.toInt) = PdfObj(num.toInt, data, off.toInt, (end - off).toInt, -1, -1)
+                k += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    if (extra.isEmpty) objs else objs ++ extra
+  }
+
+  private def scanTopLevel(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val out = mutable.Map.empty[Int, PdfObj]
     val n = bytes.length
     var i = 0

@@ -114,6 +114,70 @@ class PdfExtractSpec extends AnyFunSuite {
     }
   }
 
+  /** PDF ≥1.5 object-stream fixture: catalog/pages/page dicts packed into a
+    * FlateDecode /ObjStm; only the content stream stays top-level. */
+  private def objStmPdf(contents: String*): Array[Byte] = {
+    val nPages = contents.length
+    val kids = (0 until nPages).map(p => s"${3 + p} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") ++
+        contents.indices.map(p =>
+          (3 + p) -> s"<< /Type /Page /Parent 2 0 R /Contents ${3 + nPages + p} 0 R >>")
+    val offsets = packed.map(_._2.length + 1).scanLeft(0)(_ + _) // +1: '\n' separators
+    val header = packed.zip(offsets).map { case ((num, _), off) => s"$num $off" }.mkString(" ")
+    val payload = (header + "\n" + packed.map(_._2).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    val first = header.length + 1
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(payload); deflater.finish()
+    val buf = new Array[Byte](payload.length * 2 + 64)
+    val m = deflater.deflate(buf); deflater.end()
+    val flate = java.util.Arrays.copyOf(buf, m)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes(StandardCharsets.US_ASCII))
+    out.write((s"9 0 obj\n<< /Type /ObjStm /N ${packed.length} /First $first " +
+      s"/Length ${flate.length} /Filter /FlateDecode >>\nstream\n").getBytes(StandardCharsets.US_ASCII))
+    out.write(flate)
+    out.write("\nendstream\nendobj\n".getBytes(StandardCharsets.US_ASCII))
+    contents.zipWithIndex.foreach { case (c, p) =>
+      out.write((s"${3 + nPages + p} 0 obj\n<< /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n")
+        .getBytes(StandardCharsets.US_ASCII))
+    }
+    out.write("%%EOF\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  test("ObjStm: page/catalog dicts inside a compressed object stream round-trip") {
+    val pdf = objStmPdf("BT\n/F1 12 Tf\n72 700 Td\n(hidden in objstm) Tj\nET")
+    assert(PdfExtract.text(pdf) == "hidden in objstm")
+    val multi = objStmPdf(
+      "BT\n/F1 12 Tf\n72 700 Td\n(page one) Tj\nET",
+      "BT\n/F1 12 Tf\n72 700 Td\n(page two) Tj\nET")
+    assert(PdfExtract.text(multi) == "page one\fpage two")
+    // spans work through the same path
+    assert(PdfExtract.spans(multi).map(_.word) == Seq("page", "one", "page", "two"))
+    // before ObjStm support these documents extracted as empty with
+    // pdf_no_content_stream — assert the outcome is now clean
+    assert(PdfExtract.outcome(pdf).error == null)
+  }
+
+  test("ObjStm bounds guards: corrupt header/offsets degrade, never throw") {
+    val good = objStmPdf("BT (x) Tj ET")
+    // mutate bytes inside the flate payload region — inflate fails or header garbles
+    (0 until 200 by 7).foreach { k =>
+      val bad = good.clone()
+      val at = math.min(good.length - 1, 60 + k)
+      bad(at) = (bad(at) ^ 0x5a).toByte
+      PdfExtract.text(bad) // must not throw
+      PdfExtract.outcome(bad)
+    }
+    // top-level object with the same number wins over the ObjStm copy
+    val top = new String(good, StandardCharsets.ISO_8859_1) +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    PdfExtract.text(top.getBytes(StandardCharsets.ISO_8859_1))
+  }
+
   test("totality: junk, truncated, empty never throw") {
     assert(PdfExtract.text("%PDF-1.4 garbage no objects".getBytes) == "")
     assert(PdfExtract.text(Array.emptyByteArray) == "")
