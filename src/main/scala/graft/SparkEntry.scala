@@ -44,6 +44,107 @@ object SparkEntry {
       lit(" >>\nstream\n"), content, lit("\nendstream\nendobj\n%%EOF\n")), "UTF-8")
   }
 
+  /**
+   * splitmix64-in-DuckDB oracle builders (q14/q15): the engine's text hashing
+   * (graft.text.TextHash) is pure wrapping 64-bit arithmetic, so it is exactly
+   * expressible in DuckDB over HUGEINT (mod 2^64), with xor bridged through
+   * BIGINT bit patterns. Naive textual macro expansion explodes exponentially
+   * (each splitmix step duplicates its argument ~8×); instead every step binds
+   * its input as a lambda parameter via a single-element list_transform chain,
+   * keeping each builder ~17 KB.
+   */
+  private object Sql64 {
+    private val Two64 = "18446744073709551616"
+    private val Two63 = "9223372036854775808"
+    def toI64(h: String): String =
+      s"(CASE WHEN ($h) >= $Two63 THEN CAST(($h) - $Two64 AS BIGINT) ELSE CAST(($h) AS BIGINT) END)"
+    private def toU64(b: String): String =
+      s"(CASE WHEN ($b) < 0 THEN CAST(($b) AS HUGEINT) + $Two64 ELSE CAST(($b) AS HUGEINT) END)"
+    def ux(a: String, b: String): String = toU64(s"xor(${toI64(a)}, ${toI64(b)})")
+    private def ushr(a: String, n: Int): String = s"(($a) // ${1L << n})"
+    private def umul(a: String, b: String): String =
+      s"((( (($a) % 4294967296) * (($b) % 4294967296) ) + " +
+        s"((( (($a) // 4294967296) * (($b) % 4294967296) + (($a) % 4294967296) * (($b) // 4294967296) ) " +
+        s"% 4294967296) * 4294967296)) % $Two64)"
+    /** splitmix64 finalizer over an input expression (TextHash.mix). */
+    def sm(x: String): String = {
+      val step1 = s"((z1 + 11400714819323198485) % $Two64)"
+      val step2 = umul(ux("z2", ushr("z2", 30)), "13787848793156543929")
+      val step3 = umul(ux("z3", ushr("z3", 27)), "10723151780598845931")
+      val step4 = ux("z4", ushr("z4", 31))
+      s"(list_transform(list_transform(list_transform(list_transform(" +
+        s"[$x], z1 -> $step1), z2 -> $step2), z3 -> $step3), z4 -> $step4))[1]"
+    }
+    /** TextHash.hashToken over a token column: fold mix over char codes. */
+    def htok(tok: String, seed: Long): String = {
+      val init = sm(ux(seed.toString, s"CAST(len($tok) AS HUGEINT)"))
+      val chars = s"list_transform(range(1, len($tok)+1), ci -> CAST(ascii(substr($tok, ci, 1)) AS HUGEINT))"
+      s"list_reduce(list_prepend($init, $chars), (a, b) -> ${sm(ux("a", "b"))})"
+    }
+    val Pows: String = (0 until 64).map(b => s"${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT")
+      .mkString("[", ",", "]")
+  }
+
+  private def q14OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS tok
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE len(t) > 0
+       |),
+       |th AS (SELECT doc_id, ${Sql64.htok("tok", 0x5151L)} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, pw,
+       |    CASE WHEN 2 * sum(CAST((h // pw) % 2 AS BIGINT)) > count(*) THEN pw ELSE 0::HUGEINT END AS contrib
+       |  FROM th, (SELECT unnest(${Sql64.Pows}) AS pw)
+       |  GROUP BY doc_id, pw
+       |),
+       |sims AS (SELECT doc_id, sum(contrib) AS sim FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(printf('%x', ${Sql64.toI64("s.sim")}), '0') AS simhash_hex
+       |FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id""".stripMargin
+
+  private def q32OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS tok
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE len(t) > 0
+       |),
+       |th AS (SELECT doc_id, ${Sql64.htok("tok", 0x5151L)} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, pw,
+       |    CASE WHEN 2 * sum(CAST((h // pw) % 2 AS BIGINT)) > count(*) THEN pw ELSE 0::HUGEINT END AS contrib
+       |  FROM th, (SELECT unnest(${Sql64.Pows}) AS pw)
+       |  GROUP BY doc_id, pw
+       |),
+       |sims AS (SELECT doc_id, ${Sql64.toI64("sum(contrib)")} AS sim FROM bits GROUP BY doc_id)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+       |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+       |ORDER BY a, b""".stripMargin
+
+  private def q15OracleSql: String = {
+    val n = 8
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS tok, i
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |               unnest(range(len(string_split(text,' ')))) AS i FROM documents)
+       |  WHERE len(t) > 0
+       |),
+       |th AS (SELECT doc_id, i, ${Sql64.htok("tok", 0x7a7aL)} AS h FROM tok),
+       |ths AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+       |fps AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(
+       |      list_transform(range(greatest(1, len(hs) - $n + 1)),
+       |        ti -> list_reduce(list_prepend(11400714819323198485::HUGEINT,
+       |                hs[ti+1 : ti+least($n, len(hs))]), (a, b) -> ${Sql64.sm(Sql64.ux("a", "b"))})),
+       |      u -> ${Sql64.toI64("u")}), 'min') AS fp
+       |  FROM ths
+       |)
+       |SELECT d.doc_id, coalesce(printf('%x', f.fp), '0') AS fp_hex
+       |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id""".stripMargin
+  }
+
   /** Flagship: HTML-extraction round-trip over sf0.001 documents. */
   def entry(spark: SparkSession): DataFrame =
     queries("q17_extract_html_roundtrip")(spark, "/root/testdata/sf0.001")
@@ -196,16 +297,21 @@ object SparkEntry {
       graft.ops.DedupOps.nearDupPairs(
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id", 0.5)
         .orderBy(col("a"), col("b"))),
+    // Manku-style block-permuted multi-table SimHash (d=3, 4 tables of 16
+    // bits): FULL recall for hamming<=3 by pigeonhole, unlike a single prefix
     "q32_simhash_near_dups" -> ((s, dir) =>
       graft.ops.DedupOps.simhashNearDupPairs(
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id",
-        maxHamming = 8, prefixBits = 12)
+        maxHamming = 3)
         .orderBy(col("a"), col("b"))),
-    // two-phase dedup: LSH candidates verified by exact shingle Jaccard
+    // two-phase dedup: LSH candidates verified by exact shingle Jaccard.
+    // rowsPerBand=4 (16 bands): J≥0.8 pairs miss a band with p≈2e-4, giving
+    // total candidate recall on this corpus — so the output IS the exact
+    // {pairs: J ≥ 0.8} set, statable in plain SQL over string shingles
     "q33_verified_near_dups" -> ((s, dir) =>
       graft.ops.DedupOps.verifiedNearDupPairs(
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id",
-        threshold = 0.8, candidateThreshold = 0.4)
+        threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 4)
         .orderBy(col("a"), col("b"))),
     // embedding-cosine near-dup via bucketed multi-probe LSH; testdata embeddings
     // have no genuine near-dups (max pairwise cosine ≈ 0.49), so the corpus is
@@ -216,8 +322,13 @@ object SparkEntry {
       val perturbed = emb.select(
         (col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> IF(i = 0, x * 1.2f + 0.1f, x))").as("embedding"))
+      // (k, L) multi-table LSH at auto parameters recovers every perturbed
+      // pair (cosine ≈ 0.99) — the pair SET is the oracle contract (cosine
+      // VALUES are covered by q16's oracle; float-vs-double rounding at the
+      // 4th decimal would make them a flaky hash compare here)
       graft.ops.SimilarityOps.embeddingNearDupPairs(
         emb.unionByName(perturbed), "embedding", "vec_id", threshold = 0.95)
+        .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))
     }),
     "q14_simhash" -> ((s, dir) =>
@@ -392,13 +503,21 @@ object SparkEntry {
           when(col("d.error").isNotNull, "error").otherwise("extracted").as("status"),
           col("d.error").as("error_class"))),
 
-    // ---------------- fixture-corpus extraction (rows-only; full pipeline surface) ----------------
+    // ---------------- fixture-corpus extraction (golden-digest oracle; full pipeline surface) ----------------
     "q24_fixture_extract" -> ((s, dir) => {
-      // sfDir-independent deterministic corpus; exercises dispatch + quarantine
+      // sfDir-independent deterministic corpus; exercises dispatch + quarantine.
+      // Output is the corpus-level golden: row count + sha256 over the sorted
+      // per-url digests — byte-identity of all 877 extractions in one row the
+      // oracle can state as a pinned literal (regenerated only on deliberate
+      // extraction-semantics changes, like FIXTURES.md goldens)
       val pages = graft.fixtures.Corpus.pages(s, 1000, 42)
       val (valid, _) = graft.pipeline.ExtractPipeline.validate(pages, graft.pipeline.ExtractPipeline.Config())
-      valid.select(col("url"), text_digest(extract_any_text(col("html"))).as("text_sha256"))
-        .orderBy(col("url"))
+      valid.select(col("url"), text_digest(extract_any_text(col("html"))).as("d"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sha2(encode(concat_ws("\n",
+            sort_array(collect_list(concat_ws("\t", col("url"), col("d"))))), "UTF-8"), 256)
+            .as("corpus_digest"))
     })
   )
 
@@ -518,6 +637,40 @@ object SparkEntry {
         |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,
         |  CASE WHEN lang IN ('en','de','es','fr','zh') THEN lang ELSE 'unknown' END AS lang_clean
         |FROM documents""".stripMargin,
+    // the engine's splitmix64 hashing replayed exactly in DuckDB (HUGEINT
+    // mod-2^64 arithmetic; see Sql64) — deterministic functions deserve a
+    // full value oracle, not a rows-only check
+    "q14_simhash" -> q14OracleSql,
+    "q15_rolling_fingerprint" -> q15OracleSql,
+    // block-permuted multi-table SimHash guarantees the EXACT hamming<=3 pair
+    // set (pigeonhole recall + popcount verify), so the oracle is the brute
+    // force over the same splitmix64 simhash replayed in SQL
+    "q32_simhash_near_dups" -> q32OracleSql,
+    // exact token-3-shingle Jaccard over string shingles (hash-free mirror of
+    // TextHash.shingleJaccard — identical cardinalities absent 64-bit hash
+    // collisions); q33's banding gives total candidate recall on this corpus
+    "q33_verified_near_dups" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(x.sh || y.sh)), 4) AS jaccard
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |) WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    // every constructed perturbed pair (cosine ≈ 0.99) and nothing else — the
+    // originals' max pairwise cosine is far below the 0.95 threshold
+    "q34_embedding_near_dups" ->
+      "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings ORDER BY a",
+    // corpus-level golden for the sfDir-independent fixture extraction: the
+    // digest pins byte-identity of all 877 valid extractions (FIXTURES.md
+    // golden discipline — regenerate ONLY on deliberate semantic change)
+    "q24_fixture_extract" ->
+      """SELECT CAST(877 AS BIGINT) AS n_docs,
+        |  '781ff347dc4b38ef96ff2183fe2d64e34fc5370193770496992142bbe8f772d7' AS corpus_digest""".stripMargin,
     "q35_hocr_spans" ->
       """SELECT doc_id, 1 AS page,
         |  CAST(pos*100 AS INT) AS x1, 50 AS y1,

@@ -24,15 +24,26 @@ object DedupOps {
 
   /** MinHash-LSH near-dup candidate pairs (a < b) with estimated Jaccard ≥ threshold.
     * Band-key explode + self-join on the band bucket; signatures compared only for
-    * same-bucket candidates. */
+    * same-bucket candidates.
+    *
+    * Bucket cap: a degenerate band key (boilerplate-heavy shingle sets, empty
+    * docs) shared by m rows yields m(m-1)/2 candidates — quadratic inside one
+    * bucket at corpus scale. Rows in bands larger than maxBucketSize are
+    * excluded from the join via a window count over the SAME shuffle key (no
+    * extra scan); the dropped keys are diagnosable with oversizedBands. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
-                   numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8): DataFrame = {
+                   numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8,
+                   maxBucketSize: Int = 1 << 13): DataFrame = {
     // the band self-join shuffles only (id, band) — signatures (8× wider) are
     // attached AFTER candidate pairs are deduped, keeping the explosive stage narrow
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_band"))
     val bands = df.select(
       col(idCol).as("_id"),
       explode(minhash_bands(col(textCol), numHashes, shingleSize, rowsPerBand)).as("_band"))
+      .withColumn("_bsize", count(lit(1)).over(w))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x._band") === col("y._band") && col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
@@ -54,9 +65,11 @@ object DedupOps {
     * generate-then-verify shape; estimates never reach the output). */
   def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                            threshold: Double = 0.8,
-                           candidateThreshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+                           candidateThreshold: Double = 0.5, shingleSize: Int = 3,
+                           rowsPerBand: Int = 8): DataFrame = {
     val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_t"))
-    nearDupPairs(df, textCol, idCol, candidateThreshold, shingleSize = shingleSize)
+    nearDupPairs(df, textCol, idCol, candidateThreshold,
+      shingleSize = shingleSize, rowsPerBand = rowsPerBand)
       .join(texts.select(col("_tid"), col("_t").as("_ta")), col("a") === col("_tid")).drop("_tid")
       .join(texts.select(col("_tid"), col("_t").as("_tb")), col("b") === col("_tid")).drop("_tid")
       .withColumn("jaccard", round(shingle_jaccard(col("_ta"), col("_tb"), shingleSize), 4))
@@ -75,17 +88,53 @@ object DedupOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup pairs within Hamming distance ≤ maxHamming, bucketed by the
-    * top `prefixBits` bits (near-dups share the prefix with high probability for
-    * small hamming distances; multi-table variants can lower the miss rate). */
+  /** SimHash near-dup pairs within Hamming distance ≤ maxHamming, via
+    * block-permuted multi-table bucketing (Manku, Jain & Das Sarma, WWW'07):
+    * the 64-bit fingerprint splits into maxHamming+1 equal blocks; two
+    * fingerprints within distance d ≤ maxHamming agree on ≥1 whole block
+    * (pigeonhole), so bucketing once per block gives FULL recall — unlike the
+    * round-1 single-prefix table, which missed any pair whose differing bits
+    * landed in the prefix. Candidates are verified by exact popcount.
+    *
+    * Scale shape: maxHamming+1 narrow (id, block) self-joins unioned; with
+    * maxHamming=3 each table keys on 16 bits (65k buckets, growing with the
+    * corpus hash entropy). Oversized buckets (mass-identical fingerprints)
+    * are capped like nearDupPairs — exact-duplicate detection belongs to
+    * dropExactDups, not the Hamming join. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucketSize: Int = 1 << 13): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks >= 2 && nBlocks <= 16, "maxHamming must be in [1, 15]")
+    val blockBits = 64 / nBlocks
     val withSim = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sim"))
-      .withColumn("_bucket", shiftright(col("_sim"), 64 - prefixBits))
-    withSim.as("x").join(withSim.as("y"),
-        col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
-      .withColumn("hamming", bit_count(col("x._sim").bitwiseXOR(col("y._sim"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_block"))
+    val perTable: Seq[DataFrame] = (0 until nBlocks).map { t =>
+      // block t's bits as the bucket key, tagged with t so tables don't mix
+      val blockKey = concat(lit(t + ":"),
+        shiftrightunsigned(shiftleft(col("_sim"), t * blockBits), 64 - blockBits).cast("string"))
+      val table = withSim.withColumn("_block", blockKey)
+        .withColumn("_bsize", count(lit(1)).over(w))
+        .filter(col("_bsize") <= maxBucketSize)
+        .drop("_bsize")
+      table.as("x").join(table.as("y"),
+          col("x._block") === col("y._block") && col("x._id") < col("y._id"))
+        .select(col("x._id").as("a"), col("y._id").as("b"),
+          col("x._sim").as("_sa"), col("y._sim").as("_sb"))
+    }
+    perTable.reduce(_ unionByName _)
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("_sa")).as("_sa"), first(col("_sb")).as("_sb"))
+      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("x._id").as("a"), col("y._id").as("b"), col("hamming"))
+      .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Band buckets larger than maxBucketSize — the skew diagnostic for the cap
+    * applied in nearDupPairs (run it when dropped recall must be accounted). */
+  def oversizedBands(df: DataFrame, textCol: String,
+                     numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8,
+                     maxBucketSize: Int = 1 << 13): DataFrame =
+    df.select(explode(minhash_bands(col(textCol), numHashes, shingleSize, rowsPerBand)).as("_band"))
+      .groupBy("_band").count().filter(col("count") > maxBucketSize)
 }

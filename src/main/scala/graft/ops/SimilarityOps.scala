@@ -1,15 +1,27 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
 
 /**
  * Similarity search over embedding columns (Array[Float]) — brute-force exact
- * baseline and a hyperplane-LSH bucketed scale path (deterministic literal
- * planes, multi-probe over Hamming-1 buckets). All dot products are codegen'd
- * builtins (zip_with + aggregate), no UDFs.
+ * baseline and a multi-table hyperplane-LSH bucketed scale path (deterministic
+ * splitmix64-seeded planes, multi-probe over Hamming-1 buckets). All dot
+ * products are codegen'd builtins (zip_with + aggregate), no UDFs.
+ *
+ * Scale parameterization (the round-1 weakness this replaces): the number of
+ * sign-bit planes GROWS with corpus size — nPlanes ≈ log2(n / targetBucket) —
+ * so expected bucket occupancy stays ~targetBucket at any n instead of the
+ * candidate self-join going O(n²/2^k) with a FIXED k. Recall lost to more
+ * planes is bought back with L independent tables (classic (k, L) LSH,
+ * Indyk–Motwani / Gionis et al. VLDB'99) plus Hamming-1 multi-probe on the
+ * probing side. Degenerate buckets (all-zero vectors, mass duplicates) are
+ * capped: rows in buckets larger than maxBucketSize are dropped from the
+ * candidate join (quadratic blowup is never allowed), diagnosable via
+ * oversizedBuckets.
  */
 object SimilarityOps {
 
@@ -42,22 +54,68 @@ object SimilarityOps {
   def probeBuckets(bucket: Column, nPlanes: Int): Column =
     array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
 
-  /** Embedding near-dup pairs (a < b) with cosine ≥ threshold, generated via
-    * bucketed self-join + multi-probe (never a full cross join). */
+  /** Embedding width from the data (one-row metadata probe — never hardcode
+    * the fixture's 64). */
+  def embeddingDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Planes per table for a corpus of n vectors: expected bucket occupancy
+    * ≈ targetBucket, clamped to [minPlanes, 24] (24 sign bits = 16M buckets
+    * per table — beyond that the int bucket id and probe fan-out dominate). */
+  def planesFor(n: Long, targetBucket: Int = 64, minPlanes: Int = 8): Int =
+    math.min(24, math.max(minPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
+  /** Buckets larger than maxBucketSize across the (table, bucket) keys —
+    * the skew diagnostic for the cap applied in embeddingNearDupPairs. */
+  def oversizedBuckets(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
+                       maxBucketSize: Int): DataFrame = {
+    val dim = embeddingDim(df, vecCol)
+    val emb = df.select(transform(col(vecCol), x => x.cast("double")).as("_v"))
+    val tables = (0 until nTables).map { t =>
+      emb.select(lit(t).as("_table"), lshBucket(col("_v"), lshPlanes(nPlanes, dim, seed = t.toLong * 0x9e37L)).as("_bucket"))
+    }.reduce(_ unionByName _)
+    tables.groupBy("_table", "_bucket").count().filter(col("count") > maxBucketSize)
+  }
+
+  /** Embedding near-dup pairs (a < b) with cosine ≥ threshold via (k, L)
+    * hyperplane LSH: k sign-bit planes per table (k grown with corpus size),
+    * L independent tables unioned, Hamming-1 multi-probe on the probing side,
+    * exact cosine verification on candidates only — never a full cross join.
+    *
+    * Shuffle shape: per table, one narrow (id, bucket) self-join; vectors ride
+    * along (needed for the verify). Buckets over maxBucketSize are excluded
+    * from the join (window count over the same shuffle key — no extra scan);
+    * at 10^10 rows one degenerate bucket would otherwise go quadratic. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
-    val dim = 64 // fixture/testdata embedding width
-    val planes = lshPlanes(nPlanes, dim)
+                            threshold: Double = 0.95,
+                            nPlanes: Int = 0, nTables: Int = 4,
+                            targetBucketSize: Int = 64,
+                            maxBucketSize: Int = 1 << 13): DataFrame = {
+    val dim = embeddingDim(df, vecCol)
+    val k = if (nPlanes > 0) nPlanes else planesFor(df.count(), targetBucketSize)
     val emb = df.select(col(idCol).as("_id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"))
-      .withColumn("_bucket", lshBucket(col("_v"), planes))
-    val probed = emb.select(col("_id"), col("_v"),
-      explode(probeBuckets(col("_bucket"), nPlanes)).as("_bucket"))
-    probed.as("x").join(emb.as("y"),
-        col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
-      .withColumn("cosine", cosine_sim(col("x._v"), col("y._v")))
+    val perTable: Seq[DataFrame] = (0 until nTables).map { t =>
+      val planes = lshPlanes(k, dim, seed = t.toLong * 0x9e37L)
+      val bucketed = emb.withColumn("_bucket", lshBucket(col("_v"), planes))
+      val w = Window.partitionBy(col("_bucket"))
+      val capped = bucketed
+        .withColumn("_bsize", count(lit(1)).over(w))
+        .filter(col("_bsize") <= maxBucketSize)
+        .drop("_bsize")
+      val probed = capped.select(col("_id"), col("_v"),
+        explode(probeBuckets(col("_bucket"), k)).as("_bucket"))
+      probed.as("x").join(capped.as("y"),
+          col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
+        .select(col("x._id").as("a"), col("y._id").as("b"),
+          col("x._v").as("_va"), col("y._v").as("_vb"))
+    }
+    perTable.reduce(_ unionByName _)
+      .groupBy(col("a"), col("b")) // dedup across tables before the (cheap) verify
+      .agg(first(col("_va")).as("_va"), first(col("_vb")).as("_vb"))
+      .withColumn("cosine", cosine_sim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("x._id").as("a"), col("y._id").as("b"), round(col("cosine"), 4).as("cosine"))
-      .distinct()
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 }

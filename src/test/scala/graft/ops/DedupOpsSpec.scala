@@ -94,15 +94,49 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.forall(pairs.contains), s"missing ${expected.count(p => !pairs.contains(p))}")
   }
 
-  test("simhashNearDupPairs finds small-perturbation duplicates") {
+  test("simhashNearDupPairs: block-permuted tables give EXACT hamming<=d pair set") {
     val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
     val all = docs.select(col("doc_id"), col("text")).unionByName(mutated)
-    val pairs = DedupOps.simhashNearDupPairs(all, "text", "doc_id", maxHamming = 8, prefixBits = 12)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = docs.select("doc_id").collect().map(_.getLong(0))
-      .map(i => (i, i + 1000000L)).toSet
-    val recall = expected.count(pairs.contains).toDouble / expected.size
-    assert(recall >= 0.5, f"simhash recall $recall%.2f") // single-table prefix LSH is lossy by design
+    for (d <- Seq(3, 8)) {
+      val pairs = DedupOps.simhashNearDupPairs(all, "text", "doc_id", maxHamming = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force truth: pigeonhole blocking guarantees FULL recall, and the
+      // popcount verify guarantees full precision — the sets must be EQUAL
+      val sims = all.collect().map(r => r.getLong(0) -> graft.text.TextHash.simhash64(r.getString(1)))
+      val truth = (for {
+        (ia, sa) <- sims; (ib, sb) <- sims
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= d
+      } yield (ia, ib)).toSet
+      assert(pairs == truth,
+        s"d=$d missing=${(truth -- pairs).size} extra=${(pairs -- truth).size} truth=${truth.size}")
+    }
+  }
+
+  test("bucket caps bound degenerate keys: no quadratic blowup, diagnosable") {
+    val s = spark
+    import s.implicits._
+    // 300 token-identical docs (one degenerate band bucket) + normal docs
+    val degenerate = (0 until 300).map(i => (5000000L + i, "same same same tokens here"))
+    val all = docs.select(col("doc_id"), col("text"))
+      .unionByName(degenerate.toDF("doc_id", "text"))
+    val capped = DedupOps.nearDupPairs(all, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 100)
+    // without the cap the degenerate key alone yields 300*299/2 = 44850 pairs
+    val degeneratePairs = capped.filter(col("a") >= 5000000L).count()
+    assert(degeneratePairs == 0, s"degenerate bucket leaked $degeneratePairs pairs")
+    val oversized = DedupOps.oversizedBands(all, "text", maxBucketSize = 100)
+    assert(oversized.count() > 0) // the skew IS visible to the operator
+    // same shape for the embedding path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val massDup = emb.limit(1).select(col("embedding")).crossJoin(
+      spark.range(6000000L, 6000300L).toDF("vec_id")).select(col("vec_id"), col("embedding"))
+    val allEmb = emb.select(col("vec_id"), col("embedding")).unionByName(massDup)
+    val cappedEmb = graft.ops.SimilarityOps.embeddingNearDupPairs(
+      allEmb, "embedding", "vec_id", threshold = 0.999, maxBucketSize = 100)
+    assert(cappedEmb.filter(col("a") >= 6000000L).count() == 0)
+    val over = graft.ops.SimilarityOps.oversizedBuckets(allEmb, "embedding",
+      nPlanes = 8, nTables = 2, maxBucketSize = 100)
+    assert(over.count() > 0)
   }
 }
