@@ -47,6 +47,17 @@ final case class QuarantineRow(
     payload_sha256: String
 )
 
+/** Append-only audit event (reference AuditLog table,
+  * database_manager.py:122-150): one row per run lifecycle event. */
+final case class AuditRow(
+    run_id: String,
+    seq: Int, // per-run monotonic sequence
+    ts_utc_ms: Long,
+    event_type: String, // run_start | resume | group_commit | batch_too_large | run_complete
+    severity: String, // info | warning | error
+    message: String
+)
+
 /** Run-level job record (reference OCRJob, database_manager.py:42-84). */
 final case class JobRow(
     run_id: String,

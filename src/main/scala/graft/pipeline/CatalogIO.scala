@@ -69,6 +69,22 @@ object CatalogIO {
   def latestSnapshot(spark: SparkSession, tableDir: String): Option[String] =
     listSnapshots(spark, tableDir).lastOption
 
+  /** Retention (F5, reference cleanup job database_manager.py:537-568):
+    * delete all but the newest `keepLast` snapshot manifests. Data files are
+    * NOT touched — buckets are overwritten in place per run, so old snapshots
+    * are metadata-only views; expiring them bounds the manifest log. Returns
+    * the expired snapshot ids. */
+  def expireSnapshots(spark: SparkSession, tableDir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val all = listSnapshots(spark, tableDir)
+    val expire = all.dropRight(keepLast)
+    val f = fs(spark, tableDir)
+    expire.foreach { id =>
+      f.delete(new Path(s"$tableDir/_manifests/$id.json"), false)
+    }
+    expire
+  }
+
   def readSnapshotJson(spark: SparkSession, tableDir: String, snapshotId: String): String = {
     val p = new Path(s"$tableDir/_manifests/$snapshotId.json")
     val in = fs(spark, tableDir).open(p)

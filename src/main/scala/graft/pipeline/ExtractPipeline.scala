@@ -36,7 +36,8 @@ object ExtractPipeline {
       withSpans: Boolean = true, // emit hOCR-analog word spans for PDF payloads (visual/force modes, A8)
       freqAwareSalt: Boolean = false, // sample host shares, salt only the zipf head (SkewSalting)
       commitGroups: Int = 1, // >1 ⇒ buckets committed in batches (finer mid-job checkpoints, more input scans)
-      failAfterGroups: Option[Int] = None // test hook: inject a crash after N group commits
+      failAfterGroups: Option[Int] = None, // test hook: inject a crash after N group commits
+      maxRowsPerRun: Long = 0L // B11 batch cap (config.py:56): >0 ⇒ audit-flag oversized runs
   )
 
   /** Validation struct: quarantine reasons per row (empty ⇒ valid).
@@ -225,8 +226,37 @@ object ExtractPipeline {
     val quarantinePath = s"$outDir/quarantine"
     val jobsPath = s"$outDir/jobs"
     val metricsPath = s"$outDir/metrics"
+    val auditPath = s"$outDir/audit"
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
+
+    // A12 audit log (database_manager.py:122-150): events buffer driver-side
+    // and flush as parquet appends at durability points (after each group
+    // commit and at run end) — a crash keeps every committed group's events
+    import spark.implicits._
+    var auditSeq = 0
+    val auditBuf = scala.collection.mutable.ArrayBuffer.empty[graft.model.AuditRow]
+    def audit(eventType: String, severity: String, message: String): Unit = {
+      auditBuf += graft.model.AuditRow(cfg.runId, auditSeq, System.currentTimeMillis(),
+        eventType, severity, message)
+      auditSeq += 1
+    }
+    def flushAudit(): Unit = if (auditBuf.nonEmpty) {
+      auditBuf.toSeq.toDF().write.mode(SaveMode.Append).parquet(auditPath)
+      auditBuf.clear()
+    }
+    audit("run_start", "info", s"mode=${cfg.mode} nBuckets=${cfg.nBuckets} commitGroups=${cfg.commitGroups}")
+
+    // B11 batch cap (config.py:56; enforcement security_validator.py:286-288):
+    // the reference flags oversized batches with an issue + recommendation and
+    // proceeds — mirrored as an audit warning, not a hard failure
+    if (cfg.maxRowsPerRun > 0) {
+      val inRows = pages.count()
+      if (inRows > cfg.maxRowsPerRun)
+        audit("batch_too_large", "warning",
+          s"input rows $inRows exceed maxRowsPerRun=${cfg.maxRowsPerRun}; " +
+            "process in smaller runs or raise the cap")
+    }
 
     // resume: buckets with committed lineage are done — gate every sink on them.
     // The done list is at most nBuckets entries (driver-safe); a NOT-isin filter
@@ -238,6 +268,8 @@ object ExtractPipeline {
           .select(col(BucketCol)).distinct().collect().map(_.getInt(0))
       else Array.empty[Int]
     val nDone = doneBucketIds.length
+    if (nDone > 0)
+      audit("resume", "info", s"$nDone bucket(s) already committed; recomputing only the rest")
     def notDone(df: DataFrame): DataFrame =
       if (nDone > 0) df.filter(!col(BucketCol).isin(doneBucketIds.toSeq: _*)) else df
 
@@ -290,6 +322,9 @@ object ExtractPipeline {
         .filter(col(BucketCol).isin(group: _*))
       lineage(written, cfg.runId).write.mode(SaveMode.Append).parquet(lineagePath)
       committed += 1
+      audit("group_commit", "info",
+        s"group $committed/${groups.size}: buckets ${group.min}..${group.max} (${group.size})")
+      flushAudit() // durability point: committed groups' audit rows survive a crash
       cfg.failAfterGroups.foreach { k =>
         if (committed >= k && committed < groups.size)
           throw new IllegalStateException(s"injected failure after $committed commit group(s)")
@@ -337,6 +372,10 @@ object ExtractPipeline {
       status = "completed"
     )).toDF().write.mode(SaveMode.Append).parquet(jobsPath)
 
+    audit("run_complete", "info",
+      s"extracted=$nExtracted skipped=$nSkipped errors=$nErrors quarantined=$q snapshot=$snapshotId")
+    flushAudit()
+
     spark.sparkContext.removeSparkListener(metrics)
     metrics.write(spark, cfg.runId, metricsPath)
 
@@ -349,6 +388,36 @@ object ExtractPipeline {
       quarantined = q,
       resumedBuckets = nDone,
       snapshotId = snapshotId)
+  }
+
+  /**
+   * Retention job (F5, reference cleanup database_manager.py:537-568): expire
+   * all but the newest `keepSnapshots` snapshot manifests and compact the
+   * lineage log to the latest committed row per bucket. Resume semantics are
+   * preserved exactly — resume reads only committed buckets' latest state,
+   * which compaction keeps. The compacted lineage is written to a temp dir
+   * and swapped in with renames so a crash leaves either the old or the new
+   * log, never a partial one.
+   */
+  def retention(spark: SparkSession, outDir: String, keepSnapshots: Int = 3): Unit = {
+    val lineagePath = s"$outDir/lineage"
+    CatalogIO.expireSnapshots(spark, s"$outDir/extracted", keepSnapshots)
+    if (!fsExists(spark, lineagePath)) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(BucketCol))
+      .orderBy(col("committed_utc_ms").desc, col("run_id").desc)
+    val latest = spark.read.parquet(lineagePath)
+      .filter(col("status") === "committed")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val tmpPath = s"$outDir/lineage_compact_tmp"
+    latest.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val hPath = new org.apache.hadoop.fs.Path(lineagePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$outDir/lineage_old_tmp")
+    fs.rename(hPath, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hPath)
+    fs.delete(old, true)
   }
 
   /** Per-run rollup joining jobs to lineage (reference job_summary view,

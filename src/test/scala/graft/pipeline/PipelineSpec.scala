@@ -237,6 +237,65 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(lin.getLong(0) == 1 && lin.getLong(1) == 2)
   }
 
+  test("audit log: crash keeps committed groups' events; resume completes the trail") {
+    val out = tmp()
+    val cfg = ExtractPipeline.Config(mode = "force", runId = "a1", nBuckets = 16,
+      commitGroups = 4, maxRowsPerRun = 100)
+    intercept[IllegalStateException] {
+      ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(failAfterGroups = Some(2)))
+    }
+    val afterCrash = spark.read.parquet(s"$out/audit")
+      .orderBy(col("seq")).collect().map(r => r.getAs[String]("event_type"))
+    // durability: run_start, the B11 warning (500 > 100), and exactly the two
+    // committed groups' events survive; run_complete must NOT be present
+    assert(afterCrash.toSeq == Seq("run_start", "batch_too_large", "group_commit", "group_commit"),
+      afterCrash.mkString(","))
+    val warn = spark.read.parquet(s"$out/audit")
+      .filter(col("event_type") === "batch_too_large").collect()(0)
+    assert(warn.getAs[String]("severity") == "warning")
+    assert(warn.getAs[String]("message").contains("500"))
+
+    ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "a2"))
+    val events = spark.read.parquet(s"$out/audit")
+      .select("run_id", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(events.contains(("a2", "resume")))
+    assert(events.contains(("a2", "run_complete")))
+    assert(!events.contains(("a1", "run_complete")))
+  }
+
+  test("retention: old snapshots expire, lineage compacts to latest per bucket, resume intact") {
+    val out = tmp()
+    val cfg = ExtractPipeline.Config(mode = "force", runId = "r-old", nBuckets = 16)
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg)
+    // synthesize history: stale rows for every bucket from an older run
+    val lin = spark.read.parquet(res.lineagePath)
+    lin.withColumn("run_id", lit("run-ancient"))
+      .withColumn("committed_utc_ms", col("committed_utc_ms") - 1000000L)
+      .withColumn("digest", lit("stale"))
+      .write.mode("append").parquet(res.lineagePath)
+    (1 to 4).foreach { i =>
+      CatalogIO.writeSnapshot(spark, res.extractedPath,
+        CatalogIO.Snapshot(f"snap-x$i%02d", s"r$i", "", i.toLong, Seq.empty))
+    }
+    assert(spark.read.parquet(res.lineagePath).count() == 32)
+    assert(CatalogIO.listSnapshots(spark, res.extractedPath).size == 5)
+
+    ExtractPipeline.retention(spark, out, keepSnapshots = 2)
+
+    val snaps = CatalogIO.listSnapshots(spark, res.extractedPath)
+    assert(snaps.size == 2 && snaps.last == "snap-x04", snaps.mkString(","))
+    val compacted = spark.read.parquet(res.lineagePath).collect()
+    assert(compacted.length == 16)
+    compacted.foreach { r =>
+      assert(r.getAs[String]("run_id") == "r-old") // the newer rows won
+      assert(r.getAs[String]("digest") != "stale")
+    }
+    // resume still sees every bucket as done
+    val res2 = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "r-new"))
+    assert(res2.resumedBuckets == 16)
+  }
+
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
