@@ -327,8 +327,24 @@ object HtmlExtract {
           appendChar('&'); i += 1
         }
       } else {
-        if (isWs(c)) flushWord() else appendChar(c)
-        i += 1
+        if (isWs(c)) { flushWord(); i += 1 }
+        else {
+          // bulk word-run: scan to the next markup/entity/whitespace boundary
+          // and append the whole run in one copy — the per-char append was the
+          // single hottest path in the walk (~1 call per payload byte)
+          var j = i + 1
+          while (j < n && {
+            val cj = s.charAt(j)
+            cj != '<' && cj != '&' && !isWs(cj)
+          }) j += 1
+          if (acc.wordStart < 0) {
+            if (acc.sb.length() == 0) blockBoiler = boilerDepth > 0
+            else acc.sb.append(' ')
+            acc.wordStart = acc.sb.length()
+          }
+          acc.sb.append(s, i, j)
+          i = j
+        }
       }
     }
     flushBlock()
