@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def record(warcType: String, uri: String, date: String, payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h.append("WARC/1.0\r\n")
+    h.append(s"WARC-Type: $warcType\r\n")
+    if (uri != null) h.append(s"WARC-Target-URI: $uri\r\n")
+    h.append(s"WARC-Date: $date\r\n")
+    h.append(s"WARC-Record-ID: <urn:uuid:0000-$warcType>\r\n")
+    h.append(s"Content-Length: ${payload.length}\r\n")
+    h.append("\r\n")
+    val out = new ByteArrayOutputStream()
+    out.write(h.toString.getBytes(US_ASCII))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(US_ASCII))
+    out.toByteArray
+  }
+
+  private def httpResponse(body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n"
+    val out = new ByteArrayOutputStream()
+    out.write(head.getBytes(US_ASCII))
+    out.write(body)
+    out.toByteArray
+  }
+
+  private val html = "<html><body><p>the quick brown fox jumps over the lazy dog today</p></body></html>".getBytes(US_ASCII)
+  private val html2 = "<html><body><p>another page with enough words to count as real content here</p></body></html>".getBytes(US_ASCII)
+
+  private def warcBytes(): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record("warcinfo", null, "2026-01-02T03:04:05Z", "software: test".getBytes(US_ASCII)))
+    out.write(record("request", "http://x.example/a", "2026-01-02T03:04:05Z",
+      "GET /a HTTP/1.1\r\nHost: x.example\r\n\r\n".getBytes(US_ASCII)))
+    out.write(record("response", "http://x.example/a", "2026-01-02T03:04:05Z", httpResponse(html)))
+    out.write(record("response", "http://x.example/b", "2026-01-02T03:04:06Z", httpResponse(html2)))
+    out.toByteArray
+  }
+
+  test("plain WARC: response records become PageRows, HTTP headers stripped") {
+    val recs = WarcSource.records(warcBytes(), gzipped = false).toList
+    assert(recs.map(_.warcType) == List("warcinfo", "request", "response", "response"))
+    val dir = Files.createTempDirectory("graft-warc")
+    Files.write(dir.resolve("test.warc"), warcBytes())
+    val df = WarcSource.pages(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
+    val rows = df.orderBy("url").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "http://x.example/a")
+    assert(rows(0).getAs[Array[Byte]]("html").toSeq == html.toSeq) // HTTP head stripped
+    assert(rows(0).getTimestamp(1).toInstant.toString == "2026-01-02T03:04:05Z")
+    // pipeline-ready: extraction over the warc rows
+    val texts = df.withColumn("t", graft.functions.extract_any_text(col("html")))
+      .select("url", "t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("http://x.example/a") == "the quick brown fox jumps over the lazy dog today")
+  }
+
+  test("gzipped WARC with one gzip member PER RECORD (Common Crawl layout)") {
+    val out = new ByteArrayOutputStream()
+    def member(rec: Array[Byte]): Unit = {
+      val gz = new GZIPOutputStream(out)
+      gz.write(rec); gz.finish()
+    }
+    member(record("response", "http://y.example/1", "2026-02-03T00:00:00Z", httpResponse(html)))
+    member(record("request", "http://y.example/1", "2026-02-03T00:00:00Z", "GET / HTTP/1.1\r\n\r\n".getBytes(US_ASCII)))
+    member(record("response", "http://y.example/2", "2026-02-03T00:00:01Z", httpResponse(html2)))
+    val dir = Files.createTempDirectory("graft-warcgz")
+    Files.write(dir.resolve("cc.warc.gz"), out.toByteArray)
+    val df = WarcSource.pages(spark, dir.toString)
+    assert(df.count() == 2)
+    assert(df.select("url").collect().map(_.getString(0)).toSet ==
+      Set("http://y.example/1", "http://y.example/2"))
+  }
+
+  test("totality: truncated records, junk bytes, bad dates never throw") {
+    assert(WarcSource.records(Array.emptyByteArray, gzipped = false).isEmpty)
+    assert(WarcSource.records("JUNK NOT WARC".getBytes(US_ASCII), gzipped = false).isEmpty)
+    assert(WarcSource.records("garbage".getBytes(US_ASCII), gzipped = true).isEmpty)
+    val truncated = warcBytes().take(100)
+    assert(WarcSource.records(truncated, gzipped = false).isEmpty) // header ok, body short
+    // declared length overruns payload → iteration ends, no throw
+    val lying = record("response", "http://z.example", "not-a-date", httpResponse(html))
+    val mangled = new String(lying, US_ASCII).replace(s"Content-Length: ", "Content-Length: 9")
+    WarcSource.records(mangled.getBytes(US_ASCII), gzipped = false).toList
+    assert(WarcSource.parseWarcDate("not-a-date").getTime == 0L)
+  }
+}
