@@ -379,6 +379,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
     }),
 
+    // IVF (inverted-file) ANN — the trained-coarse-quantizer scale path
+    // (k-means lists; queries rank only their nProbe nearest lists). The
+    // testdata embeddings are random (no cluster structure), so partial
+    // probing is genuinely lossy there — its recall curve is pinned in
+    // IvfAnnSpec; HERE nProbe=k validates the full machinery (train → assign
+    // → probe → list join → exact re-rank) against the brute-force oracle.
+    "q37_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id", k = 16, iters = 3)
+      graft.ops.IvfAnn.topK(emb, "embedding", "vec_id", col("vec_id") < 20,
+        centroids, k = 5, nProbe = 16)
+    }),
+
     // ---------------- extraction round-trips (the engine core, oracle-checked) ----------------
     "q17_extract_html_roundtrip" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -607,6 +620,15 @@ object SparkEntry {
       """SELECT sha256(text) AS text_sha256, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY text HAVING count(*) > 1""".stripMargin,
     "q16_ann_cosine_topk" ->
+      """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |) WHERE rank <= 5""".stripMargin,
+    // IVF at nProbe=k is exhaustive → must equal the brute-force baseline
+    "q37_ann_ivf" ->
       """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
