@@ -296,11 +296,123 @@ object PdfExtract {
     } catch { case _: Exception => Array.emptyByteArray }
   }
 
+  // --------------------------------------------------- ToUnicode / CID text
+
+  /** Code→text map from a font's /ToUnicode CMap (PDF 32000 §9.10.3).
+    * Real-world PDFs show CID text as 2-byte codes meaningless without this —
+    * the round-1 interpreter read such strings as latin-1 garbage. */
+  private[pdf] final case class ToUni(twoByte: Boolean, map: Map[Int, String])
+
+  private val HexTok = """<([0-9A-Fa-f]+)>""".r
+
+  /** Parse bfchar/bfrange sections of a ToUnicode CMap stream. Total. */
+  private[pdf] def parseToUnicode(bytes: Array[Byte]): Option[ToUni] = {
+    try {
+      val s = new String(bytes, StandardCharsets.ISO_8859_1)
+      def hexInt(h: String): Int = java.lang.Integer.parseInt(h, 16)
+      def utf16(h: String): String = {
+        val sb = new java.lang.StringBuilder(h.length / 4)
+        var i = 0
+        while (i + 4 <= h.length) { sb.append(hexInt(h.substring(i, i + 4)).toChar); i += 4 }
+        if (i < h.length) sb.append(hexInt(h.substring(i)).toChar) // short dst (rare)
+        sb.toString
+      }
+      var twoByte = true
+      val cs = s.indexOf("begincodespacerange")
+      if (cs >= 0)
+        HexTok.findFirstMatchIn(s.substring(cs, math.min(s.length, cs + 256)))
+          .foreach(m => twoByte = m.group(1).length > 2)
+      val out = mutable.Map.empty[Int, String]
+      def sections(begin: String, end: String): Iterator[String] = {
+        var from = 0
+        Iterator.continually {
+          val b = s.indexOf(begin, from)
+          if (b < 0) null
+          else {
+            val e = s.indexOf(end, b)
+            val sec = if (e < 0) s.substring(b) else s.substring(b + begin.length, e)
+            from = if (e < 0) s.length else e + end.length
+            sec
+          }
+        }.takeWhile(_ != null)
+      }
+      sections("beginbfchar", "endbfchar").foreach { sec =>
+        val toks = HexTok.findAllMatchIn(sec).map(_.group(1)).toList
+        toks.grouped(2).foreach {
+          case List(src, dst) if out.size < (1 << 17) => out(hexInt(src)) = utf16(dst)
+          case _ =>
+        }
+      }
+      sections("beginbfrange", "endbfrange").foreach { sec =>
+        // <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+        var rest = sec
+        val Range3 = """(?s)\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])(.*)""".r
+        var continue = true
+        while (continue) rest match {
+          case Range3(lo0, hi0, dst, tail) =>
+            val lo = hexInt(lo0); val hi = hexInt(hi0)
+            if (hi >= lo && hi - lo < (1 << 16) && out.size < (1 << 17)) {
+              if (dst.startsWith("[")) {
+                val ds = HexTok.findAllMatchIn(dst).map(m => utf16(m.group(1))).toIndexedSeq
+                var c = lo
+                while (c <= hi && (c - lo) < ds.length) { out(c) = ds(c - lo); c += 1 }
+              } else {
+                val base = utf16(dst.substring(1, dst.length - 1))
+                var c = lo
+                while (c <= hi) {
+                  // per spec: increment the LAST UTF-16 unit by the offset
+                  if (base.nonEmpty) {
+                    val arr = base.toCharArray
+                    arr(arr.length - 1) = (arr(arr.length - 1) + (c - lo)).toChar
+                    out(c) = new String(arr)
+                  }
+                  c += 1
+                }
+              }
+            }
+            rest = tail
+          case _ => continue = false
+        }
+      }
+      if (out.isEmpty) None else Some(ToUni(twoByte, out.toMap))
+    } catch { case _: Exception => None }
+  }
+
+  /** Font-resource-name → ToUnicode map for a page (via /Resources /Font). */
+  private def fontMapOf(objs: Map[Int, PdfObj], bodies: Map[Int, String],
+                        pageBody: String): Map[String, ToUni] = {
+    try {
+      val at = pageBody.indexOf("/Resources")
+      if (at < 0) return Map.empty
+      val after = pageBody.substring(at + "/Resources".length)
+      val trimmed = after.dropWhile(c => c == ' ' || c == '\n' || c == '\r' || c == '\t')
+      val res: String =
+        if (trimmed.startsWith("<<")) trimmed
+        else RefRx.findFirstMatchIn(trimmed).map(_.group(1).toInt).flatMap(bodies.get).getOrElse(return Map.empty)
+      val fa = res.indexOf("/Font")
+      if (fa < 0) return Map.empty
+      val sub = res.substring(fa)
+      val open = sub.indexOf("<<")
+      val close = if (open >= 0) sub.indexOf(">>", open) else -1
+      val region = if (open >= 0 && close > open) sub.substring(open, close) else sub.take(512)
+      val FontPair = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
+      FontPair.findAllMatchIn(region).flatMap { m =>
+        for {
+          fb <- bodies.get(m.group(2).toInt)
+          tuRef <- dictRef(fb, "/ToUnicode")
+          obj <- objs.get(tuRef)
+          sb <- streamBytes(obj)
+          tu <- parseToUnicode(sb)
+        } yield m.group(1) -> tu
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** Page content streams in document page order (catalog → pages → kids). */
-  private def pageStreams(bytes: Array[Byte]): List[Array[Byte]] =
+  private def pageStreams(bytes: Array[Byte]): List[(Array[Byte], Map[String, ToUni])] =
     pageStreamsOf(scanObjects(bytes))
 
-  private def pageStreamsOf(objs: Map[Int, PdfObj]): List[Array[Byte]] = {
+  private def pageStreamsOf(objs: Map[Int, PdfObj]): List[(Array[Byte], Map[String, ToUni])] = {
     if (objs.isEmpty) return Nil
     val bodies = objs.map { case (k, v) => k -> v.dictStr }
     val pageOrder: List[Int] = {
@@ -330,21 +442,49 @@ object PdfExtract {
         contentsRef <- dictRef(bodies(p), "/Contents")
         obj <- objs.get(contentsRef)
         sb <- streamBytes(obj)
-      } yield sb
+      } yield (sb, fontMapOf(objs, bodies, bodies(p)))
     }
   }
 
   // ------------------------------------------------------- content interpreter
 
-  /** Tokenize + interpret one content stream into positioned runs for `page`. */
-  private def interpret(content: Array[Byte], page: Int, out: mutable.ArrayBuffer[Run]): Unit = {
+  private final case class Name(s: String)
+
+  /** Tokenize + interpret one content stream into positioned runs for `page`.
+    * `fonts` maps font resource names (Tf operand) to ToUnicode CMaps; shown
+    * strings under a mapped font decode through it (CID/2-byte text). */
+  private def interpret(content: Array[Byte], page: Int, out: mutable.ArrayBuffer[Run],
+                        fonts: Map[String, ToUni] = Map.empty): Unit = {
     val n = content.length
     var i = 0
-    val operands = mutable.ArrayBuffer.empty[Any] // Float | String | List[Any]
+    val operands = mutable.ArrayBuffer.empty[Any] // Float | String | List[Any] | Name
     var fontSize = 12f
+    var curFont: ToUni = null
     var leading = 0f
     var lineX = 0f; var lineY = 0f
     var curX = 0f; var curY = 0f
+
+    def decodeShown(raw: String): String = {
+      if (curFont == null) return raw
+      val sb = new java.lang.StringBuilder(raw.length)
+      if (curFont.twoByte) {
+        var k = 0
+        while (k + 1 < raw.length) {
+          val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+          sb.append(curFont.map.getOrElse(code, "\uFFFD"))
+          k += 2
+        }
+        if ((raw.length & 1) == 1) sb.append('\uFFFD') // odd trailing byte
+      } else {
+        var k = 0
+        while (k < raw.length) {
+          val c = raw.charAt(k)
+          sb.append(curFont.map.getOrElse(c & 0xff, String.valueOf(c)))
+          k += 1
+        }
+      }
+      sb.toString
+    }
 
     def emit(text: String): Unit = {
       if (text.nonEmpty) {
@@ -410,7 +550,14 @@ object PdfExtract {
     }
 
     def applyOp(op: String): Unit = op match {
-      case "Tf" => fontSize = num(operands.lastOption.getOrElse(0f)); operands.clear()
+      case "Tf" =>
+        fontSize = num(operands.lastOption.getOrElse(0f))
+        // the font operand is the name before the size: /F1 12 Tf
+        curFont = (if (operands.length >= 2) operands(operands.length - 2) else null) match {
+          case Name(nm) => fonts.getOrElse(nm, null)
+          case _ => curFont
+        }
+        operands.clear()
       case "TL" => leading = popN(1)(0); operands.clear()
       case "Td" =>
         val v = popN(2); lineX += v(0); lineY += v(1); curX = lineX; curY = lineY; operands.clear()
@@ -424,23 +571,23 @@ object PdfExtract {
         lineX = 0f; lineY = 0f; curX = 0f; curY = 0f; operands.clear()
       case "ET" => operands.clear()
       case "Tj" =>
-        operands.lastOption match { case Some(s: String) => emit(s); case _ => }
+        operands.lastOption match { case Some(s: String) => emit(decodeShown(s)); case _ => }
         operands.clear()
       case "'" =>
         lineY -= leading; curX = lineX; curY = lineY
-        operands.lastOption match { case Some(s: String) => emit(s); case _ => }
+        operands.lastOption match { case Some(s: String) => emit(decodeShown(s)); case _ => }
         operands.clear()
       case "\"" =>
         // aw ac string ": set word/char spacing (ignored by the 0.5em width
         // model), then next-line-show like ' — the string must not be dropped
         lineY -= leading; curX = lineX; curY = lineY
-        operands.lastOption match { case Some(s: String) => emit(s); case _ => }
+        operands.lastOption match { case Some(s: String) => emit(decodeShown(s)); case _ => }
         operands.clear()
       case "TJ" =>
         operands.lastOption match {
           case Some(arr: List[_]) =>
             arr.foreach {
-              case s: String => emit(s)
+              case s: String => emit(decodeShown(s))
               case f: Float => curX -= f / 1000f * fontSize
               case _ =>
             }
@@ -476,9 +623,11 @@ object PdfExtract {
         i += 1
       } else if (b == '/') {
         i += 1
+        val nameStart = i
         while (i < n && isRegular(content(i))) i += 1
-        // names are ignored as operands
-        if (arrayAcc == null) operands += 0f
+        // names ride as operands so Tf can resolve the font resource
+        if (arrayAcc == null)
+          operands += Name(new String(content, nameStart, i - nameStart, StandardCharsets.US_ASCII))
       } else if ((b >= '0' && b <= '9') || b == '-' || b == '+' || b == '.') {
         val start = i
         i += 1
@@ -502,7 +651,7 @@ object PdfExtract {
   def runs(bytes: Array[Byte]): IndexedSeq[Run] = {
     try {
       val out = mutable.ArrayBuffer.empty[Run]
-      pageStreams(bytes).zipWithIndex.foreach { case (cs, p) => interpret(cs, p, out) }
+      pageStreams(bytes).zipWithIndex.foreach { case ((cs, fonts), p) => interpret(cs, p, out, fonts) }
       out.toIndexedSeq
     } catch { case _: Exception => IndexedSeq.empty }
   }
@@ -608,7 +757,7 @@ object PdfExtract {
       val streams = pageStreamsOf(objs)
       if (streams.isEmpty) return Outcome("", IndexedSeq.empty, "pdf_no_content_stream")
       val out = mutable.ArrayBuffer.empty[Run]
-      streams.zipWithIndex.foreach { case (cs, p) => interpret(cs, p, out) }
+      streams.zipWithIndex.foreach { case ((cs, fonts), p) => interpret(cs, p, out, fonts) }
       val rs = out.toIndexedSeq
       val text = lines(rs).map { case (_, pageLines) =>
         pageLines.map(_.map(_.text.trim).filter(_.nonEmpty).mkString(" "))

@@ -178,6 +178,83 @@ class PdfExtractSpec extends AnyFunSuite {
     PdfExtract.text(top.getBytes(StandardCharsets.ISO_8859_1))
   }
 
+  /** CID-font fixture: page resources bind /F9 to a Type0-ish font whose
+    * /ToUnicode CMap maps 2-byte codes to text; content shows hex strings. */
+  private def cidPdf(cmap: String, contentHex: String): Array[Byte] = {
+    val content = s"BT /F9 12 Tf 72 720 Td <$contentHex> Tj ET"
+    (s"""%PDF-1.5
+       |1 0 obj
+       |<< /Type /Catalog /Pages 2 0 R >>
+       |endobj
+       |2 0 obj
+       |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+       |endobj
+       |3 0 obj
+       |<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F9 5 0 R >> >> >>
+       |endobj
+       |4 0 obj
+       |<< /Length ${content.length} >>
+       |stream
+       |$content
+       |endstream
+       |endobj
+       |5 0 obj
+       |<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H /ToUnicode 6 0 R >>
+       |endobj
+       |6 0 obj
+       |<< /Length ${cmap.length} >>
+       |stream
+       |$cmap
+       |endstream
+       |endobj
+       |%%EOF
+       |""").stripMargin.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  test("ToUnicode CMap: 2-byte CID codes decode via bfchar and bfrange") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0041> <0048>
+        |<0042> <0069>
+        |endbfchar
+        |1 beginbfrange
+        |<0100> <0105> <0061>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    // bfchar: 0041->H, 0042->i; bfrange: 0100..0105 -> a..f
+    val pdf = cidPdf(cmap, "00410042" + "010001010102") // "Hi" + "abc"
+    assert(PdfExtract.text(pdf) == "Hiabc")
+    // unmapped code -> replacement char, never latin-1 garbage
+    val pdf2 = cidPdf(cmap, "0041FFFE0042")
+    assert(PdfExtract.text(pdf2) == "H\uFFFDi")
+  }
+
+  test("ToUnicode: multi-char dst, array bfrange, 1-byte codespace") {
+    val cmap =
+      """begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<61> <00660066>
+        |endbfchar
+        |1 beginbfrange
+        |<70> <72> [<0078> <0079> <007A>]
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    // 1-byte codes: 0x61 -> "ff" (ligature-style multi-char), 70/71/72 -> x/y/z
+    val pdf = cidPdf(cmap, "61707172")
+    assert(PdfExtract.text(pdf) == "ffxyz")
+    // fonts WITHOUT ToUnicode keep identity semantics (regression)
+    val plain = minimalPdf("BT /F1 12 Tf 72 720 Td (plain text kept) Tj ET")
+    assert(PdfExtract.text(plain) == "plain text kept")
+  }
+
   test("totality: junk, truncated, empty never throw") {
     assert(PdfExtract.text("%PDF-1.4 garbage no objects".getBytes) == "")
     assert(PdfExtract.text(Array.emptyByteArray) == "")
