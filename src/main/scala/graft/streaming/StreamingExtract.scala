@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions._
 import graft.pipeline.ExtractPipeline
@@ -38,4 +41,62 @@ object StreamingExtract {
       .groupBy(window(col("warc_ts"), windowLen), col("host"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("win_start"), col("host"), col("n_docs"))
+
+  /** A closed per-host crawl session: consecutive pages with gaps ≤ gap. */
+  final case class HostSession(host: String, session_start: Timestamp,
+                               session_end: Timestamp, n_docs: Long)
+
+  /** Open-session state carried across micro-batches (per host key). */
+  final case class SessState(startMs: Long, endMs: Long, n: Long)
+
+  /**
+   * Stateful gap-based crawl sessionization over the page stream —
+   * `flatMapGroupsWithState` with custom state + event-time timeout: a host's
+   * open session lives in GroupState; pages within `gap` of the session end
+   * extend it, later pages close it (emitted) and open a new one; the timeout
+   * fires once the watermark passes end+gap, flushing the open session. State
+   * is one small struct per ACTIVE host, bounded by the watermark — the shape
+   * that scales to a crawl's host cardinality.
+   */
+  def hostCrawlSessions(pages: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                        watermark: String = "1 hour"): Dataset[HostSession] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val keyed = pages
+      .withColumn("host", url_host(col("url")))
+      .withWatermark("warc_ts", watermark)
+      .select(col("host"), col("warc_ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+      sessionizeHost(gapMs))
+  }
+
+  private def sessionizeHost(gapMs: Long)(
+      host: String, events: Iterator[(String, Timestamp)],
+      state: GroupState[SessState]): Iterator[HostSession] = {
+    def close(s: SessState) =
+      HostSession(host, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      out
+    } else {
+      val ts = events.map(_._2.getTime).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[HostSession]
+      var cur = state.getOption.orNull
+      ts.foreach { t =>
+        cur =
+          if (cur == null) SessState(t, t, 1)
+          else if (t <= cur.endMs + gapMs) SessState(cur.startMs, math.max(cur.endMs, t), cur.n + 1)
+          else { out += close(cur); SessState(t, t, 1) }
+      }
+      if (cur != null) {
+        state.update(cur)
+        // event-time timeout must be beyond the current watermark
+        state.setTimeoutTimestamp(math.max(cur.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+  }
 }

@@ -93,4 +93,43 @@ class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
       assert(byHost.values.max > byHost.values.sum / byHost.size)
     } finally q.stop()
   }
+
+  test("stateful crawl sessionization: flatMapGroupsWithState with event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def page(host: String, path: String, minute: Long): PageRow =
+      PageRow(s"http://$host/$path", new java.sql.Timestamp(minute * 60000L),
+        "<html><body><p>five words of body text</p></body></html>".getBytes, null, "en")
+    val source = MemoryStream[PageRow]
+    val q = StreamingExtract.hostCrawlSessions(source.toDF(),
+        gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("crawl_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // host a: two pages 10 min apart (one session), then a page 2h later
+      // (closes session #1); host b: one page. Times start at t=100min — an
+      // event AT the initial watermark (0) would be dropped as late.
+      source.addData(Seq(page("a.example", "1", 100), page("a.example", "2", 110),
+        page("b.example", "1", 105)))
+      q.processAllAvailable()
+      source.addData(Seq(page("a.example", "3", 230)))
+      q.processAllAvailable()
+      val closed1 = s.table("crawl_sessions").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3)))
+      assert(closed1.contains(("a.example", 100L, 110L, 2L)), closed1.mkString(";"))
+      // advance the watermark far past every open session's timeout: the
+      // event-time timeout must flush a.example's session #2 and b's session
+      source.addData(Seq(page("c.example", "1", 1100)))
+      q.processAllAvailable()
+      source.addData(Seq(page("c.example", "2", 2100)))
+      q.processAllAvailable()
+      val all = s.table("crawl_sessions").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      assert(all.contains(("a.example", 230L, 230L, 1L)), all.mkString(";"))
+      assert(all.contains(("b.example", 105L, 105L, 1L)), all.mkString(";"))
+    } finally q.stop()
+  }
 }
