@@ -378,9 +378,37 @@ object PdfExtract {
     } catch { case _: Exception => None }
   }
 
-  /** Font-resource-name → ToUnicode map for a page (via /Resources /Font). */
+  /** Per-font info resolved from the page's /Resources /Font dict:
+    * optional ToUnicode CMap (CID text) and optional simple-font /Widths
+    * metrics (FirstChar-based, 1/1000 text-space units). Either may be null —
+    * the interpreter falls back to identity decoding / the 0.5em width model. */
+  private[pdf] final case class FontInfo(toUni: ToUni, widths: Array[Float], firstChar: Int)
+
+  private def parseWidths(fontBody: String, bodies: Map[Int, String]): (Array[Float], Int) = {
+    val wAt = fontBody.indexOf("/Widths")
+    if (wAt < 0) return (null, 0)
+    val after = fontBody.substring(wAt + "/Widths".length)
+    val trimmed = after.dropWhile(_.isWhitespace)
+    val arrText: String =
+      if (trimmed.startsWith("[")) {
+        val close = trimmed.indexOf(']')
+        if (close < 0) return (null, 0) else trimmed.substring(1, close)
+      } else {
+        val body = RefRx.findFirstMatchIn(trimmed).map(_.group(1).toInt).flatMap(bodies.get)
+          .getOrElse(return (null, 0))
+        val open = body.indexOf('[')
+        val close = if (open >= 0) body.indexOf(']', open) else -1
+        if (open < 0 || close < 0) return (null, 0) else body.substring(open + 1, close)
+      }
+    val nums = """-?\d+(?:\.\d+)?""".r.findAllIn(arrText).map(_.toFloat).toArray
+    if (nums.isEmpty || nums.length > (1 << 16)) return (null, 0)
+    val firstChar = dictInt(fontBody, "/FirstChar").getOrElse(0)
+    (nums, firstChar)
+  }
+
+  /** Font-resource-name → FontInfo for a page (via /Resources /Font). */
   private def fontMapOf(objs: Map[Int, PdfObj], bodies: Map[Int, String],
-                        pageBody: String): Map[String, ToUni] = {
+                        pageBody: String): Map[String, FontInfo] = {
     try {
       val at = pageBody.indexOf("/Resources")
       if (at < 0) return Map.empty
@@ -397,22 +425,26 @@ object PdfExtract {
       val region = if (open >= 0 && close > open) sub.substring(open, close) else sub.take(512)
       val FontPair = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
       FontPair.findAllMatchIn(region).flatMap { m =>
-        for {
-          fb <- bodies.get(m.group(2).toInt)
-          tuRef <- dictRef(fb, "/ToUnicode")
-          obj <- objs.get(tuRef)
-          sb <- streamBytes(obj)
-          tu <- parseToUnicode(sb)
-        } yield m.group(1) -> tu
+        bodies.get(m.group(2).toInt).flatMap { fb =>
+          val tu = (for {
+            tuRef <- dictRef(fb, "/ToUnicode")
+            obj <- objs.get(tuRef)
+            sb <- streamBytes(obj)
+            parsed <- parseToUnicode(sb)
+          } yield parsed).orNull
+          val (widths, firstChar) = parseWidths(fb, bodies)
+          if (tu == null && widths == null) None
+          else Some(m.group(1) -> FontInfo(tu, widths, firstChar))
+        }
       }.toMap
     } catch { case _: Exception => Map.empty }
   }
 
   /** Page content streams in document page order (catalog → pages → kids). */
-  private def pageStreams(bytes: Array[Byte]): List[(Array[Byte], Map[String, ToUni])] =
+  private def pageStreams(bytes: Array[Byte]): List[(Array[Byte], Map[String, FontInfo])] =
     pageStreamsOf(scanObjects(bytes))
 
-  private def pageStreamsOf(objs: Map[Int, PdfObj]): List[(Array[Byte], Map[String, ToUni])] = {
+  private def pageStreamsOf(objs: Map[Int, PdfObj]): List[(Array[Byte], Map[String, FontInfo])] = {
     if (objs.isEmpty) return Nil
     val bodies = objs.map { case (k, v) => k -> v.dictStr }
     val pageOrder: List[Int] = {
@@ -454,24 +486,25 @@ object PdfExtract {
     * `fonts` maps font resource names (Tf operand) to ToUnicode CMaps; shown
     * strings under a mapped font decode through it (CID/2-byte text). */
   private def interpret(content: Array[Byte], page: Int, out: mutable.ArrayBuffer[Run],
-                        fonts: Map[String, ToUni] = Map.empty): Unit = {
+                        fonts: Map[String, FontInfo] = Map.empty): Unit = {
     val n = content.length
     var i = 0
     val operands = mutable.ArrayBuffer.empty[Any] // Float | String | List[Any] | Name
     var fontSize = 12f
-    var curFont: ToUni = null
+    var curFont: FontInfo = null
     var leading = 0f
     var lineX = 0f; var lineY = 0f
     var curX = 0f; var curY = 0f
 
     def decodeShown(raw: String): String = {
-      if (curFont == null) return raw
+      if (curFont == null || curFont.toUni == null) return raw
+      val tu = curFont.toUni
       val sb = new java.lang.StringBuilder(raw.length)
-      if (curFont.twoByte) {
+      if (tu.twoByte) {
         var k = 0
         while (k + 1 < raw.length) {
           val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
-          sb.append(curFont.map.getOrElse(code, "\uFFFD"))
+          sb.append(tu.map.getOrElse(code, "\uFFFD"))
           k += 2
         }
         if ((raw.length & 1) == 1) sb.append('\uFFFD') // odd trailing byte
@@ -479,17 +512,36 @@ object PdfExtract {
         var k = 0
         while (k < raw.length) {
           val c = raw.charAt(k)
-          sb.append(curFont.map.getOrElse(c & 0xff, String.valueOf(c)))
+          sb.append(tu.map.getOrElse(c & 0xff, String.valueOf(c)))
           k += 1
         }
       }
       sb.toString
     }
 
-    def emit(text: String): Unit = {
-      if (text.nonEmpty) {
-        out += Run(page, curX, curY, fontSize, text)
-        curX += 0.5f * fontSize * text.length
+    /** Advance width for the shown codes: /Widths metrics when the simple
+      * font declares them (1/1000 text-space units per code), else the 0.5em
+      * average model over the decoded text. */
+    def advanceOf(raw: String, decoded: String): Float = {
+      if (curFont == null || curFont.widths == null) return 0.5f * fontSize * decoded.length
+      val ws = curFont.widths
+      var sum = 0f
+      var k = 0
+      while (k < raw.length) {
+        val idx = (raw.charAt(k) & 0xff) - curFont.firstChar
+        sum += (if (idx >= 0 && idx < ws.length) ws(idx) else 500f) / 1000f * fontSize
+        k += 1
+      }
+      sum
+    }
+
+    /** Show a raw string operand: decode (CID/ToUnicode) and advance by the
+      * font's /Widths metrics when declared, else the 0.5em model. */
+    def show(raw: String): Unit = {
+      val decoded = decodeShown(raw)
+      if (decoded.nonEmpty) {
+        out += Run(page, curX, curY, fontSize, decoded)
+        curX += advanceOf(raw, decoded)
       }
     }
     def num(a: Any): Float = a match {
@@ -571,23 +623,23 @@ object PdfExtract {
         lineX = 0f; lineY = 0f; curX = 0f; curY = 0f; operands.clear()
       case "ET" => operands.clear()
       case "Tj" =>
-        operands.lastOption match { case Some(s: String) => emit(decodeShown(s)); case _ => }
+        operands.lastOption match { case Some(s: String) => show(s); case _ => }
         operands.clear()
       case "'" =>
         lineY -= leading; curX = lineX; curY = lineY
-        operands.lastOption match { case Some(s: String) => emit(decodeShown(s)); case _ => }
+        operands.lastOption match { case Some(s: String) => show(s); case _ => }
         operands.clear()
       case "\"" =>
         // aw ac string ": set word/char spacing (ignored by the 0.5em width
         // model), then next-line-show like ' — the string must not be dropped
         lineY -= leading; curX = lineX; curY = lineY
-        operands.lastOption match { case Some(s: String) => emit(decodeShown(s)); case _ => }
+        operands.lastOption match { case Some(s: String) => show(s); case _ => }
         operands.clear()
       case "TJ" =>
         operands.lastOption match {
           case Some(arr: List[_]) =>
             arr.foreach {
-              case s: String => emit(decodeShown(s))
+              case s: String => show(s)
               case f: Float => curX -= f / 1000f * fontSize
               case _ =>
             }

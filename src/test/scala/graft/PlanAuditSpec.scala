@@ -92,4 +92,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // two HashAggregate nodes (partial + final) around the exchange
     assert("HashAggregate".r.findAllIn(s).size >= 2, s)
   }
+
+  test("no cartesian products in any LSH/dedup/ANN candidate plan") {
+    // every near-dup/ANN path must join on bucket keys — a cross join in any
+    // of these plans is the exact scale failure the LSH machinery exists to
+    // prevent (q16 is the documented exact baseline and is exempt)
+    val bucketJoined = Seq("q13_minhash_near_dups", "q28_ann_lsh_bucketed",
+      "q31_near_dup_pairs", "q32_simhash_near_dups", "q33_verified_near_dups",
+      "q34_embedding_near_dups", "q37_ann_ivf")
+    bucketJoined.foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a cross join:\n${s.take(2000)}")
+    }
+  }
 }

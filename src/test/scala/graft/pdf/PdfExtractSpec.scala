@@ -255,6 +255,40 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(PdfExtract.text(plain) == "plain text kept")
   }
 
+  test("/Widths metrics drive the advance: narrow glyphs do not split words apart") {
+    // font with per-char widths: 'i'=200, 'w'=900, default FirstChar=105 ('i')
+    def pdf(widths: String) =
+      (s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>
+         |endobj
+         |4 0 obj
+         |<< /Length 44 >>
+         |stream
+         |BT /F1 10 Tf 72 700 Td (iii) Tj (www) Tj ET
+         |endstream
+         |endobj
+         |5 0 obj
+         |<< /Type /Font /Subtype /Type1 /FirstChar 105 /Widths [$widths] >>
+         |endobj
+         |%%EOF
+         |""").stripMargin.getBytes(StandardCharsets.US_ASCII)
+    // widths array spans chars 105..119: i=200, w(119)=900
+    val w = (105 to 119).map(c => if (c == 'w') 900 else 200).mkString(" ")
+    val spans = PdfExtract.spans(pdf(w))
+    assert(spans.map(_.word) == Seq("iii", "www"))
+    // the second run starts exactly 3×(200/1000×10) = 6 units after the
+    // first (x=78) — the 0.5em model would have put it at 72+15=87
+    assert(spans(0).x1 == 72 && spans(1).x1 == 78, spans.mkString(";"))
+    assert(PdfExtract.text(pdf(w)) == "iii www")
+  }
+
   test("totality: junk, truncated, empty never throw") {
     assert(PdfExtract.text("%PDF-1.4 garbage no objects".getBytes) == "")
     assert(PdfExtract.text(Array.emptyByteArray) == "")
