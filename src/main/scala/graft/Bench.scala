@@ -50,7 +50,14 @@ object Bench {
     // extraction headline: docs/sec from a materialized parquet table (the
     // BASELINE.json metric shape); corpus gen excluded from timing
     val extractionDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
-    val corpusPath = s"/tmp/graft-bench-pages-$extractionDocs"
+    // cache key includes a generator fingerprint: a stale corpus from an older
+    // CorpusGen would otherwise be silently reused and the headline would
+    // compare different inputs across rounds
+    val genTag = {
+      val p = graft.fixtures.CorpusGen.page(0L)
+      f"${java.util.Arrays.hashCode(p.html) ^ p.url.hashCode}%08x"
+    }
+    val corpusPath = s"/tmp/graft-bench-pages-$extractionDocs-$genTag"
     import org.apache.spark.sql.functions.col
     if (!new java.io.File(corpusPath).exists())
       graft.fixtures.Corpus.pages(spark, extractionDocs, parallelism = 256)

@@ -36,11 +36,16 @@ object HocrParse {
     var i = 0
 
     def attrValue(tagStart: Int, tagEnd: Int, name: String): String = {
-      // find ` name=` (case-insensitive) inside [tagStart, tagEnd); value may be
-      // quoted either way or bare
+      // find ` name=` (case-insensitive) inside [tagStart, tagEnd), SKIPPING
+      // quoted attribute values — `title="image id=9; ..." id="page_1"` must
+      // resolve id to page_1, not the id=9 inside another attribute's value
       var j = tagStart
       while (j + name.length + 1 < tagEnd) {
-        if (s.regionMatches(true, j, name, 0, name.length) &&
+        val cj = s.charAt(j)
+        if (cj == '"' || cj == '\'') {
+          val e = s.indexOf(cj, j + 1)
+          j = if (e < 0 || e >= tagEnd) tagEnd else e + 1
+        } else if (s.regionMatches(true, j, name, 0, name.length) &&
             !Character.isLetterOrDigit(s.charAt(j - 1)) && s.charAt(j - 1) != '-') {
           var k = j + name.length
           while (k < tagEnd && s.charAt(k).isWhitespace) k += 1
@@ -59,8 +64,8 @@ object HocrParse {
               }
             }
           }
-        }
-        j += 1
+          j += 1
+        } else j += 1
       }
       null
     }
@@ -134,21 +139,20 @@ object HocrParse {
           sb.append(c)
         }
       }
+      // name-boundary check: "</span" must not match "</spanner"
+      def atTag(pos: Int, tag: String): Boolean =
+        s.regionMatches(true, pos, tag, 0, tag.length) && {
+          val after = pos + tag.length
+          after >= n || !Character.isLetterOrDigit(s.charAt(after))
+        }
       while (i < n && depth > 0) {
         val c = s.charAt(i)
         if (c == '<') {
-          if (s.regionMatches(true, i, "</span", 0, 6)) {
-            depth -= 1
-            val e = s.indexOf('>', i)
-            i = if (e < 0) n else e + 1
-          } else if (s.regionMatches(true, i, "<span", 0, 5)) {
-            depth += 1
-            val e = s.indexOf('>', i)
-            i = if (e < 0) n else e + 1
-          } else {
-            val e = s.indexOf('>', i)
-            i = if (e < 0) n else e + 1
-          }
+          val e = s.indexOf('>', i)
+          val selfClosed = e > i && s.charAt(e - 1) == '/'
+          if (atTag(i, "</span")) depth -= 1
+          else if (atTag(i, "<span") && !selfClosed) depth += 1
+          i = if (e < 0) n else e + 1
         } else if (c == '&') {
           var j = i + 1
           val lim = math.min(n, i + 12)

@@ -55,9 +55,10 @@ object SimilarityOps {
     array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
 
   /** Embedding width from the data (one-row metadata probe — never hardcode
-    * the fixture's 64). */
+    * the fixture's 64). 0 for an empty input. */
   def embeddingDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Planes per table for a corpus of n vectors: expected bucket occupancy
     * ≈ targetBucket, clamped to [minPlanes, 24] (24 sign bits = 16M buckets
@@ -93,6 +94,8 @@ object SimilarityOps {
                             targetBucketSize: Int = 64,
                             maxBucketSize: Int = 1 << 13): DataFrame = {
     val dim = embeddingDim(df, vecCol)
+    if (dim == 0) // empty input: an empty pair frame, not a driver crash
+      return df.select(col(idCol).as("a"), col(idCol).as("b"), lit(0.0d).as("cosine")).limit(0)
     val k = if (nPlanes > 0) nPlanes else planesFor(df.count(), targetBucketSize)
     val emb = df.select(col(idCol).as("_id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"))

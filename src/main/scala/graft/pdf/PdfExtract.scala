@@ -523,7 +523,12 @@ object PdfExtract {
       * font declares them (1/1000 text-space units per code), else the 0.5em
       * average model over the decoded text. */
     def advanceOf(raw: String, decoded: String): Float = {
-      if (curFont == null || curFont.widths == null) return 0.5f * fontSize * decoded.length
+      // 2-byte CID fonts meter widths per CODE via /W (unimplemented), not per
+      // byte via /Widths — indexing /Widths per raw byte would double-count;
+      // fall back to the average model over decoded glyphs
+      if (curFont == null || curFont.widths == null ||
+          (curFont.toUni != null && curFont.toUni.twoByte))
+        return 0.5f * fontSize * decoded.length
       val ws = curFont.widths
       var sum = 0f
       var k = 0

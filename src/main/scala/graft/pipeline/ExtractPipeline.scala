@@ -249,15 +249,18 @@ object ExtractPipeline {
 
     // B11 batch cap (config.py:56; enforcement security_validator.py:286-288):
     // the reference flags oversized batches with an issue + recommendation and
-    // proceeds — mirrored as an audit warning, not a hard failure
-    if (cfg.maxRowsPerRun > 0) {
-      val inRows = pages.count()
-      if (inRows > cfg.maxRowsPerRun)
+    // proceeds — mirrored as an audit warning, not a hard failure. limit(n+1)
+    // early-exits the scan at the threshold instead of a full extra input pass
+    // (a full count over a WARC-backed frame would decompress every archive).
+    if (cfg.maxRowsPerRun > 0 && cfg.maxRowsPerRun < Int.MaxValue) {
+      val probe = pages.select(lit(1).as("_one")).limit(cfg.maxRowsPerRun.toInt + 1).count()
+      if (probe > cfg.maxRowsPerRun)
         audit("batch_too_large", "warning",
-          s"input rows $inRows exceed maxRowsPerRun=${cfg.maxRowsPerRun}; " +
+          s"input rows exceed maxRowsPerRun=${cfg.maxRowsPerRun}; " +
             "process in smaller runs or raise the cap")
     }
 
+    recoverLineageSwap(spark, outDir) // finish any interrupted retention swap
     // resume: buckets with committed lineage are done — gate every sink on them.
     // The done list is at most nBuckets entries (driver-safe); a NOT-isin filter
     // lets the parquet reader prune done bucket directories outright, which a
@@ -338,7 +341,14 @@ object ExtractPipeline {
       .agg(max(struct(col("committed_utc_ms"), col("run_id"), col("row_count"), col("digest"))).as("latest"))
       .select(col(BucketCol), col("latest.row_count"), col("latest.digest"))
       .collect()
-    val snapshotId = f"snap-${CatalogIO.listSnapshots(spark, extractedPath).size}%06d-${cfg.runId}"
+    // next id = numeric successor of the LATEST snapshot, never the manifest
+    // COUNT — after retention expiry the count shrinks and a count-derived id
+    // would sort before kept snapshots, breaking the lexicographic-commit-order
+    // contract (latestSnapshot would resolve to a stale run)
+    val nextSeq = CatalogIO.latestSnapshot(spark, extractedPath)
+      .flatMap(id => """snap-(\d+)""".r.findFirstMatchIn(id).map(_.group(1).toInt + 1))
+      .getOrElse(0)
+    val snapshotId = f"snap-$nextSeq%06d-${cfg.runId}"
     CatalogIO.writeSnapshot(spark, extractedPath, CatalogIO.Snapshot(
       snapshotId = snapshotId,
       runId = cfg.runId,
@@ -401,6 +411,7 @@ object ExtractPipeline {
    */
   def retention(spark: SparkSession, outDir: String, keepSnapshots: Int = 3): Unit = {
     val lineagePath = s"$outDir/lineage"
+    recoverLineageSwap(spark, outDir) // finish any interrupted prior swap first
     CatalogIO.expireSnapshots(spark, s"$outDir/extracted", keepSnapshots)
     if (!fsExists(spark, lineagePath)) return
     val w = org.apache.spark.sql.expressions.Window
@@ -415,9 +426,31 @@ object ExtractPipeline {
     val hPath = new org.apache.hadoop.fs.Path(lineagePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$outDir/lineage_old_tmp")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
     fs.rename(hPath, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hPath)
     fs.delete(old, true)
+  }
+
+  /** The swap above is two renames, not one atomic op: a crash between them
+    * leaves NO live lineage (resume would silently recompute everything).
+    * Every lineage reader path first completes an interrupted swap from the
+    * surviving tmp dirs — the swap is RECOVERABLE rather than atomic. */
+  private def recoverLineageSwap(spark: SparkSession, outDir: String): Unit = {
+    val lineage = new org.apache.hadoop.fs.Path(s"$outDir/lineage")
+    val fs = lineage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compactTmp = new org.apache.hadoop.fs.Path(s"$outDir/lineage_compact_tmp")
+    val oldTmp = new org.apache.hadoop.fs.Path(s"$outDir/lineage_old_tmp")
+    if (!fs.exists(lineage)) {
+      // died between the renames: the compacted (preferred) or original log
+      // is sitting in a tmp dir — promote it
+      if (fs.exists(compactTmp)) fs.rename(compactTmp, lineage)
+      else if (fs.exists(oldTmp)) fs.rename(oldTmp, lineage)
+    }
+    if (fs.exists(lineage)) {
+      if (fs.exists(oldTmp)) fs.delete(oldTmp, true)
+      if (fs.exists(compactTmp)) fs.delete(compactTmp, true)
+    }
   }
 
   /** Per-run rollup joining jobs to lineage (reference job_summary view,

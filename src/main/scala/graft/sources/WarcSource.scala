@@ -131,16 +131,18 @@ object WarcSource {
     if (l == null) null else out.toMap
   }
 
-  /** One CRLF/LF-terminated ASCII line; null at EOF before any byte. */
+  /** One CRLF/LF-terminated line, decoded as UTF-8 — WARC 1.1 allows UTF-8
+    * header values (IRI target URIs); per-byte chars would mojibake them into
+    * the url column and every digest keyed on it. Null at EOF before any byte. */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new java.io.ByteArrayOutputStream(64)
     var b = in.read()
     if (b < 0) return null
     while (b >= 0 && b != '\n') {
-      if (b != '\r') sb.append(b.toChar)
+      if (b != '\r') buf.write(b)
       b = in.read()
     }
-    sb.toString
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
   }
 
   private def readFully(in: InputStream, n: Int): Array[Byte] = {

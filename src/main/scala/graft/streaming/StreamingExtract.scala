@@ -88,8 +88,17 @@ object StreamingExtract {
       ts.foreach { t =>
         cur =
           if (cur == null) SessState(t, t, 1)
-          else if (t <= cur.endMs + gapMs) SessState(cur.startMs, math.max(cur.endMs, t), cur.n + 1)
-          else { out += close(cur); SessState(t, t, 1) }
+          // in-gap on EITHER side: flatMapGroupsWithState still delivers rows
+          // older than the open session (watermark-late rows are dropped
+          // upstream, but within-watermark stragglers are not) — they must
+          // extend the session backwards, not inherit its later start
+          else if (t <= cur.endMs + gapMs && t >= cur.startMs - gapMs)
+            SessState(math.min(cur.startMs, t), math.max(cur.endMs, t), cur.n + 1)
+          else if (t > cur.endMs + gapMs) { out += close(cur); SessState(t, t, 1) }
+          else { // straggler more than a gap BEFORE the session: its own closed session
+            out += HostSession(host, new Timestamp(t), new Timestamp(t), 1)
+            cur
+          }
       }
       if (cur != null) {
         state.update(cur)

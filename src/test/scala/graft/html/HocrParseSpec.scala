@@ -73,6 +73,26 @@ class HocrParseSpec extends AnyFunSuite {
     assert(parse(deep) == IndexedSeq(Span(1, 1, 2, 3, 4, "deep")))
   }
 
+  test("attr names inside OTHER attributes' quoted values do not shadow real attrs") {
+    // the title value contains "id=9" — id must still resolve to page_1
+    val hocr =
+      """<div class="ocr_page" title="image id=9; bbox 0 0 100 100" id="page_1">
+        |<span class='ocrx_word' title='bbox 1 2 3 4'>w</span>
+        |</div>""".stripMargin
+    assert(parse(hocr) == IndexedSeq(Span(1, 1, 2, 3, 4, "w")))
+  }
+
+  test("self-closed inner span and span-prefixed tag names do not derail nesting") {
+    val hocr =
+      """<div id='page_1'>
+        |<span class='ocrx_word' title='bbox 0 0 1 1'><span/>hi</span>
+        |<span class='ocrx_word' title='bbox 2 0 3 1'><spanner>x</spanner>world</span>
+        |</div>""".stripMargin
+    assert(parse(hocr) == IndexedSeq(
+      Span(1, 0, 0, 1, 1, "hi"),
+      Span(1, 2, 0, 3, 1, "xworld")))
+  }
+
   test("negative coordinates parse (scanner skew can yield negatives)") {
     val hocr = "<div id='page_1'><span class='ocrx_word' title='bbox -5 -2 10 4'>neg</span></div>"
     assert(parse(hocr) == IndexedSeq(Span(1, -5, -2, 10, 4, "neg")))

@@ -113,6 +113,12 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embeddingNearDupPairs on an empty frame returns empty, not a driver crash") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 0)
+    assert(graft.ops.SimilarityOps.embeddingNearDupPairs(emb, "embedding", "vec_id").count() == 0)
+  }
+
   test("bucket caps bound degenerate keys: no quadratic blowup, diagnosable") {
     val s = spark
     import s.implicits._

@@ -253,7 +253,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val warn = spark.read.parquet(s"$out/audit")
       .filter(col("event_type") === "batch_too_large").collect()(0)
     assert(warn.getAs[String]("severity") == "warning")
-    assert(warn.getAs[String]("message").contains("500"))
+    assert(warn.getAs[String]("message").contains("maxRowsPerRun=100"))
 
     ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "a2"))
     val events = spark.read.parquet(s"$out/audit")
@@ -276,7 +276,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .write.mode("append").parquet(res.lineagePath)
     (1 to 4).foreach { i =>
       CatalogIO.writeSnapshot(spark, res.extractedPath,
-        CatalogIO.Snapshot(f"snap-x$i%02d", s"r$i", "", i.toLong, Seq.empty))
+        CatalogIO.Snapshot(f"snap-$i%06d-r$i", s"r$i", "", i.toLong, Seq.empty))
     }
     assert(spark.read.parquet(res.lineagePath).count() == 32)
     assert(CatalogIO.listSnapshots(spark, res.extractedPath).size == 5)
@@ -284,7 +284,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     ExtractPipeline.retention(spark, out, keepSnapshots = 2)
 
     val snaps = CatalogIO.listSnapshots(spark, res.extractedPath)
-    assert(snaps.size == 2 && snaps.last == "snap-x04", snaps.mkString(","))
+    assert(snaps.size == 2 && snaps.last == "snap-000004-r4", snaps.mkString(","))
     val compacted = spark.read.parquet(res.lineagePath).collect()
     assert(compacted.length == 16)
     compacted.foreach { r =>
@@ -294,6 +294,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // resume still sees every bucket as done
     val res2 = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "r-new"))
     assert(res2.resumedBuckets == 16)
+    // snapshot ids keep ascending past expiry: the new id must sort AFTER the
+    // kept ones (a count-derived id would regress below snap-x04)
+    val snapsAfter = CatalogIO.listSnapshots(spark, res.extractedPath)
+    assert(snapsAfter.last == res2.snapshotId, snapsAfter.mkString(","))
+  }
+
+  test("interrupted retention swap: lineage recovered from tmp dirs on next run") {
+    val out = tmp()
+    val cfg = ExtractPipeline.Config(mode = "force", runId = "rs1", nBuckets = 8)
+    ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg)
+    // simulate a crash between the two renames: lineage moved away, compacted
+    // log stranded in lineage_compact_tmp
+    val fs = new java.io.File(out)
+    assert(new java.io.File(fs, "lineage").renameTo(new java.io.File(fs, "lineage_compact_tmp")))
+    // next run must recover the swap and resume every bucket, not recompute
+    val res2 = ExtractPipeline.run(spark, Corpus.pages(spark, N), out, cfg.copy(runId = "rs2"))
+    assert(res2.resumedBuckets == 8, res2.toString)
   }
 
   test("jobs table, metrics table, snapshot manifest and jobSummary rollup") {

@@ -84,6 +84,20 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
       Set("http://y.example/1", "http://y.example/2"))
   }
 
+  test("UTF-8 target URIs survive header decoding (WARC 1.1 IRIs)") {
+    val uri = "http://x.example/café/über"
+    val rec = {
+      val h = (s"WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${httpResponse(html).length}\r\n\r\n")
+        .getBytes("UTF-8")
+      val out = new ByteArrayOutputStream()
+      out.write(h); out.write(httpResponse(html)); out.write("\r\n\r\n".getBytes(US_ASCII))
+      out.toByteArray
+    }
+    val got = WarcSource.records(rec, gzipped = false).toList
+    assert(got.head.targetUri == uri, got.head.targetUri)
+  }
+
   test("totality: truncated records, junk bytes, bad dates never throw") {
     assert(WarcSource.records(Array.emptyByteArray, gzipped = false).isEmpty)
     assert(WarcSource.records("JUNK NOT WARC".getBytes(US_ASCII), gzipped = false).isEmpty)

@@ -132,4 +132,32 @@ class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
       assert(all.contains(("b.example", 105L, 105L, 1L)), all.mkString(";"))
     } finally q.stop()
   }
+
+  test("late-but-in-gap event extends the session backwards (start moves earlier)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def page(host: String, path: String, minute: Long): PageRow =
+      PageRow(s"http://$host/$path", new java.sql.Timestamp(minute * 60000L),
+        "<html><body><p>five words of body text</p></body></html>".getBytes, null, "en")
+    val source = MemoryStream[PageRow]
+    val q = StreamingExtract.hostCrawlSessions(source.toDF(),
+        gapMs = 30L * 60 * 1000, watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(Seq(page("h.example", "1", 200)))
+      q.processAllAvailable()
+      // within-watermark straggler 10 min BEFORE the open session's start
+      source.addData(Seq(page("h.example", "2", 190)))
+      q.processAllAvailable()
+      // close it with a far-future event
+      source.addData(Seq(page("h.example", "3", 500)))
+      q.processAllAvailable()
+      val all = s.table("late_sessions").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      assert(all.contains(("h.example", 190L, 200L, 2L)), all.mkString(";"))
+    } finally q.stop()
+  }
 }
