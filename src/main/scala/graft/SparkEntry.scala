@@ -267,6 +267,20 @@ object SparkEntry {
           (col("lang") === lit("en")).as("label_is_en"))
     }),
 
+    // BPE-style pre-tokenization (GPT-2 pattern family, lookahead-free so the
+    // same regex runs on Java regex and DuckDB's RE2): contraction suffixes,
+    // space-prefixed letter/digit runs, punctuation runs — the token COUNT a
+    // training pipeline budgets by, vs the whitespace count of q08
+    "q38_bpe_tokens" -> ((s, dir) => {
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+      t(s, dir, "documents")
+        .withColumn("toks", regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_bpe_tokens"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"))
+    }),
+
     // ---------------- dedup family ----------------
     "q11_dedup_stats" -> ((s, dir) =>
       t(s, dir, "documents").agg(
@@ -613,6 +627,14 @@ object SparkEntry {
         |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','que'))) AS es,
         |    len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','une','est'))) AS fr
         |  FROM documents)""".stripMargin,
+    "q38_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_bpe_tokens,
+        |  toks[1] AS first_tok,
+        |  toks[-1] AS last_tok
+        |FROM (SELECT doc_id,
+        |  regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+') AS toks
+        |FROM documents)""".stripMargin,
     "q11_dedup_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
         |  count(*) - count(DISTINCT text) AS n_dup_docs FROM documents""".stripMargin,

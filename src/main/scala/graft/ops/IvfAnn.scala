@@ -30,31 +30,50 @@ object IvfAnn {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  /** L2-normalized double vector (cosine becomes a plain dot product). */
+  private def dvec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** L2-normalized double vector (cosine becomes a plain dot product).
+    * NOT for per-row hot paths: projection collapse inlines the norm into the
+    * transform lambda, recomputing it per ELEMENT — and any consumer that
+    * evaluates the vector k times (k dots against centroids) multiplies that
+    * again. Assignment/probing use raw doubles instead: with UNIT centroids,
+    * argmax/ordering of dot(v, c) is invariant to scaling v. */
   def normalized(v: Column): Column = {
-    val d = transform(v, x => x.cast("double"))
+    val d = dvec(v)
     val n = sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
     transform(d, x => x / n)
   }
 
-  /** argmax-dot list assignment against a centroid literal. */
-  def assignList(vNorm: Column, centroids: Column): Column = {
-    val scores = transform(centroids, c => dot(vNorm, c))
+  /** argmax-dot list assignment against a UNIT-norm centroid literal; `v` may
+    * be raw (unnormalized) doubles — the argmax is scale-invariant. */
+  def assignList(v: Column, centroids: Column): Column = {
+    val scores = transform(centroids, c => dot(v, c))
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  /** The query's nProbe nearest centroid list ids (deterministic tie-break). */
-  def probeLists(vNorm: Column, centroids: Column, nProbe: Int): Column =
+  /** The query's nProbe nearest centroid list ids (deterministic tie-break);
+    * same scale-invariance as assignList. */
+  def probeLists(v: Column, centroids: Column, nProbe: Int): Column =
     transform(
       slice(array_sort(transform(centroids, (c, i) =>
-        struct((-dot(vNorm, c)).as("neg"), i.as("idx")))), 1, nProbe),
+        struct((-dot(v, c)).as("neg"), i.as("idx")))), 1, nProbe),
       s => s.getField("idx"))
 
   /** Train k centroids with `iters` Lloyd iterations. Deterministic; returns
     * unit-norm centroids (cosine k-means). Collect size = k × dim. */
   def trainCentroids(df: DataFrame, vecCol: String, idCol: String,
                      k: Int, iters: Int = 3): Seq[Seq[Double]] = {
-    val vecs = df.select(col(idCol).as("_id"), normalized(col(vecCol)).as("_v"))
+    // each Lloyd iteration re-reads the vectors — persist for the duration of
+    // training (init + iters scans), released before returning. Raw doubles
+    // for assignment (scale-invariant); the unit-norm view feeds the means.
+    val vecs = df.select(col(idCol).as("_id"), dvec(col(vecCol)).as("_dv"),
+        normalized(col(vecCol)).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOn(vecs, k, iters)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  private def trainOn(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     def renorm(c: Array[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c.toSeq else c.map(_ / n).toSeq
@@ -67,7 +86,7 @@ object IvfAnn {
     while (it < iters) {
       val lit = typedlit(centroids)
       val means = vecs
-        .withColumn("_list", assignList(col("_v"), lit))
+        .withColumn("_list", assignList(col("_dv"), lit))
         .select(col("_list"), posexplode(col("_v")).as(Seq("_pos", "_x")))
         .groupBy(col("_list"), col("_pos"))
         // exact decimal average: double summation order varies with the
@@ -87,8 +106,8 @@ object IvfAnn {
 
   /** Corpus with an IVF list assignment column (the inverted file). */
   def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
-    df.withColumn("_vnorm", normalized(col(vecCol)))
-      .withColumn("ivf_list", assignList(col("_vnorm"), typedlit(centroids)))
+    df.withColumn("_dv", dvec(col(vecCol)))
+      .withColumn("ivf_list", assignList(col("_dv"), typedlit(centroids)))
 
   /** Top-k cosine neighbors for each query row, probing nProbe lists.
     * `queryPred` selects the query rows out of `df` (self-search shape). */
@@ -99,13 +118,12 @@ object IvfAnn {
     // the exact re-rank uses the ORIGINAL (unnormalized) doubles with the same
     // cosine formula as the brute-force baseline, so IVF-with-total-recall is
     // bit-identical to brute force (normalized dots round differently in ulps)
-    val dv = transform(col(vecCol), x => x.cast("double"))
+    val dv = dvec(col(vecCol))
     val corpus = assign(df, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), dv.as("nv"), col("ivf_list"))
     val queries = df.filter(queryPred)
-      .withColumn("_vnorm", normalized(col(vecCol)))
       .select(col(idCol).as("query_id"), dv.as("qv"),
-        explode(probeLists(col("_vnorm"), cLit, nProbe)).as("ivf_list"))
+        explode(probeLists(dv, cLit, nProbe)).as("ivf_list"))
     val pairs = queries.join(corpus, Seq("ivf_list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", graft.functions.cosine_sim(col("qv"), col("nv")))
