@@ -345,6 +345,22 @@ object SparkEntry {
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))
     }),
+    // cluster-semantics dedup: two-level mutation chains (doc ~ drop-1 ~
+    // drop-2) plus the table's genuine near-dup clusters, resolved by
+    // connected components; exactly one canonical (min-id) row per cluster
+    // survives. rowsPerBand=2 (32 bands) makes candidate recall for J>=0.8
+    // certain (miss ~1e-14), so the kept set is exact and SQL-statable
+    "q39_dedup_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val m2 = m1.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      graft.ops.DedupOps.dropNearDupsCC(docs.unionByName(m1).unionByName(m2),
+        "text", "doc_id", threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 2)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
@@ -705,6 +721,41 @@ object SparkEntry {
         |      / len(list_distinct(x.sh || y.sh)), 4) AS jaccard
         |  FROM s x JOIN s y ON x.doc_id < y.doc_id
         |) WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    // the full cluster-dedup pipeline replayed in SQL: string-shingle Jaccard
+    // pair graph (J >= 0.8) over the same constructed corpus, transitive
+    // closure via a recursive CTE, keep the min id per component
+    "q39_dedup_cc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, strpos(text, ' ') + 1) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         substring(substring(text, strpos(text, ' ') + 1),
+        |                   strpos(substring(text, strpos(text, ' ') + 1), ' ') + 1)
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM base)
+        |),
+        |p AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / len(list_distinct(x.sh || y.sh)) >= 0.8
+        |),
+        |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        |),
+        |comp AS (SELECT src AS id, min(node) AS component FROM reach GROUP BY src)
+        |SELECT doc_id FROM base
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin,
     // every constructed perturbed pair (cosine ≈ 0.99) and nothing else — the
     // originals' max pairwise cosine is far below the 0.95 threshold
     "q34_embedding_near_dups" ->

@@ -130,6 +130,63 @@ object DedupOps {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /**
+   * Connected components over a near-dup pair graph by iterative min-label
+   * propagation (the MapReduce-CC family, Kiveris et al. SOCC'14 shape):
+   * each node adopts the smallest label among itself and its neighbors until
+   * fixpoint. Near-dup clusters have tiny diameters (a dup chain a~b~c rarely
+   * exceeds a few hops), so convergence is a handful of narrow (id, label)
+   * shuffles — never materializing the transitive closure.
+   *
+   * Returns (id, component) with component = min id of the cluster. Only ids
+   * appearing in `pairs` are returned (isolated rows are their own keepers).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
+        .filter(col("component") =!= col("_old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-dup removal with CLUSTER semantics: two-phase verified pairs →
+    * connected components → keep exactly one row (the min id) per component.
+    * Unlike dropNearDups' greedy pass, a chain a~b~c keeps a (the canonical
+    * representative) and drops b,c deterministically — never over-drops rows
+    * that were only transitively similar, never keeps two members of one
+    * cluster. */
+  def dropNearDupsCC(df: DataFrame, textCol: String, idCol: String,
+                     threshold: Double = 0.8, candidateThreshold: Double = 0.5,
+                     rowsPerBand: Int = 8): DataFrame = {
+    val pairs = verifiedNearDupPairs(df, textCol, idCol,
+      threshold = threshold, candidateThreshold = candidateThreshold,
+      rowsPerBand = rowsPerBand)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Band buckets larger than maxBucketSize — the skew diagnostic for the cap
     * applied in nearDupPairs (run it when dropped recall must be accounted). */
   def oversizedBands(df: DataFrame, textCol: String,

