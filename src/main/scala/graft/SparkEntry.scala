@@ -348,8 +348,9 @@ object SparkEntry {
     // cluster-semantics dedup: two-level mutation chains (doc ~ drop-1 ~
     // drop-2) plus the table's genuine near-dup clusters, resolved by
     // connected components; exactly one canonical (min-id) row per cluster
-    // survives. rowsPerBand=2 (32 bands) makes candidate recall for J>=0.8
-    // certain (miss ~1e-14), so the kept set is exact and SQL-statable
+    // survives. rowsPerBand=3 (21 bands): J>=0.8 pairs miss all bands with
+    // p≈3e-7 — exact on this corpus — while same-vocab random pairs (J≈0.1)
+    // rarely collide (rows=2 went quadratic in candidates at sf0.1)
     "q39_dedup_cc" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val m1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -357,7 +358,7 @@ object SparkEntry {
       val m2 = m1.select((col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
       graft.ops.DedupOps.dropNearDupsCC(docs.unionByName(m1).unionByName(m2),
-        "text", "doc_id", threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 2)
+        "text", "doc_id", threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 3)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 

@@ -141,11 +141,36 @@ object DedupOps {
    * Returns (id, component) with component = min id of the cluster. Only ids
    * appearing in `pairs` are returned (isolated rows are their own keepers).
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localThreshold: Long = 1L << 22): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    if (nEdges <= localThreshold) {
+      // metadata-sized pair graph (the common case even at huge corpora —
+      // near-dup pairs are a sliver of n): one collect + union-find beats
+      // diameter-many distributed iterations each costing scheduler round-trips
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.unpersist(blocking = false)
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -119,14 +119,16 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     // chain 1-2-3-4, star 10-{11,12,13}, edge 20-21, isolated pair 30-31
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L),
       (20L, 21L), (30L, 31L)).toDF("a", "b")
-    def comps(parts: Int): Map[Long, Long] =
-      DedupOps.connectedComponents(pairs.repartition(parts))
+    def comps(parts: Int, localThreshold: Long): Map[Long, Long] =
+      DedupOps.connectedComponents(pairs.repartition(parts), localThreshold = localThreshold)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val c = comps(2)
+    val c = comps(2, localThreshold = 1L << 22) // driver union-find path
     assert(Seq(1L, 2L, 3L, 4L).forall(c(_) == 1L), c.toString)
     assert(Seq(10L, 11L, 12L, 13L).forall(c(_) == 10L))
     assert(c(20L) == 20L && c(21L) == 20L && c(30L) == 30L && c(31L) == 30L)
-    assert(comps(7) == c) // partitioning-invariant
+    assert(comps(7, 1L << 22) == c) // partitioning-invariant
+    // the distributed min-label path (forced) must agree exactly
+    assert(comps(3, localThreshold = 0L) == c)
   }
 
   test("dropNearDupsCC keeps exactly one canonical row per near-dup cluster") {
