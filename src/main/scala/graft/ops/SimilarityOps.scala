@@ -99,24 +99,39 @@ object SimilarityOps {
     val k = if (nPlanes > 0) nPlanes else planesFor(df.count(), targetBucketSize)
     val emb = df.select(col(idCol).as("_id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"))
-    val perTable: Seq[DataFrame] = (0 until nTables).map { t =>
-      val planes = lshPlanes(k, dim, seed = t.toLong * 0x9e37L)
-      val bucketed = emb.withColumn("_bucket", lshBucket(col("_v"), planes))
-      val w = Window.partitionBy(col("_bucket"))
-      val capped = bucketed
-        .withColumn("_bsize", count(lit(1)).over(w))
-        .filter(col("_bsize") <= maxBucketSize)
-        .drop("_bsize")
-      val probed = capped.select(col("_id"), col("_v"),
-        explode(probeBuckets(col("_bucket"), k)).as("_bucket"))
-      probed.as("x").join(capped.as("y"),
-          col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
-        .select(col("x._id").as("a"), col("y._id").as("b"),
-          col("x._v").as("_va"), col("y._v").as("_vb"))
-    }
-    perTable.reduce(_ unionByName _)
-      .groupBy(col("a"), col("b")) // dedup across tables before the (cheap) verify
-      .agg(first(col("_va")).as("_va"), first(col("_vb")).as("_vb"))
+    // ALL tables ride one composite "<table>:<bucket>" key: a single L×n-row
+    // shuffle + self-join instead of L separate full shuffles (at 10^10 rows
+    // the union-of-joins shape pays the corpus shuffle L times over).
+    // The per-table buckets are materialized as ONE array column first: any
+    // expression referencing a bucket k+1 times (the Hamming-1 probe fan-out)
+    // would otherwise re-run the k×dim dot products per reference.
+    val buckets = array((0 until nTables).map { t =>
+      lshBucket(col("_v"), lshPlanes(k, dim, seed = t.toLong * 0x9e37L))
+    }: _*)
+    val withB = emb.select(col("_id"), col("_v"), buckets.as("_buckets"))
+    def tableKey(t: Column, bucket: Column): Column =
+      concat(t.cast("string"), lit(":"), bucket.cast("string"))
+    val buildKeys = zip_with(col("_buckets"), sequence(lit(0), lit(nTables - 1)),
+      (b, t) => tableKey(t, b))
+    val probeKeys = flatten(zip_with(col("_buckets"), sequence(lit(0), lit(nTables - 1)),
+      (b, t) => transform(probeBuckets(b, k), pb => tableKey(t, pb))))
+    val w = Window.partitionBy(col("_tb"))
+    // the explosive stage is NARROW (id, key) only — vectors (16× wider) are
+    // attached AFTER candidate pairs are deduped, the same shape as
+    // nearDupPairs' band join
+    val keyed = withB.select(col("_id"), explode(buildKeys).as("_tb"))
+      .withColumn("_bsize", count(lit(1)).over(w))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
+    val probed = withB.select(col("_id"), explode(probeKeys).as("_tb"))
+    val candidates = probed.as("x").join(keyed.as("y"),
+        col("x._tb") === col("y._tb") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
+      .distinct()
+    val vecs = emb.select(col("_id"), col("_v"))
+    candidates
+      .join(vecs.select(col("_id"), col("_v").as("_va")), col("a") === col("_id")).drop("_id")
+      .join(vecs.select(col("_id"), col("_v").as("_vb")), col("b") === col("_id")).drop("_id")
       .withColumn("cosine", cosine_sim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
