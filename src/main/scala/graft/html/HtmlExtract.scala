@@ -154,6 +154,9 @@ object HtmlExtract {
         byteIndexOfIgnoreCase(bytes, "1252", j, end) >= 0
     } else false
     val charset = if (latin1) StandardCharsets.ISO_8859_1 else StandardCharsets.UTF_8
+    // (no hand-rolled ASCII fast path: JDK17's UTF-8 String decoder already
+    // fast-paths pure-ASCII input via the countPositives intrinsic — measured
+    // identical throughput with and without a manual ISO_8859_1 shortcut)
     new String(bytes, off, bytes.length - off, charset)
   }
 
