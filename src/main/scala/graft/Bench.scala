@@ -58,6 +58,18 @@ object Bench {
       f"${java.util.Arrays.hashCode(p.html) ^ p.url.hashCode}%08x"
     }
     val corpusPath = s"/tmp/graft-bench-pages-$extractionDocs-$genTag"
+    // evict stale sibling corpora (older generator tags) — each is multi-GB
+    // and /tmp would otherwise accumulate one per generator change
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"graft-bench-pages-$extractionDocs-") &&
+        f.getPath != corpusPath)
+      .foreach { stale =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(stale)
+      }
     import org.apache.spark.sql.functions.col
     if (!new java.io.File(corpusPath).exists())
       graft.fixtures.Corpus.pages(spark, extractionDocs, parallelism = 256)

@@ -277,8 +277,10 @@ object SparkEntry {
         .withColumn("toks", regexp_extract_all(col("text"), lit(pat), lit(0)))
         .select(col("doc_id"),
           size(col("toks")).as("n_bpe_tokens"),
-          element_at(col("toks"), 1).as("first_tok"),
-          element_at(col("toks"), -1).as("last_tok"))
+          // try_element_at: ANSI element_at throws on an empty match array
+          // (empty text); DuckDB's toks[1] yields NULL — match that
+          try_element_at(col("toks"), lit(1)).as("first_tok"),
+          try_element_at(col("toks"), lit(-1)).as("last_tok"))
     }),
 
     // ---------------- dedup family ----------------

@@ -191,7 +191,20 @@ object DedupOps {
       it += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      // an unconverged result silently splits components (over-keeping dup
+      // rows) — refuse rather than return wrong clusters
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"(a component has diameter > $maxIter); raise maxIter")
+    }
+    // truncate the iteration lineage and hand back blocks owned by the result
+    // RDD (freed by the ContextCleaner when the caller drops it) — returning
+    // the persisted loop DF would leak its cache for the session lifetime
+    val result = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    result
   }
 
   /** Near-dup removal with CLUSTER semantics: two-phase verified pairs →

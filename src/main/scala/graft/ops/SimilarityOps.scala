@@ -108,22 +108,29 @@ object SimilarityOps {
     val buckets = array((0 until nTables).map { t =>
       lshBucket(col("_v"), lshPlanes(k, dim, seed = t.toLong * 0x9e37L))
     }: _*)
-    val withB = emb.select(col("_id"), col("_v"), buckets.as("_buckets"))
+    val withB = emb.select(col("_id"), buckets.as("_buckets"))
     def tableKey(t: Column, bucket: Column): Column =
       concat(t.cast("string"), lit(":"), bucket.cast("string"))
-    val buildKeys = zip_with(col("_buckets"), sequence(lit(0), lit(nTables - 1)),
-      (b, t) => tableKey(t, b))
-    val probeKeys = flatten(zip_with(col("_buckets"), sequence(lit(0), lit(nTables - 1)),
-      (b, t) => transform(probeBuckets(b, k), pb => tableKey(t, pb))))
+    // one row per (vector, table) carrying the build key AND that table's
+    // probe keys; the bucket-size cap (window over the build key — same
+    // shuffle) removes oversized-bucket rows from BOTH sides: a row in a
+    // degenerate bucket must neither build nor probe in that table, or the
+    // quadratic blowup the cap exists to prevent reopens through the probes
+    val perTable = withB.select(col("_id"),
+        explode(zip_with(col("_buckets"), sequence(lit(0), lit(nTables - 1)),
+          (b, t) => struct(tableKey(t, b).as("_tb"),
+            transform(probeBuckets(b, k), pb => tableKey(t, pb)).as("_probes")))).as("_e"))
+      .select(col("_id"), col("_e._tb").as("_tb"), col("_e._probes").as("_probes"))
     val w = Window.partitionBy(col("_tb"))
-    // the explosive stage is NARROW (id, key) only — vectors (16× wider) are
-    // attached AFTER candidate pairs are deduped, the same shape as
-    // nearDupPairs' band join
-    val keyed = withB.select(col("_id"), explode(buildKeys).as("_tb"))
+    val capped = perTable
       .withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
-    val probed = withB.select(col("_id"), explode(probeKeys).as("_tb"))
+    // the explosive stage is NARROW (id, key) only — vectors (16× wider) are
+    // attached AFTER candidate pairs are deduped, the same shape as
+    // nearDupPairs' band join
+    val keyed = capped.select(col("_id"), col("_tb"))
+    val probed = capped.select(col("_id"), explode(col("_probes")).as("_tb"))
     val candidates = probed.as("x").join(keyed.as("y"),
         col("x._tb") === col("y._tb") && col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))

@@ -427,8 +427,14 @@ object ExtractPipeline {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$outDir/lineage_old_tmp")
     if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
-    fs.rename(hPath, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hPath)
+    // rename returns false on failure (it does not throw): an unchecked promote
+    // followed by the old-dir delete would destroy the only lineage copy
+    if (!fs.rename(hPath, old))
+      throw new IllegalStateException(s"retention: could not move $hPath aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hPath)) {
+      fs.rename(old, hPath) // restore the original before failing
+      throw new IllegalStateException("retention: compacted-lineage promote failed; original restored")
+    }
     fs.delete(old, true)
   }
 
@@ -456,6 +462,7 @@ object ExtractPipeline {
   /** Per-run rollup joining jobs to lineage (reference job_summary view,
     * docker/init.sql:28-49): run_id, mode, totals, buckets committed. */
   def jobSummary(spark: SparkSession, outDir: String): DataFrame = {
+    recoverLineageSwap(spark, outDir) // every lineage reader completes an interrupted swap
     val jobs = spark.read.parquet(s"$outDir/jobs")
     val lin = spark.read.parquet(s"$outDir/lineage")
       .groupBy(col("run_id"))

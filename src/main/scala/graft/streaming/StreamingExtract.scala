@@ -85,6 +85,10 @@ object StreamingExtract {
       val ts = events.map(_._2.getTime).toArray.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[HostSession]
       var cur = state.getOption.orNull
+      // stragglers more than a gap BEFORE the open session sessionize among
+      // THEMSELVES (a late batch can carry a whole old session's events) and
+      // close at end of batch — only the newest session survives in state
+      var past: SessState = null
       ts.foreach { t =>
         cur =
           if (cur == null) SessState(t, t, 1)
@@ -95,11 +99,16 @@ object StreamingExtract {
           else if (t <= cur.endMs + gapMs && t >= cur.startMs - gapMs)
             SessState(math.min(cur.startMs, t), math.max(cur.endMs, t), cur.n + 1)
           else if (t > cur.endMs + gapMs) { out += close(cur); SessState(t, t, 1) }
-          else { // straggler more than a gap BEFORE the session: its own closed session
-            out += HostSession(host, new Timestamp(t), new Timestamp(t), 1)
+          else {
+            past =
+              if (past == null) SessState(t, t, 1)
+              else if (t <= past.endMs + gapMs)
+                SessState(past.startMs, math.max(past.endMs, t), past.n + 1)
+              else { out += close(past); SessState(t, t, 1) }
             cur
           }
       }
+      if (past != null) out += close(past)
       if (cur != null) {
         state.update(cur)
         // event-time timeout must be beyond the current watermark

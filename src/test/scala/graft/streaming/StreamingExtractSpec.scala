@@ -151,13 +151,20 @@ class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
       // within-watermark straggler 10 min BEFORE the open session's start
       source.addData(Seq(page("h.example", "2", 190)))
       q.processAllAvailable()
-      // close it with a far-future event
+      // a late batch carrying a whole OLD session: consecutive stragglers far
+      // before the open session must sessionize together, not emit singletons
+      source.addData(Seq(page("h.example", "o1", 100), page("h.example", "o2", 101),
+        page("h.example", "o3", 110)))
+      q.processAllAvailable()
+      // close the live session with a far-future event
       source.addData(Seq(page("h.example", "3", 500)))
       q.processAllAvailable()
       val all = s.table("late_sessions").collect()
         .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
           r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
       assert(all.contains(("h.example", 190L, 200L, 2L)), all.mkString(";"))
+      assert(all.contains(("h.example", 100L, 110L, 3L)), all.mkString(";"))
+      assert(!all.exists(s0 => s0._2 == 100L && s0._4 == 1L), all.mkString(";"))
     } finally q.stop()
   }
 }
