@@ -12,7 +12,8 @@ object ErrorClass {
   /** Category for a caught extraction exception. */
   def classify(e: Throwable): String = {
     val m = (e.getClass.getSimpleName + " " + Option(e.getMessage).getOrElse("")).toLowerCase
-    if (e.isInstanceOf[OutOfMemoryError] ||
+    if (m.contains("unsupportedpdffilter")) "unsupported_filter"
+    else if (e.isInstanceOf[OutOfMemoryError] ||
         m.contains("memory") || m.contains("disk") || m.contains("space")) "resource"
     else if (m.contains("dataformat") || m.contains("zip") || m.contains("corrupt")) "corrupt_stream"
     else if (m.contains("indexoutofbounds") || m.contains("numberformat") ||

@@ -51,6 +51,26 @@ case class MinHashBands(child: Expression, numHashes: Int, shingleSize: Int, row
     copy(child = newChild)
 }
 
+/** MinHash signature AND its LSH band keys from ONE hashing pass:
+  * struct(sig: array<long>, bands: array<long>). nearDupPairs needs both —
+  * bands for the candidate join, sig for the estimate on survivors — and
+  * computing them as two expressions hashes the full corpus twice (the
+  * dominant cost of every minhash query at scale). */
+case class MinHashSigBands(child: Expression, numHashes: Int, shingleSize: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = TextHash.minhash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(sig), new GenericArrayData(TextHash.bandKeys(sig, rowsPerBand)))
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigBands =
+    copy(child = newChild)
+}
+
 /** Exact token-shingle Jaccard between two texts (the verifier behind MinHash
   * candidates — run only on LSH-bucketed pairs, never O(n²)). */
 case class ShingleJaccard(left: Expression, right: Expression, k: Int)

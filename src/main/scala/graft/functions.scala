@@ -78,6 +78,12 @@ object functions {
   def minhash_bands(text: Column, numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8): Column =
     ColumnBridge.column(MinHashBands(expr(text), numHashes, shingleSize, rowsPerBand))
 
+  /** Fused minhash: struct(sig, bands) from ONE hashing pass — the corpus-scan
+    * shape for generate-then-verify near-dup pipelines (hash once, band-join
+    * on `bands`, estimate on `sig`). */
+  def minhash_sig_bands(text: Column, numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8): Column =
+    ColumnBridge.column(MinHashSigBands(expr(text), numHashes, shingleSize, rowsPerBand))
+
   /** Winnowing-style document fingerprint (min rolling hash over token n-grams). */
   def rolling_fingerprint(text: Column, n: Int = 8): Column =
     ColumnBridge.column(RollingFingerprint(expr(text), n))

@@ -35,12 +35,20 @@ object DedupOps {
                    threshold: Double = 0.5,
                    numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8,
                    maxBucketSize: Int = 1 << 13): DataFrame = {
+    // ONE text-hashing pass: sig + bands fused (MinHashSigBands), then the
+    // narrow (id, sig, bands) frame — ~50× smaller than the text corpus — is
+    // eagerly materialized (localCheckpoint: lineage truncated, blocks freed
+    // when the result is dropped) so the band join and both signature
+    // attachments read the materialized frame instead of re-hashing the
+    // corpus once per consumer.
+    val base = df.select(col(idCol).as("_id"),
+        minhash_sig_bands(col(textCol), numHashes, shingleSize, rowsPerBand).as("_m"))
+      .select(col("_id"), col("_m.sig").as("_sig"), col("_m.bands").as("_bands"))
+      .localCheckpoint(true)
     // the band self-join shuffles only (id, band) — signatures (8× wider) are
     // attached AFTER candidate pairs are deduped, keeping the explosive stage narrow
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_band"))
-    val bands = df.select(
-      col(idCol).as("_id"),
-      explode(minhash_bands(col(textCol), numHashes, shingleSize, rowsPerBand)).as("_band"))
+    val bands = base.select(col("_id"), explode(col("_bands")).as("_band"))
       .withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
@@ -48,8 +56,7 @@ object DedupOps {
         col("x._band") === col("y._band") && col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
-    val sigs = df.select(col(idCol).as("_sid"),
-      minhash_sig(col(textCol), numHashes, shingleSize).as("_sig"))
+    val sigs = base.select(col("_id").as("_sid"), col("_sig"))
     val est = expr(s"aggregate(zip_with(_siga, _sigb, (p,q) -> IF(p = q, 1, 0)), 0, (acc,v) -> acc + v)")
       .cast("double") / numHashes
     candidates
@@ -96,11 +103,14 @@ object DedupOps {
     * round-1 single-prefix table, which missed any pair whose differing bits
     * landed in the prefix. Candidates are verified by exact popcount.
     *
-    * Scale shape: maxHamming+1 narrow (id, block) self-joins unioned; with
-    * maxHamming=3 each table keys on 16 bits (65k buckets, growing with the
-    * corpus hash entropy). Oversized buckets (mass-identical fingerprints)
-    * are capped like nearDupPairs — exact-duplicate detection belongs to
-    * dropExactDups, not the Hamming join. */
+    * Scale shape: ALL maxHamming+1 tables ride ONE composite "<t>:<block>" key
+    * (the same fuse applied to embedding LSH in ccbf91c): a single
+    * (d+1)×n-row shuffle + one self-join, instead of d+1 separate
+    * full-corpus shuffles unioned. With maxHamming=3 each table keys on
+    * 16 bits (65k buckets per table, growing with the corpus hash entropy).
+    * Oversized buckets (mass-identical fingerprints) are capped like
+    * nearDupPairs — exact-duplicate detection belongs to dropExactDups, not
+    * the Hamming join. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3,
                           maxBucketSize: Int = 1 << 13): DataFrame = {
@@ -108,23 +118,25 @@ object DedupOps {
     require(nBlocks >= 2 && nBlocks <= 16, "maxHamming must be in [1, 15]")
     val blockBits = 64 / nBlocks
     val withSim = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sim"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_block"))
-    val perTable: Seq[DataFrame] = (0 until nBlocks).map { t =>
-      // block t's bits as the bucket key, tagged with t so tables don't mix
-      val blockKey = concat(lit(t + ":"),
+    // block t's bits as the bucket key, tagged with t so tables don't mix
+    val keys = array((0 until nBlocks).map { t =>
+      concat(lit(t + ":"),
         shiftrightunsigned(shiftleft(col("_sim"), t * blockBits), 64 - blockBits).cast("string"))
-      val table = withSim.withColumn("_block", blockKey)
-        .withColumn("_bsize", count(lit(1)).over(w))
-        .filter(col("_bsize") <= maxBucketSize)
-        .drop("_bsize")
-      table.as("x").join(table.as("y"),
-          col("x._block") === col("y._block") && col("x._id") < col("y._id"))
-        .select(col("x._id").as("a"), col("y._id").as("b"),
-          col("x._sim").as("_sa"), col("y._sim").as("_sb"))
-    }
-    perTable.reduce(_ unionByName _)
-      .groupBy(col("a"), col("b"))
-      .agg(first(col("_sa")).as("_sa"), first(col("_sb")).as("_sb"))
+    }: _*)
+    val exploded = withSim.select(col("_id"), col("_sim"), explode(keys).as("_block"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_block"))
+    val capped = exploded
+      .withColumn("_bsize", count(lit(1)).over(w))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
+    // self-join on the composite key: both sides are the identical subtree, so
+    // the shuffle is a ReusedExchange (corpus hashed + shuffled ONCE); the
+    // 8-byte fingerprint rides along for the popcount verify
+    capped.as("x").join(capped.as("y"),
+        col("x._block") === col("y._block") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"),
+        col("x._sim").as("_sa"), col("y._sim").as("_sb"))
+      .distinct() // a pair may collide in several tables
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
@@ -140,11 +152,30 @@ object DedupOps {
    *
    * Returns (id, component) with component = min id of the cluster. Only ids
    * appearing in `pairs` are returned (isolated rows are their own keepers).
+   *
+   * Id types: integral (cast to long) or string (e.g. url keys) — anything
+   * else fails fast, because cast-to-long would yield nulls and the graph
+   * would silently lose every edge. String min uses UTF-8 byte order on both
+   * the driver and distributed paths (Spark's binary-collation min).
+   *
+   * localThreshold is sized for a default driver heap: 2^20 boxed edge rows
+   * plus the union-find map stay under ~200 MB; beyond that the distributed
+   * min-label path takes over.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          localThreshold: Long = 1L << 22): DataFrame = {
-    val edges = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+                          localThreshold: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    val aT = pairs.schema(pairs.schema.fieldIndex("a")).dataType
+    val bT = pairs.schema(pairs.schema.fieldIndex("b")).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val isIntegral = integral(aT) && integral(bT)
+    val isString = aT == StringType && bT == StringType
+    require(isIntegral || isString,
+      s"connectedComponents requires integral or string id columns; got a: $aT, b: $bT " +
+        "(a lossy cast would null out ids and silently drop every edge)")
+    def src(c: Column): Column = if (isIntegral) c.cast("long") else c
+    val edges = pairs.select(src(col("a")).as("src"), src(col("b")).as("dst"))
+      .unionByName(pairs.select(src(col("b")).as("src"), src(col("a")).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
@@ -153,23 +184,40 @@ object DedupOps {
       // near-dup pairs are a sliver of n): one collect + union-find beats
       // diameter-many distributed iterations each costing scheduler round-trips
       val spark = pairs.sparkSession
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      // UTF-8 byte order (unsigned), matching Spark's binary-collation min —
+      // Java String.compareTo is UTF-16 order and diverges above the BMP
+      def lessThan(x: Any, y: Any): Boolean =
+        if (isIntegral) x.asInstanceOf[Long] < y.asInstanceOf[Long]
+        else {
+          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n && a(i) == b(i)) i += 1
+          if (i < n) (a(i) & 0xff) < (b(i) & 0xff) else a.length < b.length
+        }
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
         var c = x
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      edges.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      edges.toLocalIterator().forEachRemaining { row =>
+        val (a, b) = (row.get(0), row.get(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        if (ra != rb) { if (lessThan(ra, rb)) parent(rb) = ra else parent(ra) = rb }
       }
       edges.unpersist(blocking = false)
       import spark.implicits._
-      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
+      return if (isIntegral)
+        parent.keys.toSeq.map(id => (id.asInstanceOf[Long], find(id).asInstanceOf[Long]))
+          .toDF("id", "component")
+      else
+        parent.keys.toSeq.map(id => (id.asInstanceOf[String], find(id).asInstanceOf[String]))
+          .toDF("id", "component")
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))

@@ -54,10 +54,13 @@ object SimilarityOps {
   def probeBuckets(bucket: Column, nPlanes: Int): Column =
     array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
 
-  /** Embedding width from the data (one-row metadata probe — never hardcode
-    * the fixture's 64). 0 for an empty input. */
+  /** Embedding width from the data (one-row metadata probe over the first
+    * NON-NULL vector — a leading null row would otherwise NPE, and the plane
+    * dimension must come from a real vector). 0 for an empty/all-null input.
+    * Single-width contract: every non-null vector must share this width —
+    * mixed-width corpora truncate dots against shorter planes. */
   def embeddingDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).limit(1).collect()
+    df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Planes per table for a corpus of n vectors: expected bucket occupancy
@@ -92,11 +95,16 @@ object SimilarityOps {
                             threshold: Double = 0.95,
                             nPlanes: Int = 0, nTables: Int = 4,
                             targetBucketSize: Int = 64,
-                            maxBucketSize: Int = 1 << 13): DataFrame = {
+                            maxBucketSize: Int = 1 << 13,
+                            approxRows: Long = -1L): DataFrame = {
     val dim = embeddingDim(df, vecCol)
     if (dim == 0) // empty input: an empty pair frame, not a driver crash
       return df.select(col(idCol).as("a"), col(idCol).as("b"), lit(0.0d).as("cosine")).limit(0)
-    val k = if (nPlanes > 0) nPlanes else planesFor(df.count(), targetBucketSize)
+    // k sizing needs only the order of magnitude of n: callers that already
+    // know the corpus size (a prior stage's count, table stats) pass
+    // approxRows and skip the sizing scan entirely
+    val k = if (nPlanes > 0) nPlanes
+            else planesFor(if (approxRows > 0) approxRows else df.count(), targetBucketSize)
     val emb = df.select(col(idCol).as("_id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"))
     // ALL tables ride one composite "<table>:<bucket>" key: a single L×n-row
@@ -126,6 +134,11 @@ object SimilarityOps {
       .withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
+      // the build and probe branches below are DIFFERENT projections of this
+      // subtree (no exchange reuse possible): materialize it once
+      // (localCheckpoint — eager, lineage-truncated, blocks freed on GC) so
+      // the k×dim bucket dots and the cap window run a single time
+      .localCheckpoint(true)
     // the explosive stage is NARROW (id, key) only — vectors (16× wider) are
     // attached AFTER candidate pairs are deduped, the same shape as
     // nearDupPairs' band join

@@ -236,6 +236,23 @@ object PdfExtract {
     else RefRx.findFirstMatchIn(body.substring(at + key.length)).map(_.group(1).toInt)
   }
 
+  /** All references under a key whose value may be a single ref OR an array of
+    * refs — the `/Contents [4 0 R 5 0 R]` shape (PDF 32000-1 §7.7.3.3: a page's
+    * contents array denotes the CONCATENATION of the streams). Real generators
+    * (TeX, Office print pipelines) split page content routinely; taking only
+    * the first ref silently drops everything after stream one. */
+  private def dictRefArray(body: String, key: String): List[Int] = {
+    val at = body.indexOf(key)
+    if (at < 0) return Nil
+    val after = body.substring(at + key.length)
+    val trimmed = after.dropWhile(_.isWhitespace)
+    if (trimmed.startsWith("[")) {
+      val close = trimmed.indexOf(']')
+      if (close < 0) Nil
+      else RefRx.findAllMatchIn(trimmed.substring(1, close)).map(_.group(1).toInt).toList
+    } else RefRx.findFirstMatchIn(after).map(_.group(1).toInt).toList
+  }
+
   private def dictInt(body: String, key: String): Option[Int] = {
     val at = body.indexOf(key)
     if (at < 0) None
@@ -273,8 +290,169 @@ object PdfExtract {
     }
     if (end <= start) return Some(Array.emptyByteArray)
     val raw = java.util.Arrays.copyOfRange(o.body, start, end)
-    if (dict.contains("/FlateDecode")) Some(inflate(raw))
-    else Some(raw)
+    val filters = filterNames(dict)
+    if (filters.isEmpty) Some(raw)
+    else Some(filters.foldLeft(raw)((data, f) => applyFilter(f, data)))
+  }
+
+  /** Filter names under /Filter — a single name or an array (a filter CHAIN,
+    * applied in order: `[/ASCII85Decode /FlateDecode]` un-85s then inflates).
+    * Indirect /Filter refs (rare) parse as no filter → raw passthrough. */
+  private def filterNames(dict: String): List[String] = {
+    val at = dict.indexOf("/Filter")
+    if (at < 0) return Nil
+    val after = dict.substring(at + "/Filter".length)
+    val trimmed = after.dropWhile(_.isWhitespace)
+    if (trimmed.startsWith("[")) {
+      val close = trimmed.indexOf(']')
+      if (close < 0) Nil
+      else """/(\w+)""".r.findAllMatchIn(trimmed.substring(1, close)).map(_.group(1)).toList
+    } else """^/(\w+)""".r.findFirstMatchIn(trimmed).map(_.group(1)).toList
+  }
+
+  /** Thrown for a genuinely undecodable filter (DCT, JPX, CCITT, Crypt): the
+    * row must carry a DISTINCT error class ("pdf_unsupported_filter"), not a
+    * silent empty extraction. */
+  final case class UnsupportedPdfFilter(name: String)
+    extends RuntimeException(s"unsupported PDF stream filter /$name")
+
+  /** The standard decode filters implementable on the bare JVM (PDF 32000-1
+    * §7.4), including the short names PDF permits in inline-image contexts. */
+  private def applyFilter(name: String, data: Array[Byte]): Array[Byte] = name match {
+    case "FlateDecode" | "Fl" => inflate(data)
+    case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+    case "ASCII85Decode" | "A85" => ascii85Decode(data)
+    case "RunLengthDecode" | "RL" => runLengthDecode(data)
+    case "LZWDecode" | "LZW" => lzwDecode(data)
+    case other => throw UnsupportedPdfFilter(other)
+  }
+
+  /** §7.4.2: hex pairs, whitespace ignored, '>' = EOD, odd final digit padded
+    * with 0. Non-hex garbage bytes are skipped (degrade, don't throw). */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c == '>') { done = true; -1 }
+        else -1
+      if (v >= 0) {
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit: low nibble zero
+    out.toByteArray
+  }
+
+  /** §7.4.3: base-85 groups of 5 chars → 4 bytes; 'z' = four zero bytes
+    * (only between groups); '~>' = EOD; a partial final group of n chars
+    * yields n-1 bytes (pad with 'u', drop pad bytes). */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var k = 0
+    var i = 0
+    // skip the optional "<~" opener some producers emit
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    def flush(nChars: Int): Unit = {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < nChars) grp(j) else 84); j += 1 }
+      val nBytes = nChars - 1
+      var b = 0
+      while (b < nBytes) { out.write(((v >>> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && k == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(k) = c - '!'
+        k += 1
+        if (k == 5) { flush(5); k = 0 }
+      } // whitespace and garbage skipped
+      i += 1
+    }
+    if (k >= 2) flush(k) // k == 1 is malformed (no bytes derivable) — dropped
+    out.toByteArray
+  }
+
+  /** §7.4.5: length byte L ∈ [0,127] → copy next L+1 literally; L ∈ [129,255]
+    * → repeat next byte 257-L times; 128 = EOD. Truncated input degrades to
+    * what was decoded. */
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i - 1)
+        out.write(data, i + 1, n)
+        i += n
+      } else if (i + 1 < data.length) {
+        val b = data(i + 1)
+        var r = 0
+        while (r < 257 - l) { out.write(b); r += 1 }
+        i += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** §7.4.4: PDF/TIFF LZW — 8-bit symbols, 256 = ClearTable, 257 = EOD, codes
+    * widen at 511/1023/2047 entries ("early change" default 1, i.e. one code
+    * early). Predictors are not applied (content/ToUnicode/ObjStm streams in
+    * the wild don't use them; image data — which does — is never decoded here). */
+  private def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var codeBits = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var nBits = 0
+    var i = 0
+    var done = false
+    def reset(): Unit = { dictSize = 258; codeBits = 9; prev = null }
+    while (i < data.length && !done) {
+      acc = (acc << 8) | (data(i) & 0xff)
+      nBits += 8
+      while (nBits >= codeBits && !done) {
+        val code = ((acc >>> (nBits - codeBits)) & ((1 << codeBits) - 1)).toInt
+        nBits -= codeBits
+        if (code == 256) reset()
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && dict(code) != null) dict(code)
+            else if (prev != null) prev :+ prev(0) // KwKwK case
+            else return out.toByteArray // corrupt: degrade
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          // early change: width grows one code before the table fills
+          if (dictSize + 1 >= (1 << codeBits) && codeBits < 12) codeBits += 1
+          prev = entry
+        }
+      }
+      i += 1
+    }
+    out.toByteArray
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
@@ -406,10 +584,13 @@ object PdfExtract {
     (nums, firstChar)
   }
 
-  /** Font-resource-name → FontInfo for a page (via /Resources /Font). */
+  /** Font-resource-name → FontInfo for a page (via /Resources /Font). `chain`
+    * is the page dict followed by its /Pages ancestors; the first dict that
+    * DECLARES /Resources supplies them (inheritable attribute, §7.7.3.4). */
   private def fontMapOf(objs: Map[Int, PdfObj], bodies: Map[Int, String],
-                        pageBody: String): Map[String, FontInfo] = {
+                        chain: List[String]): Map[String, FontInfo] = {
     try {
+      val pageBody = chain.find(_.contains("/Resources")).getOrElse(return Map.empty)
       val at = pageBody.indexOf("/Resources")
       if (at < 0) return Map.empty
       val after = pageBody.substring(at + "/Resources".length)
@@ -470,12 +651,43 @@ object PdfExtract {
       }
     }
     pageOrder.flatMap { p =>
-      for {
-        contentsRef <- dictRef(bodies(p), "/Contents")
-        obj <- objs.get(contentsRef)
-        sb <- streamBytes(obj)
-      } yield (sb, fontMapOf(objs, bodies, bodies(p)))
+      // /Contents may be one ref or an array of refs; the array denotes the
+      // concatenation of the decoded streams (one logical stream — the spec
+      // guarantees stream divisions fall between lexical tokens, so a
+      // newline separator preserves tokenization)
+      val parts = dictRefArray(bodies(p), "/Contents")
+        .flatMap(r => objs.get(r).flatMap(streamBytes))
+      if (parts.isEmpty) None
+      else {
+        val sb = parts match {
+          case single :: Nil => single
+          case many =>
+            val out = new java.io.ByteArrayOutputStream(many.map(_.length + 1).sum)
+            many.foreach { s => out.write(s, 0, s.length); out.write('\n') }
+            out.toByteArray
+        }
+        Some((sb, fontMapOf(objs, bodies, resourceChain(bodies, p))))
+      }
     }
+  }
+
+  /** Dict bodies to search for /Resources: the page first, then its /Parent
+    * chain (PDF 32000-1 §7.7.3.4 — /Resources and /MediaBox are inheritable
+    * page attributes; TeX/Office generators routinely declare fonts on the
+    * /Pages node). First body CONTAINING /Resources wins — inheritance is
+    * whole-value replacement, never a merge. Cycle-guarded. */
+  private def resourceChain(bodies: Map[Int, String], pageRef: Int): List[String] = {
+    val chain = mutable.ListBuffer(bodies(pageRef))
+    val seen = mutable.Set(pageRef)
+    var cur = pageRef
+    var depth = 0
+    while (depth < 8) {
+      dictRef(bodies(cur), "/Parent").filter(p => bodies.contains(p) && !seen(p)) match {
+        case Some(p) => chain += bodies(p); seen += p; cur = p; depth += 1
+        case None => depth = 8
+      }
+    }
+    chain.toList
   }
 
   // ------------------------------------------------------- content interpreter
@@ -822,7 +1034,12 @@ object PdfExtract {
       }.mkString("\f")
       Outcome(text, spansFromRuns(rs), null)
     } catch {
-      case e: Throwable => Outcome("", IndexedSeq.empty, "pdf_" + graft.ErrorClass.classify(e))
+      // NonFatal only: an OutOfMemoryError/StackOverflowError leaves the
+      // executor in an undefined state — let it propagate and kill the task
+      // (Spark retries it) rather than recording a per-row "resource" error
+      // and continuing to produce rows from a broken JVM
+      case scala.util.control.NonFatal(e) =>
+        Outcome("", IndexedSeq.empty, "pdf_" + graft.ErrorClass.classify(e))
     }
   }
 }

@@ -194,6 +194,20 @@ object ExtractPipeline {
         // never by run_id strings ('run-10' sorts before 'run-2' lexically)
         lit(System.currentTimeMillis()).as("committed_utc_ms"))
 
+  /** Lineage log reader tolerant of rows written by older engine versions:
+    * `committed_utc_ms` and `err_count` were added after the first release, so
+    * an outDir whose log predates them must still resume/compact — mergeSchema
+    * unions the file schemas and missing values default to 0 (epoch-0 commit
+    * stamps sort OLDEST, so any re-run supersedes a legacy row, which is the
+    * correct resume semantics for rows that predate the stamp). */
+  def readLineage(spark: SparkSession, lineagePath: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(lineagePath)
+    def defaulted(df: DataFrame, c: String): DataFrame =
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(0L)))
+      else df.withColumn(c, lit(0L))
+    defaulted(defaulted(raw, "committed_utc_ms"), "err_count")
+  }
+
   final case class RunResult(
       extractedPath: String,
       lineagePath: String,
@@ -267,7 +281,7 @@ object ExtractPipeline {
     // left_anti join would not (no static partition pruning through joins).
     val doneBucketIds: Array[Int] =
       if (fsExists(spark, lineagePath))
-        spark.read.parquet(lineagePath).filter(col("status") === "committed")
+        readLineage(spark, lineagePath).filter(col("status") === "committed")
           .select(col(BucketCol)).distinct().collect().map(_.getInt(0))
       else Array.empty[Int]
     val nDone = doneBucketIds.length
@@ -335,7 +349,7 @@ object ExtractPipeline {
     }
 
     // snapshot manifest over ALL committed buckets (Iceberg-emulation commit record)
-    val allLineage = spark.read.parquet(lineagePath)
+    val allLineage = readLineage(spark, lineagePath)
       .filter(col("status") === "committed")
       .groupBy(col(BucketCol))
       .agg(max(struct(col("committed_utc_ms"), col("run_id"), col("row_count"), col("digest"))).as("latest"))
@@ -358,7 +372,7 @@ object ExtractPipeline {
         CatalogIO.BucketEntry(r.getInt(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_.bucket)))
 
     // counters come from lineage (metadata-sized), never a rescan of the output
-    val linSums = spark.read.parquet(lineagePath)
+    val linSums = readLineage(spark, lineagePath)
       .filter(col("status") === "committed")
       .groupBy(col(BucketCol))
       .agg(max(struct(col("committed_utc_ms"), col("run_id"),
@@ -417,7 +431,7 @@ object ExtractPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(BucketCol))
       .orderBy(col("committed_utc_ms").desc, col("run_id").desc)
-    val latest = spark.read.parquet(lineagePath)
+    val latest = readLineage(spark, lineagePath)
       .filter(col("status") === "committed")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

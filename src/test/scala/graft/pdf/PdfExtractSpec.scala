@@ -289,6 +289,204 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(PdfExtract.text(pdf(w)) == "iii www")
   }
 
+  // ---- round-3 additions: contents arrays, inherited resources, filters ----
+
+  private def rawPdf(objects: (Int, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(StandardCharsets.US_ASCII))
+    objects.foreach { case (num, body) =>
+      out.write(s"$num 0 obj\n".getBytes(StandardCharsets.US_ASCII))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(StandardCharsets.US_ASCII))
+    }
+    out.write("%%EOF\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  private def streamObj(dict: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"$dict\nstream\n".getBytes(StandardCharsets.US_ASCII))
+    out.write(payload)
+    out.write("\nendstream".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  private def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+
+  test("/Contents array: page content split across streams concatenates in order") {
+    // BT opened in stream one, closed in stream two — text state must flow
+    // through the concatenation (the array IS one logical stream)
+    val c1 = ascii("BT /F1 12 Tf 72 700 Td (part one) Tj")
+    val c2 = ascii("(part two) Tj ET")
+    val pdf = rawPdf(
+      1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>"),
+      4 -> streamObj(s"<< /Length ${c1.length} >>", c1),
+      5 -> streamObj(s"<< /Length ${c2.length} >>", c2))
+    assert(PdfExtract.text(pdf) == "part one part two")
+    // single-ref pages still parse through the same path (regression)
+    assert(PdfExtract.text(minimalPdf("BT /F1 12 Tf 72 700 Td (solo) Tj ET")) == "solo")
+  }
+
+  test("inherited /Resources: font declared on the /Pages ancestor decodes the page's CID text") {
+    val cmap = "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "2 beginbfchar\n<0041> <0057>\n<0042> <006F>\nendbfchar\nendcmap\n"
+    val content = ascii("BT /F9 12 Tf 72 720 Td <00410042> Tj ET")
+    val pdf = rawPdf(
+      1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+      // resources live on the Pages NODE, not the page
+      2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources << /Font << /F9 5 0 R >> >> >>"),
+      3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      4 -> streamObj(s"<< /Length ${content.length} >>", content),
+      5 -> ascii("<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+      6 -> streamObj(s"<< /Length ${cmap.length} >>", ascii(cmap)))
+    assert(PdfExtract.text(pdf) == "Wo")
+  }
+
+  test("page's own /Resources overrides the ancestor's (whole-value replacement)") {
+    val cmapW = "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<0041> <0057>\nendbfchar\nendcmap\n" // 0041 -> W
+    val cmapX = "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<0041> <0058>\nendbfchar\nendcmap\n" // 0041 -> X
+    val content = ascii("BT /F9 12 Tf 72 720 Td <0041> Tj ET")
+    val pdf = rawPdf(
+      1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources << /Font << /F9 5 0 R >> >> >>"),
+      3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F9 7 0 R >> >> >>"),
+      4 -> streamObj(s"<< /Length ${content.length} >>", content),
+      5 -> ascii("<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+      6 -> streamObj(s"<< /Length ${cmapW.length} >>", ascii(cmapW)),
+      7 -> ascii("<< /Type /Font /Subtype /Type0 /ToUnicode 8 0 R >>"),
+      8 -> streamObj(s"<< /Length ${cmapX.length} >>", ascii(cmapX)))
+    assert(PdfExtract.text(pdf) == "X")
+  }
+
+  private def onePageFiltered(filterEntry: String, payload: Array[Byte]): Array[Byte] = rawPdf(
+    1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+    2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+    3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    4 -> streamObj(s"<< /Length ${payload.length} $filterEntry >>", payload))
+
+  private val FilterContent = "BT /F1 12 Tf 72 700 Td (filtered text) Tj ET"
+
+  private def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      (0 until 4).foreach(j => v = (v << 8) | (if (i + j < data.length) data(i + j) & 0xffL else 0L))
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        (4 to 0 by -1).foreach { k => cs(k) = ('!' + (x % 85).toInt).toChar; x /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.append("~>")
+    ascii(sb.toString)
+  }
+
+  private def rlEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** PDF LZW encoder (earlyChange=1): stays one dictionary add AHEAD of the
+    * decoder, so it widens codes when its nextFree reaches 2^bits (the decoder
+    * widens at 2^bits - 1 one add later — pdf.js-compatible sync). */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var nextFree = 258
+    var codeBits = 9
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    def put(code: Int): Unit = {
+      acc = (acc << codeBits) | code
+      nBits += codeBits
+      while (nBits >= 8) { out.write(((acc >>> (nBits - 8)) & 0xff).toInt); nBits -= 8 }
+    }
+    def codeOf(w: Seq[Byte]): Int = if (w.length == 1) w.head & 0xff else dict(w)
+    put(256) // clear table
+    var w = Seq.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (w.isEmpty || wb.length == 1) w = wb
+      else if (dict.contains(wb) ) w = wb
+      else {
+        put(codeOf(w))
+        dict(wb) = nextFree
+        nextFree += 1
+        if (nextFree >= (1 << codeBits) && codeBits < 12) codeBits += 1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) put(codeOf(w))
+    put(257) // EOD
+    if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("ASCIIHexDecode round-trips (with whitespace and EOD marker)") {
+    val hex = FilterContent.getBytes(StandardCharsets.US_ASCII)
+      .map(b => f"${b & 0xff}%02X").mkString(" ") + " >"
+    val pdf = onePageFiltered("/Filter /ASCIIHexDecode", ascii(hex))
+    assert(PdfExtract.text(pdf) == "filtered text")
+  }
+
+  test("ASCII85Decode round-trips (partial final group, z shortcut)") {
+    val pdf = onePageFiltered("/Filter /ASCII85Decode", a85Encode(ascii(FilterContent)))
+    assert(PdfExtract.text(pdf) == "filtered text")
+    // z-group exercise: zeros in the payload round-trip too
+    val withZeros = ascii("BT /F1 12 Tf 72 700 Td (a") ++ Array.fill[Byte](8)(0) ++ ascii("b) Tj ET")
+    val dec = onePageFiltered("/Filter /ASCII85Decode", a85Encode(withZeros))
+    assert(PdfExtract.text(dec).startsWith("a"))
+  }
+
+  test("RunLengthDecode round-trips (literal chunks + EOD)") {
+    val pdf = onePageFiltered("/Filter /RunLengthDecode", rlEncode(ascii(FilterContent)))
+    assert(PdfExtract.text(pdf) == "filtered text")
+  }
+
+  test("LZWDecode round-trips across a code-width boundary") {
+    val pdf = onePageFiltered("/Filter /LZWDecode", lzwEncode(ascii(FilterContent)))
+    assert(PdfExtract.text(pdf) == "filtered text")
+    // long repetitive content forces dictionary growth past 511 (10-bit codes)
+    val long = "BT /F1 12 Tf 72 700 Td (" +
+      (1 to 120).map(i => s"tok$i tok$i").mkString(" ") + ") Tj ET"
+    val pdf2 = onePageFiltered("/Filter /LZWDecode", lzwEncode(ascii(long)))
+    assert(PdfExtract.text(pdf2) == long.drop("BT /F1 12 Tf 72 700 Td (".length).dropRight(") Tj ET".length))
+  }
+
+  test("filter ARRAY applies the chain in order: [/ASCII85Decode /FlateDecode]") {
+    val deflater = new java.util.zip.Deflater()
+    val src = ascii(FilterContent)
+    deflater.setInput(src); deflater.finish()
+    val buf = new Array[Byte](src.length * 2 + 64)
+    val m = deflater.deflate(buf); deflater.end()
+    val flate = java.util.Arrays.copyOf(buf, m)
+    val pdf = onePageFiltered("/Filter [/ASCII85Decode /FlateDecode]", a85Encode(flate))
+    assert(PdfExtract.text(pdf) == "filtered text")
+  }
+
+  test("unsupported filter yields the DISTINCT pdf_unsupported_filter error class") {
+    val pdf = onePageFiltered("/Filter /DCTDecode", ascii("ÿØ jpeg-ish bytes"))
+    val o = PdfExtract.outcome(pdf)
+    assert(o.text == "" && o.error == "pdf_unsupported_filter", o)
+  }
+
   test("totality: junk, truncated, empty never throw") {
     assert(PdfExtract.text("%PDF-1.4 garbage no objects".getBytes) == "")
     assert(PdfExtract.text(Array.emptyByteArray) == "")
