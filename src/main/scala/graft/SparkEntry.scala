@@ -45,77 +45,153 @@ object SparkEntry {
   }
 
   /**
-   * splitmix64-in-DuckDB oracle builders (q14/q15): the engine's text hashing
-   * (graft.text.TextHash) is pure wrapping 64-bit arithmetic, so it is exactly
-   * expressible in DuckDB over HUGEINT (mod 2^64), with xor bridged through
-   * BIGINT bit patterns. Naive textual macro expansion explodes exponentially
-   * (each splitmix step duplicates its argument ~8×); instead every step binds
-   * its input as a lambda parameter via a single-element list_transform chain,
-   * keeping each builder ~17 KB.
+   * splitmix64-in-DuckDB oracle builders (q14/q15/q32 + the minhash family):
+   * the engine's text hashing (graft.text.TextHash) is pure wrapping 64-bit
+   * arithmetic, so it is exactly expressible in DuckDB. Naive textual macro
+   * expansion explodes exponentially (each splitmix step duplicates its
+   * argument ~8x); every step binds its input as a lambda parameter via a
+   * single-element list_transform chain. Arithmetic lives in UBIGINT (see
+   * USql64) - the original HUGEINT mod-2^64 formulation spent ~35 microseconds
+   * per splitmix in 128-bit software division (the 64-hash minhash oracle took
+   * 4 minutes at sf0.01); UBIGINT wrap arithmetic is ~100x faster and
+   * value-identical. Token hashes are memoized over DISTINCT tokens.
    */
-  private object Sql64 {
-    private val Two64 = "18446744073709551616"
-    private val Two63 = "9223372036854775808"
-    def toI64(h: String): String =
-      s"(CASE WHEN ($h) >= $Two63 THEN CAST(($h) - $Two64 AS BIGINT) ELSE CAST(($h) AS BIGINT) END)"
-    private def toU64(b: String): String =
-      s"(CASE WHEN ($b) < 0 THEN CAST(($b) AS HUGEINT) + $Two64 ELSE CAST(($b) AS HUGEINT) END)"
-    def ux(a: String, b: String): String = toU64(s"xor(${toI64(a)}, ${toI64(b)})")
-    private def ushr(a: String, n: Int): String = s"(($a) // ${1L << n})"
-    private def umul(a: String, b: String): String =
-      s"((( (($a) % 4294967296) * (($b) % 4294967296) ) + " +
-        s"((( (($a) // 4294967296) * (($b) % 4294967296) + (($a) % 4294967296) * (($b) // 4294967296) ) " +
-        s"% 4294967296) * 4294967296)) % $Two64)"
-    /** splitmix64 finalizer over an input expression (TextHash.mix). */
-    def sm(x: String): String = {
-      val step1 = s"((z1 + 11400714819323198485) % $Two64)"
-      val step2 = umul(ux("z2", ushr("z2", 30)), "13787848793156543929")
-      val step3 = umul(ux("z3", ushr("z3", 27)), "10723151780598845931")
-      val step4 = ux("z4", ushr("z4", 31))
-      s"(list_transform(list_transform(list_transform(list_transform(" +
-        s"[$x], z1 -> $step1), z2 -> $step2), z3 -> $step3), z4 -> $step4))[1]"
-    }
-    /** TextHash.hashToken over a token column: fold mix over char codes. */
-    def htok(tok: String, seed: Long): String = {
-      val init = sm(ux(seed.toString, s"CAST(len($tok) AS HUGEINT)"))
-      val chars = s"list_transform(range(1, len($tok)+1), ci -> CAST(ascii(substr($tok, ci, 1)) AS HUGEINT))"
-      s"list_reduce(list_prepend($init, $chars), (a, b) -> ${sm(ux("a", "b"))})"
-    }
-    val Pows: String = (0 until 64).map(b => s"${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT")
+  private def simhashCtes: String = {
+    val pows = (0 until 64).map(b => s"${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT")
       .mkString("[", ",", "]")
+    s"""tok AS (
+       |  SELECT doc_id, t AS tok
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE len(t) > 0
+       |),
+       |utok AS (SELECT DISTINCT tok FROM tok),
+       |uth AS (SELECT tok, ${USql64.htok("tok", 0x5151L)} AS h FROM utok),
+       |th AS (SELECT t.doc_id AS doc_id, u.h AS h FROM tok t JOIN uth u USING (tok)),
+       |bits AS (
+       |  SELECT doc_id, pw,
+       |    CASE WHEN 2 * sum(CAST((h // pw) % 2 AS BIGINT)) > count(*) THEN pw ELSE 0::UBIGINT END AS contrib
+       |  FROM th, (SELECT unnest($pows) AS pw)
+       |  GROUP BY doc_id, pw
+       |),
+       |sims AS (SELECT doc_id, ${USql64.toI64("CAST(sum(contrib) AS UBIGINT)")} AS sim FROM bits GROUP BY doc_id)""".stripMargin
   }
 
   private def q14OracleSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, t AS tok
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-       |  WHERE len(t) > 0
-       |),
-       |th AS (SELECT doc_id, ${Sql64.htok("tok", 0x5151L)} AS h FROM tok),
-       |bits AS (
-       |  SELECT doc_id, pw,
-       |    CASE WHEN 2 * sum(CAST((h // pw) % 2 AS BIGINT)) > count(*) THEN pw ELSE 0::HUGEINT END AS contrib
-       |  FROM th, (SELECT unnest(${Sql64.Pows}) AS pw)
-       |  GROUP BY doc_id, pw
-       |),
-       |sims AS (SELECT doc_id, sum(contrib) AS sim FROM bits GROUP BY doc_id)
-       |SELECT d.doc_id, coalesce(printf('%x', ${Sql64.toI64("s.sim")}), '0') AS simhash_hex
+    s"""WITH $simhashCtes
+       |SELECT d.doc_id, coalesce(printf('%x', s.sim), '0') AS simhash_hex
        |FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id""".stripMargin
 
-  private def q32OracleSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, t AS tok
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  /**
+   * UBIGINT-domain splitmix64 (q13/q31 minhash oracles): DuckDB's HUGEINT `%`
+   * and `//` are software 128-bit division (~35 µs per splitmix at sf0.01 scale
+   * — a 64-hash minhash oracle took 4 minutes). Native UBIGINT ops are ~100×
+   * faster but overflow-checked, so wrapping arithmetic is built explicitly:
+   * add via a compare-and-borrow CASE, multiply-by-constant via 32-bit limb
+   * split (every intermediate < 2^64), and SIGNED min order (Spark's Long min)
+   * via sign-bit xor. `<<` overflow-checks even for in-range UBIGINT shifts in
+   * DuckDB 1.x — multiplication by 2^32 replaces it.
+   */
+  private object USql64 {
+    private val MaxU = "18446744073709551615::UBIGINT"
+    private val M32 = "4294967295::UBIGINT"
+    val SignBit = "9223372036854775808::UBIGINT"
+    /** u64 bit pattern reinterpreted as signed i64 (Spark Long semantics). */
+    def toI64(u: String): String =
+      s"(CASE WHEN ($u) >= $SignBit THEN CAST(($u) - $SignBit AS BIGINT) + (-9223372036854775807 - 1) " +
+        s"ELSE CAST(($u) AS BIGINT) END)"
+    def wadd(a: String, b: String): String =
+      s"(CASE WHEN ($a) > xor($MaxU, ($b)) THEN ($a) - xor($MaxU, ($b)) - 1 ELSE ($a) + ($b) END)"
+    def wmul(v: String, b: Long): String = {
+      val bl = b & 0xFFFFFFFFL
+      val bh = (b >>> 32) & 0xFFFFFFFFL
+      val lo = s"((($v) & $M32) * ${bl}::UBIGINT)"
+      val cross = s"((((($v) & $M32) * ${bh}::UBIGINT) & $M32) + (((($v) >> 32) * ${bl}::UBIGINT) & $M32))"
+      wadd(lo, s"((($cross) & $M32) * 4294967296::UBIGINT)")
+    }
+    /** splitmix64 finalizer (TextHash.mix), let-bound per step like Sql64. */
+    def sm(x: String): String = {
+      val s1 = wadd("z1", "11400714819323198485::UBIGINT")
+      val s2 = "xor(z2, z2 >> 30)"
+      val s3 = wmul("z3", 0xbf58476d1ce4e5b9L)
+      val s4 = "xor(z4, z4 >> 27)"
+      val s5 = wmul("z5", 0x94d049bb133111ebL)
+      val s6 = "xor(z6, z6 >> 31)"
+      s"(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(" +
+        s"[$x], z1 -> $s1), z2 -> $s2), z3 -> $s3), z4 -> $s4), z5 -> $s5), z6 -> $s6))[1]"
+    }
+    /** TextHash.hashToken over a token column (UBIGINT domain). */
+    def htok(tok: String, seed: Long): String = {
+      val init = sm(s"xor(${seed}::UBIGINT, CAST(len($tok) AS UBIGINT))")
+      val chars = s"list_transform(range(1, len($tok)+1), ci -> CAST(ascii(substr($tok, ci, 1)) AS UBIGINT))"
+      s"list_reduce(list_prepend($init, $chars), (a, b) -> ${sm("xor(a, b)")})"
+    }
+  }
+
+  /**
+   * Full MinHash-LSH pipeline replayed in DuckDB (the q13/q31 oracle):
+   * token hashes (distinct-token memoized) → 3-shingle hashes (distinct-triple
+   * memoized; duplicate shingles collapse — min is idempotent) → 64-value
+   * signature (signed min via sign-bit xor) → 8 band keys (splitmix fold,
+   * band index salted with 0xbeef) → band-collision candidates (a < b) →
+   * estimated Jaccard = matching signature positions / 64. Mirrors
+   * TextHash.minhash/bandKeys and DedupOps.nearDupPairs exactly; the bucket
+   * cap is a no-op at oracle scale (largest band ≪ 2^13).
+   */
+  private def minhashOracleSql(docsCte: String, threshold: Double, outCols: String,
+                               numHashes: Int = 64, rowsPerBand: Int = 8): String = {
+    val k = 3
+    val seedMult = 0xabcdef1234567L
+    s"""WITH docs AS ($docsCte),
+       |tok AS (
+       |  SELECT doc_id, t AS tok, i
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |               unnest(range(len(string_split(text,' ')))) AS i FROM docs)
        |  WHERE len(t) > 0
        |),
-       |th AS (SELECT doc_id, ${Sql64.htok("tok", 0x5151L)} AS h FROM tok),
-       |bits AS (
-       |  SELECT doc_id, pw,
-       |    CASE WHEN 2 * sum(CAST((h // pw) % 2 AS BIGINT)) > count(*) THEN pw ELSE 0::HUGEINT END AS contrib
-       |  FROM th, (SELECT unnest(${Sql64.Pows}) AS pw)
-       |  GROUP BY doc_id, pw
+       |utok AS (SELECT DISTINCT tok FROM tok),
+       |uth AS (SELECT tok, ${USql64.htok("tok", 0x7a7aL)} AS h FROM utok),
+       |th AS (SELECT t.doc_id, t.i, u.h FROM tok t JOIN uth u USING (tok)),
+       |ths AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+       |trip AS (
+       |  SELECT doc_id, ti, hs[ti+1 : ti+least($k, len(hs))] AS tr
+       |  FROM ths CROSS JOIN LATERAL unnest(range(greatest(1, len(hs) - ${k - 1}))) u(ti)
        |),
-       |sims AS (SELECT doc_id, ${Sql64.toI64("sum(contrib)")} AS sim FROM bits GROUP BY doc_id)
+       |utrip AS (SELECT DISTINCT tr FROM trip),
+       |ush AS (
+       |  SELECT tr, list_reduce(list_prepend(11400714819323198485::UBIGINT, tr),
+       |    (a, b) -> ${USql64.sm("xor(a, b)")}) AS sh
+       |  FROM utrip
+       |),
+       |docsh AS (SELECT DISTINCT t.doc_id, u.sh FROM trip t JOIN ush u USING (tr)),
+       |seeds AS (SELECT i, CAST(i * $seedMult + 1 AS UBIGINT) AS seed FROM range($numHashes) t(i)),
+       |sigv AS (
+       |  SELECT h.doc_id, s.i,
+       |    xor(min(xor(${USql64.sm("xor(h.sh, s.seed)")}, ${USql64.SignBit})), ${USql64.SignBit}) AS sv
+       |  FROM docsh h CROSS JOIN seeds s
+       |  GROUP BY h.doc_id, s.i
+       |),
+       |sig AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM sigv GROUP BY doc_id),
+       |bands AS (
+       |  SELECT g.doc_id, b.bnd,
+       |    list_reduce(list_prepend(${USql64.sm("xor(CAST(b.bnd AS UBIGINT), 48879::UBIGINT)")},
+       |      g.sig[b.bnd*$rowsPerBand+1 : b.bnd*$rowsPerBand+$rowsPerBand]),
+       |      (a, c) -> ${USql64.sm("xor(a, c)")}) AS bkey
+       |  FROM sig g CROSS JOIN (SELECT unnest(range(${numHashes / rowsPerBand})) AS bnd) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |),
+       |est AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(range($numHashes), i -> sx.sig[i+1] = sy.sig[i+1])) / $numHashes.0 AS ej
+       |  FROM cand c JOIN sig sx ON c.a = sx.doc_id JOIN sig sy ON c.b = sy.doc_id
+       |)
+       |SELECT $outCols FROM est WHERE ej >= $threshold ORDER BY a, b""".stripMargin
+  }
+
+  private def q32OracleSql: String =
+    s"""WITH $simhashCtes
        |SELECT x.doc_id AS a, y.doc_id AS b,
        |  CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
        |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
@@ -130,15 +206,17 @@ object SparkEntry {
        |               unnest(range(len(string_split(text,' ')))) AS i FROM documents)
        |  WHERE len(t) > 0
        |),
-       |th AS (SELECT doc_id, i, ${Sql64.htok("tok", 0x7a7aL)} AS h FROM tok),
+       |utok AS (SELECT DISTINCT tok FROM tok),
+       |uth AS (SELECT tok, ${USql64.htok("tok", 0x7a7aL)} AS h FROM utok),
+       |th AS (SELECT t.doc_id AS doc_id, t.i AS i, u.h AS h FROM tok t JOIN uth u USING (tok)),
        |ths AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
        |fps AS (
        |  SELECT doc_id,
        |    list_aggregate(list_transform(
        |      list_transform(range(greatest(1, len(hs) - $n + 1)),
-       |        ti -> list_reduce(list_prepend(11400714819323198485::HUGEINT,
-       |                hs[ti+1 : ti+least($n, len(hs))]), (a, b) -> ${Sql64.sm(Sql64.ux("a", "b"))})),
-       |      u -> ${Sql64.toI64("u")}), 'min') AS fp
+       |        ti -> list_reduce(list_prepend(11400714819323198485::UBIGINT,
+       |                hs[ti+1 : ti+least($n, len(hs))]), (a, b) -> ${USql64.sm("xor(a, b)")})),
+       |      u -> ${USql64.toI64("u")}), 'min') AS fp
        |  FROM ths
        |)
        |SELECT d.doc_id, coalesce(printf('%x', f.fp), '0') AS fp_hex
@@ -705,6 +783,16 @@ object SparkEntry {
     // full value oracle, not a rows-only check
     "q14_simhash" -> q14OracleSql,
     "q15_rolling_fingerprint" -> q15OracleSql,
+    // the FULL minhash-LSH pipeline (signature, banding, candidate join,
+    // estimate) replayed in UBIGINT wrap arithmetic — candidate SET and
+    // estimate VALUES both oracle-checked, not rows-only
+    "q13_minhash_near_dups" -> minhashOracleSql(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents""".stripMargin,
+      0.5, "a, b, round(ej, 4) AS est_sim"),
+    "q31_near_dup_pairs" -> minhashOracleSql(
+      "SELECT doc_id, text FROM documents", 0.5, "a, b, round(ej, 4) AS est_jaccard"),
     // block-permuted multi-table SimHash guarantees the EXACT hamming<=3 pair
     // set (pigeonhole recall + popcount verify), so the oracle is the brute
     // force over the same splitmix64 simhash replayed in SQL
