@@ -591,6 +591,41 @@ object SparkEntry {
         .select(col("doc_id"),
           round(aggregate(media_features(col("payload")),
             lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))),
+    // REAL PNG decode (PngDecode: inflate + un-filter): a valid grayscale PNG
+    // is built in-query — stored-deflate block, vertical gradient row y =
+    // doc_id%200 + y — so the per-channel mean/variance features are statable
+    // in closed form. h = 16 (power of two) keeps mean = base + 7.5 and
+    // variance = (16²−1)/12 = 21.25 exactly representable in float, making
+    // the hash compare deterministic.
+    "q40_png_features" -> ((s, dir) => {
+      val h = 16
+      val base = (col("doc_id") % 200).cast("int")
+      // scanline y: filter byte 00 + 8 pixels of value base+y (stride 8, gray)
+      val rawHex = array_join(
+        transform(sequence(lit(0), lit(h - 1)),
+          y => concat(lit("00"), repeat(lpad(hex(base + y), 2, "0"), 8))), "")
+      // raw len = 16×9 = 144 (0x90); stored-deflate: final+stored, len LE,
+      // ~len LE; IDAT data len = 2(zlib hdr)+5(block hdr)+144+4(adler) = 155
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" +          // signature
+          "0000000D" + "49484452" +       // IHDR len + type
+          "00000008" + "00000010" +       // width 8, height 16
+          "08" + "00" + "00" + "00" + "00" + "00000000" + // 8-bit gray + CRC (unchecked)
+          "0000009B" + "49444154" +       // IDAT len 155 + type
+          "7801" + "01" + "9000" + "6FFF"), // zlib hdr + stored-final block hdr
+        rawHex,
+        lit("00000000" +                  // adler (unchecked: raw inflate)
+          "00000000" +                    // IDAT CRC
+          "00000000" + "49454E44" + "00000000")) // IEND
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(pngHex)))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_c0"),
+          round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"),
+          round((element_at(col("f"), 2) + element_at(col("f"), 3) + element_at(col("f"), 4) +
+            element_at(col("f"), 6) + element_at(col("f"), 7) + element_at(col("f"), 8))
+            .cast("double"), 4).as("other_channels"))
+    }),
 
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
@@ -778,8 +813,16 @@ object SparkEntry {
         |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,
         |  CASE WHEN lang IN ('en','de','es','fr','zh') THEN lang ELSE 'unknown' END AS lang_clean
         |FROM documents""".stripMargin,
-    // the engine's splitmix64 hashing replayed exactly in DuckDB (HUGEINT
-    // mod-2^64 arithmetic; see Sql64) — deterministic functions deserve a
+    // the gradient PNG's statistics in closed form: mean of base..base+15 is
+    // base+7.5; population variance of 16 consecutive ints is 21.25
+    "q40_png_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 + 7.5 AS DOUBLE) AS mean_c0,
+        |  CAST(21.25 AS DOUBLE) AS var_c0,
+        |  CAST(0.0 AS DOUBLE) AS other_channels
+        |FROM documents""".stripMargin,
+    // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
+    // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check
     "q14_simhash" -> q14OracleSql,
     "q15_rolling_fingerprint" -> q15OracleSql,

@@ -5,10 +5,12 @@ package graft.media
  * `binary` columns with typed metadata extracted by header inspection.
  *
  * REAL: container detection + dimensions from headers (PNG IHDR, GIF logical
- * screen descriptor, JPEG SOF scan, RIFF/WAVE, %PDF, HTML).
- * STUB: content decode / feature extraction (`features`) — no image/audio codec
- * libraries exist in this build environment, so features are a deterministic
- * byte-hash fake with the real schema/batching plumbing around them.
+ * screen descriptor, JPEG SOF scan, RIFF/WAVE, %PDF, HTML); PNG content decode
+ * (PngDecode: inflate + un-filter — zlib is in the JVM) with per-channel
+ * mean/variance features.
+ * STUB: feature extraction for formats whose codecs genuinely aren't in this
+ * build environment (JPEG/GIF entropy decode, audio, video) — those fall back
+ * to a deterministic byte-hash sketch with the real schema/batching plumbing.
  */
 object MediaSniff {
 
@@ -53,12 +55,45 @@ object MediaSniff {
     } else Info("unknown", -1, -1)
   }
 
-  /** STUB feature extractor: deterministic 8-dim byte-hash sketch standing in for
-    * a real embedding model (codec libs absent). The Spark-side schema,
-    * partitioning and batch shape are the real contract. */
+  /** 8-dim feature vector. PNG payloads DECODE (inflate + un-filter) and
+    * yield real per-channel statistics: [mean(ch0..ch3), variance(ch0..ch3)]
+    * with absent channels zero (population variance via E[x²] − mean²,
+    * double accumulators). Formats without a JVM codec (JPEG/GIF/audio/video)
+    * fall back to the deterministic byte-hash sketch — the remaining declared
+    * stub. */
   def features(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (b == null) return out
+    PngDecode.decode(b) match {
+      case Some(p) =>
+        val n = p.width.toLong * p.height
+        val sums = new Array[Double](4)
+        val sqs = new Array[Double](4)
+        var i = 0
+        while (i < p.samples.length) {
+          val v = (p.samples(i) & 0xff).toDouble
+          val c = i % p.channels
+          sums(c) += v
+          sqs(c) += v * v
+          i += 1
+        }
+        var c = 0
+        while (c < p.channels) {
+          val mean = sums(c) / n
+          out(c) = mean.toFloat
+          out(4 + c) = (sqs(c) / n - mean * mean).toFloat
+          c += 1
+        }
+        out
+      case None => hashSketch(b)
+    }
+  }
+
+  /** STUB fallback: deterministic 8-dim byte-hash sketch standing in for a
+    * real embedding model (codec libs absent for JPEG/GIF/audio/video). The
+    * Spark-side schema, partitioning and batch shape are the real contract. */
+  private def hashSketch(b: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
     var i = 0
     var h = 0x9e3779b97f4a7c15L
     while (i < b.length) {

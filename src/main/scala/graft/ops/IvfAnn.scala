@@ -60,17 +60,34 @@ object IvfAnn {
       s => s.getField("idx"))
 
   /** Train k centroids with `iters` Lloyd iterations. Deterministic; returns
-    * unit-norm centroids (cosine k-means). Collect size = k × dim. */
+    * unit-norm centroids (cosine k-means). Collect size = k × dim.
+    *
+    * sampleDenominator > 1 trains on the deterministic 1/denominator slice
+    * `xxhash64(id) % denominator == 0` — at 10^10+ rows full-corpus Lloyd
+    * scans are waste (quantizer quality saturates long before that), and a
+    * HASH sample (unlike df.sample) is partition-invariant, keeping training
+    * reproducible. Pick denominator so corpus/denominator ≫ k; if the slice
+    * yields fewer than k seed rows, training falls back to the full corpus. */
   def trainCentroids(df: DataFrame, vecCol: String, idCol: String,
-                     k: Int, iters: Int = 3): Seq[Seq[Double]] = {
+                     k: Int, iters: Int = 3, sampleDenominator: Int = 1): Seq[Seq[Double]] = {
+    val base =
+      if (sampleDenominator > 1)
+        df.filter(pmod(xxhash64(col(idCol)), lit(sampleDenominator)) === 0)
+      else df
     // each Lloyd iteration re-reads the vectors — persist for the duration of
     // training (init + iters scans), released before returning. Raw doubles
     // for assignment (scale-invariant); the unit-norm view feeds the means.
-    val vecs = df.select(col(idCol).as("_id"), dvec(col(vecCol)).as("_dv"),
+    val vecs = base.select(col(idCol).as("_id"), dvec(col(vecCol)).as("_dv"),
         normalized(col(vecCol)).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try trainOn(vecs, k, iters)
-    finally vecs.unpersist(blocking = false)
+    try {
+      val out = trainOn(vecs, k, iters)
+      if (out.length >= k || sampleDenominator <= 1) out
+      else { // sample too thin to seed k lists — retrain on everything
+        vecs.unpersist(blocking = false)
+        trainCentroids(df, vecCol, idCol, k, iters)
+      }
+    } finally vecs.unpersist(blocking = false)
   }
 
   private def trainOn(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
@@ -109,17 +126,38 @@ object IvfAnn {
     df.withColumn("_dv", dvec(col(vecCol)))
       .withColumn("ivf_list", assignList(col("_dv"), typedlit(centroids)))
 
+  /** Inverted file truncated to maxListSize members per list (deterministic:
+    * smallest ids kept, one window over the SAME ivf_list shuffle key the
+    * probe join uses). A skewed corpus puts most rows in one hot list, and an
+    * uncapped probe join against it re-creates the near-cross-join IVF exists
+    * to avoid. Unlike the LSH bucket caps (which must DROP degenerate buckets
+    * entirely — any member pair is a candidate), truncation is right for ANN:
+    * queries probing the hot list still rank a bounded candidate subset. */
+  def cappedLists(df: DataFrame, vecCol: String, idCol: String,
+                  centroids: Seq[Seq[Double]], maxListSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("ivf_list")).orderBy(col(idCol).asc)
+    assign(df, vecCol, centroids)
+      .withColumn("_lrank", row_number().over(w))
+      .filter(col("_lrank") <= maxListSize)
+      .drop("_lrank")
+  }
+
   /** Top-k cosine neighbors for each query row, probing nProbe lists.
-    * `queryPred` selects the query rows out of `df` (self-search shape). */
+    * `queryPred` selects the query rows out of `df` (self-search shape).
+    * maxListSize > 0 bounds per-query candidate volume to nProbe×maxListSize
+    * on skewed corpora (see cappedLists); 0 = exact lists. */
   def topK(df: DataFrame, vecCol: String, idCol: String,
            queryPred: Column, centroids: Seq[Seq[Double]],
-           k: Int = 5, nProbe: Int = 4): DataFrame = {
+           k: Int = 5, nProbe: Int = 4, maxListSize: Int = 0): DataFrame = {
     val cLit = typedlit(centroids)
     // the exact re-rank uses the ORIGINAL (unnormalized) doubles with the same
     // cosine formula as the brute-force baseline, so IVF-with-total-recall is
     // bit-identical to brute force (normalized dots round differently in ulps)
     val dv = dvec(col(vecCol))
-    val corpus = assign(df, vecCol, centroids)
+    val inverted =
+      if (maxListSize > 0) cappedLists(df, vecCol, idCol, centroids, maxListSize)
+      else assign(df, vecCol, centroids)
+    val corpus = inverted
       .select(col(idCol).as("neighbor_id"), dv.as("nv"), col("ivf_list"))
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), dv.as("qv"),

@@ -27,11 +27,15 @@ import graft.model.PageRow
  *    reads concatenated members natively, so one stream pass covers both
  *    whole-file and member-per-record layouts.
  *
- * Scale shape: one task per WARC file via Spark's binaryFile source (CC ships
- * ~64k files of ~1 GB per crawl — file-level parallelism IS the scale axis;
- * records inside a file are inherently sequential because gzip members are
- * not seekable without an index). Parsing is streaming and total: a corrupt
- * record ends that file's iteration rather than killing the task.
+ * Scale shape: one task per WARC file (CC ships ~64k files of ~1 GB per
+ * crawl — file-level parallelism IS the scale axis; records inside a file are
+ * inherently sequential because gzip members are not seekable without an
+ * index). A task's memory is O(one record), never O(file): files are listed
+ * driver-side (metadata only) and each task opens a FileSystem stream and
+ * decodes records as it iterates — the earlier binaryFile-based reader
+ * materialized the whole archive as one Array[Byte] (~1 GB heap per task,
+ * 2 GB hard cap). Parsing is streaming and total: a corrupt record ends that
+ * file's iteration rather than killing the task.
  */
 object WarcSource {
 
@@ -42,24 +46,85 @@ object WarcSource {
       body: Array[Byte]
   )
 
+  /** Hadoop Configuration is not Serializable; Spark's own wrapper is
+    * private[spark], so the closure carries this minimal equivalent. */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   def pages(spark: SparkSession, dir: String, glob: String = "*.{warc,warc.gz}",
             recursive: Boolean = true): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", recursive.toString)
-      .load(dir)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-    val rows: Dataset[PageRow] = files.flatMap { case (path, content) =>
-      records(content, gzipped = path.endsWith(".gz"))
-        .filter(r => r.warcType == "response" || r.warcType == "resource")
-        .map { r =>
-          val body = if (r.warcType == "response") stripHttpHeaders(r.body) else r.body
-          PageRow(r.targetUri, parseWarcDate(r.date), body, null, null)
+    val paths = listPaths(spark, dir, glob, recursive)
+    if (paths.isEmpty) return spark.emptyDataset[PageRow].toDF()
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // one partition per archive (gzip members are not seekable mid-stream)
+    val rows: Dataset[PageRow] = spark.createDataset(paths)
+      .repartition(paths.length)
+      .mapPartitions { pathsInTask =>
+        pathsInTask.flatMap { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val in: InputStream =
+            try {
+              val raw = new java.io.BufferedInputStream(
+                path.getFileSystem(conf.value).open(path), 1 << 16)
+              // BufferedInputStream keeps available() > 0 at member boundaries
+              // so GZIPInputStream continues into the next gzip member
+              // (member-per-record is the Common Crawl layout)
+              if (p.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+            } catch { case _: Exception => new ByteArrayInputStream(Array.emptyByteArray) }
+          // the stream closes at iterator exhaustion; the task-completion
+          // listener covers early abandonment (limit, failure)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeQuietly(in)))
+          closing(in, records(in)
+            .filter(r => r.warcType == "response" || r.warcType == "resource")
+            .map { r =>
+              val body = if (r.warcType == "response") stripHttpHeaders(r.body) else r.body
+              PageRow(r.targetUri, parseWarcDate(r.date), body, null, null)
+            })
         }
-    }
+      }
     rows.toDF()
+  }
+
+  /** Driver-side metadata listing (never reads content). Deterministic order. */
+  private def listPaths(spark: SparkSession, dir: String, glob: String,
+                        recursive: Boolean): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    val filter = new org.apache.hadoop.fs.GlobFilter(glob)
+    val it = fs.listFiles(base, recursive)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && filter.accept(new org.apache.hadoop.fs.Path(st.getPath.getName)))
+        buf += st.getPath.toString
+    }
+    buf.sorted.toSeq
+  }
+
+  private def closeQuietly(in: InputStream): Unit =
+    try in.close() catch { case _: Exception => () }
+
+  private def closing[A](in: InputStream, it: Iterator[A]): Iterator[A] = new Iterator[A] {
+    private var closed = false
+    override def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !closed) { closed = true; closeQuietly(in) }
+      h
+    }
+    override def next(): A = it.next()
   }
 
   /** ISO-8601 WARC-Date → Timestamp; epoch 0 when absent/unparseable (total). */
@@ -69,14 +134,20 @@ object WarcSource {
     catch { case _: Exception => new Timestamp(0L) }
   }
 
-  /** Streaming record iterator over WARC bytes (optionally gzipped,
-    * multi-member safe). Total: malformed input ends the iterator. */
+  /** In-memory convenience over [[records(in*]] (tests, small archives). */
   def records(bytes: Array[Byte], gzipped: Boolean): Iterator[WarcRecord] = {
     val in: InputStream =
       try {
         if (gzipped) new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
         else new ByteArrayInputStream(bytes)
       } catch { case _: Exception => return Iterator.empty }
+    records(in)
+  }
+
+  /** Streaming record iterator over a WARC stream (already un-gzipped,
+    * multi-member safe upstream). Memory is O(current record). Total:
+    * malformed input ends the iterator. */
+  def records(in: InputStream): Iterator[WarcRecord] = {
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = null
       private var done = false
