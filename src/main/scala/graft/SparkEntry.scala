@@ -419,9 +419,12 @@ object SparkEntry {
       // (k, L) multi-table LSH at auto parameters recovers every perturbed
       // pair (cosine ≈ 0.99) — the pair SET is the oracle contract (cosine
       // VALUES are covered by q16's oracle; float-vs-double rounding at the
-      // 4th decimal would make them a flaky hash compare here)
+      // 4th decimal would make them a flaky hash compare here).
+      // approxRows: k sizing needs only the order of magnitude, so the cheap
+      // column-less parquet count stands in for scanning the union
       graft.ops.SimilarityOps.embeddingNearDupPairs(
-        emb.unionByName(perturbed), "embedding", "vec_id", threshold = 0.95)
+        emb.unionByName(perturbed), "embedding", "vec_id", threshold = 0.95,
+        approxRows = 2 * t(s, dir, "embeddings").count())
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))
     }),

@@ -557,10 +557,163 @@ object PdfExtract {
   }
 
   /** Per-font info resolved from the page's /Resources /Font dict:
-    * optional ToUnicode CMap (CID text) and optional simple-font /Widths
-    * metrics (FirstChar-based, 1/1000 text-space units). Either may be null —
-    * the interpreter falls back to identity decoding / the 0.5em width model. */
-  private[pdf] final case class FontInfo(toUni: ToUni, widths: Array[Float], firstChar: Int)
+    * optional ToUnicode CMap (CID text), optional simple-font /Widths metrics
+    * (FirstChar-based, 1/1000 text-space units), and optional /Encoding
+    * /Differences byte→string remaps (AGL glyph names). Any may be null — the
+    * interpreter falls back to identity decoding / the 0.5em width model.
+    * Decode priority per code: ToUnicode (authoritative) → Differences →
+    * identity. */
+  private[pdf] final case class FontInfo(toUni: ToUni, widths: Array[Float], firstChar: Int,
+                                         diffs: Array[String] = null,
+                                         cidWidths: Map[Int, Float] = null,
+                                         cidDefault: Float = 1000f)
+
+  /** Adobe Glyph List subset covering the names real generators emit in
+    * /Differences (letters, digits, ASCII punctuation, common Latin-1
+    * accents, f-ligatures, typographic quotes/dashes) plus the uniXXXX /
+    * uXXXXXX conventions. Unknown names decode as U+FFFD — a visible signal,
+    * never latin-1 garbage. */
+  private[pdf] val glyphNames: Map[String, String] = {
+    val m = mutable.Map.empty[String, String]
+    ('A' to 'Z').foreach(c => m(c.toString) = c.toString)
+    ('a' to 'z').foreach(c => m(c.toString) = c.toString)
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
+      .zipWithIndex.foreach { case (n, i) => m(n) = i.toString }
+    Seq("space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~", "quoteleft" -> "‘",
+      "quoteright" -> "’", "quotedblleft" -> "“", "quotedblright" -> "”",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "fi" -> "ﬁ", "fl" -> "ﬂ", "germandbls" -> "ß",
+      "adieresis" -> "ä", "odieresis" -> "ö", "udieresis" -> "ü",
+      "Adieresis" -> "Ä", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+      "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+      "ccedilla" -> "ç", "ntilde" -> "ñ", "degree" -> "°",
+      "copyright" -> "©", "registered" -> "®", "trademark" -> "™",
+      "Euro" -> "€", "sterling" -> "£", "yen" -> "¥",
+      "cent" -> "¢", "section" -> "§", "paragraph" -> "¶")
+      .foreach { case (k, v) => m(k) = v }
+    m.toMap
+  }
+
+  private[pdf] def glyphToString(name: String): String =
+    glyphNames.getOrElse(name, {
+      def hexChar(hex: String): String =
+        try {
+          val cp = Integer.parseInt(hex, 16)
+          if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�"
+        } catch { case _: Exception => "�" }
+      if (name.startsWith("uni") && name.length >= 7) hexChar(name.substring(3, 7))
+      else if (name.startsWith("u") && name.length >= 5 && name.length <= 7) hexChar(name.substring(1))
+      else "�"
+    })
+
+  /** Substring of `s` inside the bracket pair opening at `open` (nesting-aware
+    * — /W arrays nest: `[ c [w1 w2] ... ]`). Null when unbalanced. */
+  private def bracketRegion(s: String, open: Int): String = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '[') depth += 1
+      else if (ch == ']') { depth -= 1; if (depth == 0) return s.substring(open + 1, i) }
+      i += 1
+    }
+    null
+  }
+
+  /** CID per-code widths from the Type0 font's descendant CIDFont: /DW default
+    * (spec default 1000) and the /W array's two clause forms — `c [w1 w2 ...]`
+    * (consecutive codes from c) and `cFirst cLast w` (a range at one width).
+    * Codes are CIDs; with the Identity-H layout (the common crawl-PDF case,
+    * and the same assumption the ToUnicode decode makes) code == CID.
+    * (null, 1000) when absent. Entry count capped (a hostile /W must not
+    * allocate unboundedly). */
+  private def parseCidWidths(fontBody: String, bodies: Map[Int, String]): (Map[Int, Float], Float) = {
+    val none = (null: Map[Int, Float], 1000f)
+    val dfAt = fontBody.indexOf("/DescendantFonts")
+    if (dfAt < 0) return none
+    val after = fontBody.substring(dfAt + "/DescendantFonts".length)
+    val trimmed = after.dropWhile(_.isWhitespace)
+    val arrTxt =
+      if (trimmed.startsWith("[")) trimmed.take(256)
+      else RefRx.findFirstMatchIn(trimmed.take(64)).map(_.group(1).toInt).flatMap(bodies.get)
+        .getOrElse(return none)
+    val descBody = RefRx.findFirstMatchIn(arrTxt).map(_.group(1).toInt).flatMap(bodies.get)
+      .getOrElse(return none)
+    val dw = dictInt(descBody, "/DW").getOrElse(1000).toFloat
+    val wAt = """/W(?![A-Za-z])""".r.findFirstMatchIn(descBody).map(_.start).getOrElse(return (null, dw))
+    val wVal = descBody.substring(wAt + 2).dropWhile(_.isWhitespace)
+    val region =
+      if (wVal.startsWith("[")) bracketRegion(wVal, 0)
+      else { // indirect /W N 0 R
+        val b = RefRx.findFirstMatchIn(wVal.take(64)).map(_.group(1).toInt).flatMap(bodies.get)
+          .getOrElse(return (null, dw))
+        val open = b.indexOf('[')
+        if (open < 0) return (null, dw) else bracketRegion(b, open)
+      }
+    if (region == null) return (null, dw)
+    val toks = """\[|\]|-?\d+(?:\.\d+)?""".r.findAllIn(region).toArray
+    val out = mutable.Map.empty[Int, Float]
+    val cap = 1 << 16
+    var i = 0
+    while (i < toks.length && out.size < cap) {
+      // clause start: a code number
+      if (toks(i) == "[" || toks(i) == "]") i += 1
+      else {
+        val c = toks(i).toFloat.toInt
+        if (i + 1 < toks.length && toks(i + 1) == "[") {
+          var j = i + 2
+          var cid = c
+          while (j < toks.length && toks(j) != "]" && out.size < cap) {
+            out(cid) = toks(j).toFloat; cid += 1; j += 1
+          }
+          i = j + 1
+        } else if (i + 2 < toks.length && toks(i + 1) != "[" && toks(i + 2) != "[") {
+          val cLast = toks(i + 1).toFloat.toInt
+          val w = toks(i + 2).toFloat
+          var cid = c
+          while (cid <= cLast && out.size < cap) { out(cid) = w; cid += 1 }
+          i += 3
+        } else i += 1
+      }
+    }
+    (if (out.isEmpty) null else out.toMap, dw)
+  }
+
+  /** /Encoding /Differences array: `[ code /name /name code /name ... ]` —
+    * each number resets the code counter, each name assigns code++ (PDF
+    * 32000-1 §9.6.6.1). The base-encoding name (/WinAnsiEncoding etc.) is
+    * ignored: unmapped codes keep identity decode. Null when absent. */
+  private def parseDifferences(fontBody: String, bodies: Map[Int, String]): Array[String] = {
+    val at = fontBody.indexOf("/Encoding")
+    if (at < 0) return null
+    val after = fontBody.substring(at + "/Encoding".length)
+    val trimmed = after.dropWhile(_.isWhitespace)
+    val encBody: String =
+      if (trimmed.startsWith("<<")) trimmed
+      else if (trimmed.startsWith("/")) return null // named base encoding only
+      else RefRx.findFirstMatchIn(trimmed).map(_.group(1).toInt).flatMap(bodies.get)
+        .getOrElse(return null)
+    val dAt = encBody.indexOf("/Differences")
+    if (dAt < 0) return null
+    val open = encBody.indexOf('[', dAt)
+    val close = if (open >= 0) encBody.indexOf(']', open) else -1
+    if (open < 0 || close < 0) return null
+    val out = new Array[String](256)
+    var code = -1
+    """(\d+)|/([A-Za-z0-9.]+)""".r.findAllMatchIn(encBody.substring(open + 1, close)).foreach { m =>
+      if (m.group(1) != null) code = m.group(1).toInt
+      else if (code >= 0 && code < 256) { out(code) = glyphToString(m.group(2)); code += 1 }
+    }
+    if (out.forall(_ == null)) null else out
+  }
 
   private def parseWidths(fontBody: String, bodies: Map[Int, String]): (Array[Float], Int) = {
     val wAt = fontBody.indexOf("/Widths")
@@ -614,8 +767,10 @@ object PdfExtract {
             parsed <- parseToUnicode(sb)
           } yield parsed).orNull
           val (widths, firstChar) = parseWidths(fb, bodies)
-          if (tu == null && widths == null) None
-          else Some(m.group(1) -> FontInfo(tu, widths, firstChar))
+          val diffs = parseDifferences(fb, bodies)
+          val (cidW, cidDw) = parseCidWidths(fb, bodies)
+          if (tu == null && widths == null && diffs == null && cidW == null) None
+          else Some(m.group(1) -> FontInfo(tu, widths, firstChar, diffs, cidW, cidDw))
         }
       }.toMap
     } catch { case _: Exception => Map.empty }
@@ -709,10 +864,10 @@ object PdfExtract {
     var curX = 0f; var curY = 0f
 
     def decodeShown(raw: String): String = {
-      if (curFont == null || curFont.toUni == null) return raw
+      if (curFont == null || (curFont.toUni == null && curFont.diffs == null)) return raw
       val tu = curFont.toUni
       val sb = new java.lang.StringBuilder(raw.length)
-      if (tu.twoByte) {
+      if (tu != null && tu.twoByte) {
         var k = 0
         while (k + 1 < raw.length) {
           val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
@@ -721,10 +876,16 @@ object PdfExtract {
         }
         if ((raw.length & 1) == 1) sb.append('\uFFFD') // odd trailing byte
       } else {
+        // simple font: ToUnicode (authoritative) \u2192 /Differences \u2192 identity
         var k = 0
         while (k < raw.length) {
           val c = raw.charAt(k)
-          sb.append(tu.map.getOrElse(c & 0xff, String.valueOf(c)))
+          val code = c & 0xff
+          val viaTu = if (tu != null) tu.map.get(code) else None
+          sb.append(viaTu.getOrElse {
+            val d = if (curFont.diffs != null) curFont.diffs(code) else null
+            if (d != null) d else String.valueOf(c)
+          })
           k += 1
         }
       }
@@ -735,11 +896,20 @@ object PdfExtract {
       * font declares them (1/1000 text-space units per code), else the 0.5em
       * average model over the decoded text. */
     def advanceOf(raw: String, decoded: String): Float = {
-      // 2-byte CID fonts meter widths per CODE via /W (unimplemented), not per
-      // byte via /Widths — indexing /Widths per raw byte would double-count;
-      // fall back to the average model over decoded glyphs
-      if (curFont == null || curFont.widths == null ||
-          (curFont.toUni != null && curFont.toUni.twoByte))
+      // 2-byte CID fonts meter widths per CODE via the descendant CIDFont's
+      // /W map (+ /DW default), never per byte via /Widths (double-counting)
+      if (curFont != null && curFont.toUni != null && curFont.toUni.twoByte) {
+        if (curFont.cidWidths == null) return 0.5f * fontSize * decoded.length
+        var sum = 0f
+        var k = 0
+        while (k + 1 < raw.length) {
+          val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+          sum += curFont.cidWidths.getOrElse(code, curFont.cidDefault) / 1000f * fontSize
+          k += 2
+        }
+        return sum
+      }
+      if (curFont == null || curFont.widths == null)
         return 0.5f * fontSize * decoded.length
       val ws = curFont.widths
       var sum = 0f

@@ -478,15 +478,18 @@ object ExtractPipeline {
   def jobSummary(spark: SparkSession, outDir: String): DataFrame = {
     recoverLineageSwap(spark, outDir) // every lineage reader completes an interrupted swap
     val jobs = spark.read.parquet(s"$outDir/jobs")
-    val lin = spark.read.parquet(s"$outDir/lineage")
+    val lin = readLineage(spark, s"$outDir/lineage")
       .groupBy(col("run_id"))
       .agg(count(lit(1)).as("buckets_committed"),
         sum("row_count").as("lineage_rows"),
         sum("ok_count").as("lineage_ok"),
         sum("skipped_count").as("lineage_skipped"))
+    // errors ride along: the reference's job_summary view counts failed files
+    // per job (docker/init.sql:28-49) — dropping the column hid every failure
+    // from the one table an operator actually reads
     jobs.join(lin, Seq("run_id"), "left")
       .select(col("run_id"), col("mode"), col("total_rows"), col("extracted"),
-        col("skipped"), col("quarantined"), col("buckets_committed"),
+        col("skipped"), col("errors"), col("quarantined"), col("buckets_committed"),
         col("lineage_rows"), col("docs_per_sec"), col("status"))
   }
 

@@ -487,6 +487,55 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(o.text == "" && o.error == "pdf_unsupported_filter", o)
   }
 
+  test("/Encoding /Differences remaps simple-font bytes via AGL glyph names") {
+    val content = ascii("BT /F1 12 Tf 72 720 Td (ABCD) Tj ET")
+    def pdf(encEntry: String, extra: (Int, Array[Byte])*): Array[Byte] = rawPdf(
+      (Seq(
+        1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+        2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        4 -> streamObj(s"<< /Length ${content.length} >>", content),
+        5 -> ascii(s"<< /Type /Font /Subtype /Type1 $encEntry >>")) ++ extra): _*)
+    // A(65)->germandbls, B(66) skipped (identity), 67 -> uni0045 'E', 68 -> unknown name
+    val inline = pdf("/Encoding << /Differences [65 /germandbls 67 /uni0045 /bogusname] >>")
+    assert(PdfExtract.text(inline) == "ßBE�")
+    // same dict behind an indirect ref
+    val viaRef = pdf("/Encoding 6 0 R",
+      6 -> ascii("<< /Type /Encoding /Differences [65 /germandbls 67 /uni0045 /bogusname] >>"))
+    assert(PdfExtract.text(viaRef) == "ßBE�")
+    // a bare base-encoding NAME leaves identity decoding untouched
+    val named = pdf("/Encoding /WinAnsiEncoding")
+    assert(PdfExtract.text(named) == "ABCD")
+    // glyph name coverage: letters, digits, punctuation, u+hex forms
+    assert(PdfExtract.glyphToString("a") == "a" && PdfExtract.glyphToString("seven") == "7")
+    assert(PdfExtract.glyphToString("comma") == "," && PdfExtract.glyphToString("emdash") == "—")
+    assert(PdfExtract.glyphToString("uni20AC") == "€" && PdfExtract.glyphToString("u1F600") == "😀")
+    assert(PdfExtract.glyphToString("no.such.glyph") == "�")
+  }
+
+  test("CID /W widths: per-code advances from the descendant CIDFont, /DW default") {
+    val cmap = "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "3 beginbfchar\n<0041> <0041>\n<0042> <0042>\n<0050> <0050>\nendbfchar\nendcmap\n"
+    // two shows: first advances by W(0x41)+W(0x42) = (300+400)/1000×12 = 8.4
+    val content = ascii("BT /F9 12 Tf 72 720 Td <00410042> Tj <0050> Tj ET")
+    val pdf = rawPdf(
+      1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F9 5 0 R >> >> >>"),
+      4 -> streamObj(s"<< /Length ${content.length} >>", content),
+      5 -> ascii("<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R /DescendantFonts [7 0 R] >>"),
+      6 -> streamObj(s"<< /Length ${cmap.length} >>", ascii(cmap)),
+      // range clause 100..102 exercises the cFirst cLast w form
+      7 -> ascii("<< /Type /Font /Subtype /CIDFontType2 /DW 600 /W [65 [300 400] 100 102 250] >>"))
+    val ss = PdfExtract.spans(pdf)
+    assert(ss.map(_.word) == Seq("AB", "P"), ss)
+    assert(ss(0).x1 == 72)
+    // second run starts at 72 + 8.4 = 80.4 → int 80 (0.5em model would say 84)
+    assert(ss(1).x1 == 80, ss.mkString(";"))
+    // /DW default applies to unmapped code 0x50: next pen x would be 80.4+7.2
+    assert(PdfExtract.text(pdf) == "AB P")
+  }
+
   test("totality: junk, truncated, empty never throw") {
     assert(PdfExtract.text("%PDF-1.4 garbage no objects".getBytes) == "")
     assert(PdfExtract.text(Array.emptyByteArray) == "")

@@ -335,5 +335,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val summary = ExtractPipeline.jobSummary(spark, out).collect()(0)
     assert(summary.getAs[Long]("buckets_committed") == 16)
     assert(summary.getAs[Long]("lineage_rows") == res.extracted + res.skipped)
+    // errors must be visible in the summary (reference job_summary counts
+    // failed files, docker/init.sql:28-49)
+    assert(summary.getAs[Long]("errors") == res.errors)
   }
 }
