@@ -292,7 +292,73 @@ object PdfExtract {
     val raw = java.util.Arrays.copyOfRange(o.body, start, end)
     val filters = filterNames(dict)
     if (filters.isEmpty) Some(raw)
-    else Some(filters.foldLeft(raw)((data, f) => applyFilter(f, data)))
+    else Some(applyPredictor(dict, filters.foldLeft(raw)((data, f) => applyFilter(f, data))))
+  }
+
+  /** /DecodeParms predictors over the post-filter bytes (§7.4.4.4): modern
+    * generators PNG-predict ObjStm/xref Flate streams routinely. Predictor
+    * ≥ 10 = PNG row filters (tag byte + row, same five filters as PngDecode);
+    * 2 = TIFF horizontal differencing (8-bit components only); 1/absent =
+    * passthrough. Malformed geometry degrades to the unpredicted bytes. */
+  private[pdf] def applyPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
+    if (!dict.contains("/Predictor")) return data
+    val pred = dictInt(dict, "/Predictor").getOrElse(1)
+    if (pred < 2) return data
+    val columns = dictInt(dict, "/Columns").getOrElse(1)
+    val colors = dictInt(dict, "/Colors").getOrElse(1)
+    val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowBytes = (columns * colors * bpc + 7) / 8
+    if (rowBytes <= 0 || rowBytes > (1 << 24)) return data
+    if (pred == 2) {
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while ((r + 1) * rowBytes <= out.length) {
+        val base = r * rowBytes
+        var x = bpp
+        while (x < rowBytes) {
+          out(base + x) = (((out(base + x) & 0xff) + (out(base + x - bpp) & 0xff)) & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      out
+    } else {
+      val nRows = data.length / (rowBytes + 1)
+      if (nRows == 0) return data
+      val out = new Array[Byte](nRows * rowBytes)
+      def paethP(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      var y = 0
+      while (y < nRows) {
+        val tag = data(y * (rowBytes + 1)) & 0xff
+        val rs = y * (rowBytes + 1) + 1
+        val os = y * rowBytes
+        var x = 0
+        while (x < rowBytes) {
+          val rv = data(rs + x) & 0xff
+          val a = if (x >= bpp) out(os + x - bpp) & 0xff else 0
+          val up = if (y > 0) out(os - rowBytes + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) out(os - rowBytes + x - bpp) & 0xff else 0
+          val v = tag match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + up
+            case 3 => rv + ((a + up) >> 1)
+            case 4 => rv + paethP(a, up, c)
+            case _ => return data // undefined tag: bytes were not PNG-predicted
+          }
+          out(os + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Filter names under /Filter — a single name or an array (a filter CHAIN,
@@ -1032,6 +1098,23 @@ object PdfExtract {
             }
           case _ =>
         }
+        operands.clear()
+      case "ID" =>
+        // inline image (`BI <dict> ID <binary samples> EI`, §8.9.7): the
+        // samples follow one whitespace byte after ID and would otherwise
+        // tokenize as garbage strings/operators, corrupting the text state.
+        // Skip to a whitespace-delimited EI (the standard heuristic — a
+        // spurious " EI " inside samples truncates the image, not the text).
+        if (i < n && isWsByte(content(i))) i += 1
+        var found = false
+        while (!found && i + 1 < n) {
+          if (content(i) == 'E' && content(i + 1) == 'I' &&
+              (i == 0 || isWsByte(content(i - 1))) &&
+              (i + 2 >= n || isWsByte(content(i + 2))))
+            { found = true; i += 2 }
+          else i += 1
+        }
+        if (!found) i = n
         operands.clear()
       case _ => operands.clear() // any other operator: consume operands
     }

@@ -73,15 +73,23 @@ object WarcSource {
       .mapPartitions { pathsInTask =>
         pathsInTask.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
-          val in: InputStream =
+          val in: InputStream = {
+            var raw: InputStream = null
             try {
-              val raw = new java.io.BufferedInputStream(
+              raw = new java.io.BufferedInputStream(
                 path.getFileSystem(conf.value).open(path), 1 << 16)
               // BufferedInputStream keeps available() > 0 at member boundaries
               // so GZIPInputStream continues into the next gzip member
               // (member-per-record is the Common Crawl layout)
               if (p.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
-            } catch { case _: Exception => new ByteArrayInputStream(Array.emptyByteArray) }
+            } catch {
+              // the GZIP constructor reads the header eagerly: a corrupt
+              // header must not leak the underlying file stream
+              case _: Exception =>
+                if (raw != null) closeQuietly(raw)
+                new ByteArrayInputStream(Array.emptyByteArray)
+            }
+          }
           // the stream closes at iterator exhaustion; the task-completion
           // listener covers early abandonment (limit, failure)
           Option(org.apache.spark.TaskContext.get()).foreach(

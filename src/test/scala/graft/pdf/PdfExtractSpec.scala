@@ -536,6 +536,43 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(PdfExtract.text(pdf) == "AB P")
   }
 
+  test("inline images: BI..ID <binary> EI is skipped, binary never reaches the text state") {
+    // the image samples contain "(fake) Tj" and "BT" — without the ID skip
+    // these would tokenize as real operators and inject text
+    val img = "BI /W 4 /H 2 /BPC 8 /CS /G ID  (fake) Tj BT ÿþ EI"
+    val pdf = minimalPdf(s"BT /F1 12 Tf 72 700 Td (before) Tj ET $img BT /F1 12 Tf 72 680 Td (after) Tj ET")
+    assert(PdfExtract.text(pdf) == "before\nafter")
+  }
+
+  test("/DecodeParms PNG and TIFF predictors reconstruct post-filter bytes") {
+    val payload = (0 until 96).map(i => ((i * 7 + 3) % 256).toByte).toArray
+    val cols = 12
+    // PNG tag-2 (Up) encode: row y stores payload(y) - payload(y-1)
+    val pngEnc = new java.io.ByteArrayOutputStream()
+    (0 until payload.length / cols).foreach { y =>
+      pngEnc.write(2)
+      (0 until cols).foreach { x =>
+        val up = if (y > 0) payload((y - 1) * cols + x) & 0xff else 0
+        pngEnc.write(((payload(y * cols + x) & 0xff) - up) & 0xff)
+      }
+    }
+    val dict = s"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> >>"
+    assert(PdfExtract.applyPredictor(dict, pngEnc.toByteArray).toSeq == payload.toSeq)
+    // TIFF predictor 2: horizontal differencing per row
+    val tiffEnc = payload.clone()
+    (0 until payload.length / cols).foreach { y =>
+      ((cols - 1) to 1 by -1).foreach { x =>
+        tiffEnc(y * cols + x) =
+          (((payload(y * cols + x) & 0xff) - (payload(y * cols + x - 1) & 0xff)) & 0xff).toByte
+      }
+    }
+    val dict2 = s"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $cols >> >>"
+    assert(PdfExtract.applyPredictor(dict2, tiffEnc).toSeq == payload.toSeq)
+    // no predictor entry → passthrough; malformed geometry degrades, not throws
+    assert(PdfExtract.applyPredictor("<< /Length 3 >>", payload) eq payload)
+    PdfExtract.applyPredictor("<< /Predictor 12 /Columns 0 >>", payload)
+  }
+
   test("totality: junk, truncated, empty never throw") {
     assert(PdfExtract.text("%PDF-1.4 garbage no objects".getBytes) == "")
     assert(PdfExtract.text(Array.emptyByteArray) == "")

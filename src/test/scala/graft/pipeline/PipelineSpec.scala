@@ -151,6 +151,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(runs == Set("g1", "g2"))
   }
 
+  test("legacy lineage (no committed_utc_ms/err_count) still resumes, compacts and summarizes") {
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "force", runId = "legacy-0", nBuckets = 8))
+    // rewrite the lineage log as an OLDER engine version would have written it
+    val legacy = spark.read.parquet(res.lineagePath)
+      .drop("committed_utc_ms", "err_count")
+      .collect()
+    val legacySchema = spark.read.parquet(res.lineagePath).drop("committed_utc_ms", "err_count").schema
+    val legacyDf = spark.createDataFrame(java.util.Arrays.asList(legacy: _*), legacySchema)
+    val tmpLin = s"$out/lineage_legacy_tmp"
+    legacyDf.write.mode("overwrite").parquet(tmpLin)
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(res.lineagePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpLin), new org.apache.hadoop.fs.Path(res.lineagePath))
+    // resume over the legacy log: all 8 buckets must read as committed
+    val res2 = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
+      ExtractPipeline.Config(mode = "force", runId = "legacy-1", nBuckets = 8))
+    assert(res2.resumedBuckets == 8, res2)
+    // retention compacts without a missing-column error; summary still rolls up
+    // (legacy-1 resumed everything so it wrote NO lineage — its rollup columns
+    // are legitimately null; legacy-0's committed buckets must survive)
+    ExtractPipeline.retention(spark, out, keepSnapshots = 1)
+    val rows = ExtractPipeline.jobSummary(spark, out).collect()
+    val first = rows.find(_.getAs[String]("run_id") == "legacy-0").get
+    assert(first.getAs[Long]("buckets_committed") == 8, first)
+    assert(first.getAs[Long]("errors") == 0L)
+  }
+
   test("freqAwareSalt pipeline run produces identical digests to uniform salting") {
     val outA = tmp()
     val outB = tmp()
