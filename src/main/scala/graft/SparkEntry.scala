@@ -501,7 +501,11 @@ object SparkEntry {
     // → probe → list join → exact re-rank) against the brute-force oracle.
     "q37_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id", k = 16, iters = 3)
+      // train on the deterministic 1/4 hash sample (the 10^10-row shape —
+      // quantizer quality does not need the full corpus); nProbe = k makes
+      // the search EXACT regardless of centroids, which is the oracle contract
+      val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id",
+        k = 16, iters = 3, sampleDenominator = 4)
       graft.ops.IvfAnn.topK(emb, "embedding", "vec_id", col("vec_id") < 20,
         centroids, k = 5, nProbe = 16)
     }),

@@ -93,6 +93,65 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(s).size >= 2, s)
   }
 
+  test("minhash near-dup scans the corpus text ONCE (fused sig+bands + materialization)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit-minhash").toString
+    spark.range(500).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 10).map(i => md5(concat(col("id"), lit(i)))): _*).as("text"))
+      .write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val pairs =
+      try {
+        val p = ops.DedupOps.nearDupPairs(docs, "text", "doc_id", 0.5)
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+        Thread.sleep(200) // allow any EXTRA construction-time jobs to surface
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // construction runs exactly ONE job — the localCheckpoint materialization
+    // of the fused (id, sig, bands) frame, i.e. the single text-hashing scan
+    assert(jobs.get() == 1, s"expected 1 construction job (the fused scan), got ${jobs.get()}")
+    // ...and the returned plan hangs entirely off the checkpointed RDD: the
+    // band join and both signature attachments can never re-read the file
+    val s = pairs.queryExecution.executedPlan.toString
+    assert(!s.contains("FileScan"), s.take(2000))
+    assert(s.contains("ExistingRDD") || s.contains("Scan ExistingRDD"), s.take(2000))
+    pairs.count() // and it still computes
+  }
+
+  test("simhash multi-table self-join reuses ONE exchange when too big to broadcast") {
+    // at fixture scale AQE broadcasts the build side (recomputing the subtree
+    // is cheaper than a shuffle); the one-shuffle ReusedExchange shape is the
+    // AT-SCALE plan, so pin it with both broadcast thresholds disabled
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q32_simhash_near_dups")(spark, sf)
+      df.collect() // finalize THIS df's adaptive plan (count() would execute a different one)
+      val s = planString(df)
+      assert(s.contains("ReusedExchange"), s.take(3000))
+      // exactly ONE real _block exchange; the other join side is the reuse
+      // (line-anchored: the ReusedExchange line itself names the original)
+      val shuffles = s.linesIterator.count(
+        _.dropWhile(!_.isLetter).startsWith("Exchange hashpartitioning(_block"))
+      assert(shuffles == 1, s"expected 1 corpus shuffle, got $shuffles:\n${s.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      oldAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to
