@@ -42,6 +42,20 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("win_start"), col("host"), col("n_docs"))
 
+  /** Streaming exact dedup: keep the FIRST arrival per extracted-content
+    * digest (URL revisits and mirror copies are the dominant crawl
+    * redundancy). `dropDuplicatesWithinWatermark` keys state on the digest
+    * and EVICTS entries once they age past the watermark — bounded state,
+    * where plain streaming dropDuplicates would hold every digest forever.
+    * Trade-off (documented, inherent): a duplicate arriving after its
+    * original aged out re-emits; the batch dedup pass downstream
+    * (DedupOps.dropExactDups) remains the exactness backstop. */
+  def dedupByDigest(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("text_sha256", text_digest(extract_any_text(col("html"))))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_sha256")
+
   /** A closed per-host crawl session: consecutive pages with gaps ≤ gap. */
   final case class HostSession(host: String, session_start: Timestamp,
                                session_end: Timestamp, n_docs: Long)

@@ -109,6 +109,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(after.toSeq == full.toSeq)
   }
 
+  test("payload tables write zstd parquet by default; codec configurable") {
+    val out = tmp()
+    ExtractPipeline.run(spark, Corpus.pages(spark, 100), out,
+      ExtractPipeline.Config(mode = "force", runId = "codec-0", nBuckets = 4))
+    def dataFiles(sub: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$out/$sub")).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles("extracted").nonEmpty)
+    assert(dataFiles("extracted").forall(_.getName.contains(".zstd.")),
+      dataFiles("extracted").map(_.getName).take(3))
+    // snappy opt-out still works (read-back identical)
+    val out2 = tmp()
+    ExtractPipeline.run(spark, Corpus.pages(spark, 100), out2,
+      ExtractPipeline.Config(mode = "force", runId = "codec-1", nBuckets = 4, parquetCodec = "snappy"))
+    val a = spark.read.parquet(s"$out/extracted").select("url", "text_sha256")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val b = spark.read.parquet(s"$out2/extracted").select("url", "text_sha256")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("lineage row counts reconcile with extracted output") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,

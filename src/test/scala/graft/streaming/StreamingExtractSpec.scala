@@ -42,6 +42,40 @@ class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup by content digest: duplicates across micro-batches dropped, state watermark-bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val source = MemoryStream[PageRow]
+    val q = StreamingExtract.dedupByDigest(source.toDF(), watermark = "10 minutes")
+      .select("url")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def page(url: String, tsMin: Int, body: String): PageRow =
+        PageRow(url, new java.sql.Timestamp(3600L * 1000 + tsMin * 60000L),
+          s"<html><body><p>$body enough words to pass validation checks here</p></body></html>".getBytes,
+          null, null)
+      // batch 1: two distinct docs + an in-batch mirror copy of doc a
+      source.addData(Seq(
+        page("http://a.example/1", 1, "alpha content"),
+        page("http://mirror.example/1", 1, "alpha content"), // same bytes → same digest
+        page("http://b.example/1", 2, "beta content")))
+      q.processAllAvailable()
+      // batch 2: a revisit of doc a (within watermark) + one new doc
+      source.addData(Seq(
+        page("http://a.example/1?revisit", 3, "alpha content"),
+        page("http://c.example/1", 4, "gamma content")))
+      q.processAllAvailable()
+      val got = s.table("stream_dedup").collect().map(_.getString(0)).toSet
+      assert(got.size == 3, got)
+      // exactly one representative of the alpha-content cluster survived
+      val alphaReps = got.filter(u => u.contains("a.example") || u.contains("mirror.example"))
+      assert(alphaReps.size == 1, s"alpha cluster must keep exactly one: $got")
+      assert(got.exists(_.contains("b.example")) && got.exists(_.contains("c.example")))
+    } finally q.stop()
+  }
+
   test("file sink with checkpoint: stop/restart neither loses nor duplicates") {
     val s = spark
     import s.implicits._
