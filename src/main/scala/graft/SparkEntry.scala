@@ -445,6 +445,33 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // cluster-semantics embedding dedup: every original pairs with exactly its
+    // perturbed copy (the q34 contract), so CC keeps the originals — composing
+    // the LSH candidate join with connectedComponents end-to-end
+    "q41_embedding_dedup_cc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, x * 1.2f + 0.1f, x))").as("embedding"))
+      graft.ops.SimilarityOps.dropEmbeddingDupsCC(
+        emb.unionByName(perturbed), "embedding", "vec_id", threshold = 0.95,
+        approxRows = 2 * t(s, dir, "embeddings").count())
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // corpus curation staple: exact token-count distribution (min/max + EXACT
+    // interpolated percentiles — percentile(), not approx_percentile, so the
+    // oracle can state the same linear-interpolation quantiles)
+    "q42_token_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).as("n_tok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_tok, 0.99)"), 4).as("p99"))),
+
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
@@ -901,6 +928,16 @@ object SparkEntry {
     // originals' max pairwise cosine is far below the 0.95 threshold
     "q34_embedding_near_dups" ->
       "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings ORDER BY a",
+    // CC over exactly those pairs keeps the min id of each {v, v+1M} cluster
+    "q41_embedding_dedup_cc" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    "q42_token_quantiles" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n) AS INT) AS min_tok, CAST(max(n) AS INT) AS max_tok,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  round(quantile_cont(n, 0.99), 4) AS p99
+        |FROM (SELECT len(string_split(text, ' ')) AS n FROM documents)""".stripMargin,
     // corpus-level golden for the sfDir-independent fixture extraction: the
     // digest pins byte-identity of all 877 valid extractions (FIXTURES.md
     // golden discipline — regenerate ONLY on deliberate semantic change)

@@ -56,6 +56,8 @@ object PngDecode {
       }
       if (bitDepth != 8 || interlace != 0) return None
       if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+      // total-allocation guard: a hostile IHDR must not allocate gigabytes
+      if ((w.toLong * channels + 1) * h > (1L << 28)) return None
       val z = idat.toByteArray
       if (z.length < 3) return None
       val stride = w * channels

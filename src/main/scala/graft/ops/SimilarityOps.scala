@@ -82,6 +82,21 @@ object SimilarityOps {
     tables.groupBy("_table", "_bucket").count().filter(col("count") > maxBucketSize)
   }
 
+  /** Embedding near-dup removal with CLUSTER semantics: LSH candidate pairs →
+    * connected components → keep exactly the min-id row per cluster (the
+    * embedding analog of DedupOps.dropNearDupsCC — a chain a~b~c keeps a and
+    * drops b,c, never over-drops transitively-similar-only rows). */
+  def dropEmbeddingDupsCC(df: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double = 0.95, nTables: Int = 4,
+                          approxRows: Long = -1L): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, vecCol, idCol, threshold,
+      nTables = nTables, approxRows = approxRows)
+    val losers = DedupOps.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs (a < b) with cosine ≥ threshold via (k, L)
     * hyperplane LSH: k sign-bit planes per table (k grown with corpus size),
     * L independent tables unioned, Hamming-1 multi-probe on the probing side,

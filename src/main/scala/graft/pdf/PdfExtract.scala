@@ -324,7 +324,7 @@ object PdfExtract {
         r += 1
       }
       out
-    } else {
+    } else if (pred >= 10) { // 10..15 = PNG row predictors; 3..9 undefined → passthrough
       val nRows = data.length / (rowBytes + 1)
       if (nRows == 0) return data
       val out = new Array[Byte](nRows * rowBytes)
@@ -358,7 +358,7 @@ object PdfExtract {
         y += 1
       }
       out
-    }
+    } else data
   }
 
   /** Filter names under /Filter — a single name or an array (a filter CHAIN,
