@@ -228,23 +228,53 @@ object CorpusGen {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
+    // content streams generated FIRST (their Rng draws pin the expected text);
+    // container choices (filters, multi-stream splits) draw afterwards so the
+    // same (seed, idx) always yields the same TEXT in any generator version —
+    // golden digests survive container-coverage extensions
+    val rawContents = (0 until nPages).map(p => contentStream(pageSpecs(p)._1, pageSpecs(p)._2, r))
+    // filter coverage mirrors the wild: Flate dominates; the long tail carries
+    // raw, [/ASCII85Decode /FlateDecode] chains, RunLength, ASCIIHex, LZW —
+    // the decode paths a crawl-grade reader must have
+    val encs = (0 until nPages).map(_ => if (flate) 1 else r.nextInt(6))
+    // ~1 in 4 pages splits its content across TWO streams (/Contents [a b]) —
+    // the TeX/Office shape
+    val splits = (0 until nPages).map(_ => r.nextInt(4) == 0)
+
     // object numbering: 1=catalog, 2=pages, 3..=page objs, then content objs
+    // (split pages consume two content numbers)
     val pageObjNums = (0 until nPages).map(3 + _)
-    val contObjNums = (0 until nPages).map(3 + nPages + _)
+    var nextContNum = 3 + nPages
     val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     objs += 1 -> s"<< /Type /Catalog /Pages 2 0 R >>".getBytes(StandardCharsets.US_ASCII)
     objs += 2 -> s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>"
       .getBytes(StandardCharsets.US_ASCII)
-    (0 until nPages).foreach { p =>
-      objs += pageObjNums(p) ->
-        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${contObjNums(p)} 0 R >>"
-          .getBytes(StandardCharsets.US_ASCII)
-      val raw = contentStream(pageSpecs(p)._1, pageSpecs(p)._2, r)
-      val (payload, filter) =
-        if (flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+    def contentObj(num: Int, raw: Array[Byte], enc: Int): Unit = {
+      val (payload, filter) = encodeStream(raw, enc)
       val head = s"<< /Length ${payload.length}$filter >>\nstream\n".getBytes(StandardCharsets.US_ASCII)
       val tail = "\nendstream".getBytes(StandardCharsets.US_ASCII)
-      objs += contObjNums(p) -> (head ++ payload ++ tail)
+      objs += num -> (head ++ payload ++ tail)
+    }
+    (0 until nPages).foreach { p =>
+      val raw = rawContents(p)
+      val parts = if (splits(p)) splitAtLine(raw) else None
+      parts match {
+        case Some((c1, c2)) =>
+          val (n1, n2) = (nextContNum, nextContNum + 1)
+          nextContNum += 2
+          objs += pageObjNums(p) ->
+            s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents [$n1 0 R $n2 0 R] >>"
+              .getBytes(StandardCharsets.US_ASCII)
+          contentObj(n1, c1, encs(p))
+          contentObj(n2, c2, encs(p))
+        case None =>
+          val n1 = nextContNum
+          nextContNum += 1
+          objs += pageObjNums(p) ->
+            s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $n1 0 R >>"
+              .getBytes(StandardCharsets.US_ASCII)
+          contentObj(n1, raw, encs(p))
+      }
     }
     val ordered = if (shuffleObjs) objs.sortBy { case (n, _) => mix(r.nextLong() ^ n) } else objs
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -265,6 +295,105 @@ object CorpusGen {
     val n = d.deflate(buf)
     d.end()
     java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Stream payload under the chosen decode filter (enc 0..5); returns
+    * (payload, "/Filter ..." dict fragment). */
+  private def encodeStream(raw: Array[Byte], enc: Int): (Array[Byte], String) = enc match {
+    case 1 => (deflate(raw), " /Filter /FlateDecode")
+    case 2 => (a85Encode(deflate(raw)), " /Filter [/ASCII85Decode /FlateDecode]")
+    case 3 => (rleEncode(raw), " /Filter /RunLengthDecode")
+    case 4 => (hexEncode(raw), " /Filter /ASCIIHexDecode")
+    case 5 => (lzwEncode(raw), " /Filter /LZWDecode")
+    case _ => (raw, "")
+  }
+
+  /** Split operator text at a newline near the middle — the division falls
+    * between lexical tokens, so `/Contents [a b]` concatenation is lossless. */
+  private def splitAtLine(raw: Array[Byte]): Option[(Array[Byte], Array[Byte])] = {
+    var i = raw.length / 2
+    while (i < raw.length && raw(i) != '\n') i += 1
+    if (i <= 4 || i >= raw.length - 4) None
+    else Some((java.util.Arrays.copyOfRange(raw, 0, i + 1),
+      java.util.Arrays.copyOfRange(raw, i + 1, raw.length)))
+  }
+
+  private def hexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + 1)
+    data.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    sb.append('>')
+    sb.toString.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  private def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  private def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 4)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (i + j < data.length) data(i + j) & 0xffL else 0L); j += 1 }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (x % 85).toInt).toChar; x /= 85; k -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** PDF LZW (earlyChange=1): the encoder stays one dictionary add AHEAD of
+    * the decoder, widening codes at nextFree == 2^bits (decoder widens at
+    * 2^bits - 1 one add later — the pdf.js-compatible sync). */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var nextFree = 258
+    var codeBits = 9
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var acc = 0L
+    var nBits = 0
+    def put(code: Int): Unit = {
+      acc = (acc << codeBits) | code
+      nBits += codeBits
+      while (nBits >= 8) { out.write(((acc >>> (nBits - 8)) & 0xff).toInt); nBits -= 8 }
+    }
+    def codeOf(w: Seq[Byte]): Int = if (w.length == 1) w.head & 0xff else dict(w)
+    put(256) // clear table
+    var w = Seq.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (w.isEmpty) w = wb
+      else if (dict.contains(wb)) w = wb
+      else {
+        put(codeOf(w))
+        dict(wb) = nextFree
+        nextFree += 1
+        if (nextFree >= (1 << codeBits) && codeBits < 12) codeBits += 1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) put(codeOf(w))
+    put(257) // EOD
+    if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+    out.toByteArray
   }
 
   // ------------------------------------------------------------------ rows
