@@ -20,6 +20,12 @@ object PngDecode {
   /** Un-filtered 8-bit samples, row-major, channel-interleaved. */
   final case class Pixels(width: Int, height: Int, channels: Int, samples: Array[Byte])
 
+  // per-thread raw (nowrap) Inflater — JNI construction costs tens of µs
+  private val rawInflaterTL: ThreadLocal[java.util.zip.Inflater] =
+    new ThreadLocal[java.util.zip.Inflater] {
+      override def initialValue(): java.util.zip.Inflater = new java.util.zip.Inflater(true)
+    }
+
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
@@ -62,7 +68,8 @@ object PngDecode {
       if (z.length < 3) return None
       val stride = w * channels
       val raw = new Array[Byte]((stride + 1) * h)
-      val inf = new java.util.zip.Inflater(true) // raw deflate: skip zlib header, ignore adler
+      val inf = rawInflaterTL.get() // raw deflate: skip zlib header, ignore adler
+      inf.reset()
       inf.setInput(z, 2, z.length - 2)
       var off = 0
       var stuck = false
@@ -71,7 +78,6 @@ object PngDecode {
         if (k == 0 && inf.needsInput()) stuck = true
         off += k
       }
-      inf.end()
       if (off < raw.length) return None // truncated pixel data
       // un-filter scanlines in place into the output (filters reference the
       // RECONSTRUCTED left/up bytes, so this must go top-down, left-right)

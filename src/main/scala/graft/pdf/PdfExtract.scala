@@ -521,9 +521,17 @@ object PdfExtract {
     out.toByteArray
   }
 
+  // one Inflater per executor thread, reset per stream: constructing a fresh
+  // Inflater is a JNI init costing tens of microseconds — real PDFs hold 1-6
+  // Flate streams per document, and the init dominated small-stream inflation
+  private val inflaterTL: ThreadLocal[Inflater] = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
   private def inflate(raw: Array[Byte]): Array[Byte] = {
     try {
-      val inf = new Inflater()
+      val inf = inflaterTL.get()
+      inf.reset()
       inf.setInput(raw)
       val out = new java.io.ByteArrayOutputStream(raw.length * 4)
       val buf = new Array[Byte](8192)
@@ -535,7 +543,6 @@ object PdfExtract {
         else out.write(buf, 0, k)
         guard += 1
       }
-      inf.end()
       out.toByteArray
     } catch { case _: Exception => Array.emptyByteArray }
   }
