@@ -21,8 +21,8 @@ import org.apache.spark.sql.SparkSession
  *    strictly-decreasing [32.5, 20.2, 13.7] in round 2, i.e. it stopped
  *    before the measurement converged;
  *  - a 1-thread raw-extractor sentinel (ThreadBench logic) recorded in the
- *    JSON: the extractor sustains ~55-65k docs/s/thread on this host when
- *    quiet, so a low sentinel marks a contended-host run as such;
+ *    JSON: the extractor sustains ~40-55k docs/s/thread on this host when
+ *    quiet (band re-measured after the corpus gained filter-chain PDFs), so a low sentinel marks a contended-host run as such;
  *  - input split size tuned to ≥4 splits per core.
  *
  * Scaling evidence (local[8] vs local[32]) is produced by graft.tools.ScalingBench
@@ -125,7 +125,7 @@ object Bench {
     val docsPerSec = extractionDocs / extractSec
 
     // contention sentinel: raw 1-thread extractor docs/s (no Spark in the
-    // loop). ~55-65k/s on a quiet host; proportionally lower when other
+    // loop). ~40-55k/s on a quiet host; proportionally lower when other
     // tenants hold the cores — lets a reader discount a low headline.
     val sentinel = {
       val docs = (0 until 4000).map(i => graft.fixtures.CorpusGen.page(i.toLong).html).toArray
