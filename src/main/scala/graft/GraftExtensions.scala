@@ -42,7 +42,10 @@ object GraftExtensions {
     "graft_simhash64" -> one(SimHash64.apply),
     "graft_rolling_fingerprint" -> one(RollingFingerprint(_, 8)),
     "graft_minhash_sig" -> one(MinHashSig(_, 64, 3)),
-    "graft_minhash_bands" -> one(MinHashBands(_, 64, 3, 8))
+    "graft_minhash_bands" -> one(MinHashBands(_, 64, 3, 8)),
+    "graft_minhash_sig_bands" -> one(MinHashSigBands(_, 64, 3, 8)),
+    "graft_media_sniff" -> one(MediaSniffExpr.apply),
+    "graft_media_features" -> one(MediaFeatures.apply)
   )
 
   /** Direct registration into an existing session (spark.sql.extensions is a

@@ -23,12 +23,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_rolling_fingerprint('alpha beta gamma delta') AS fp,
         |  size(graft_minhash_sig('alpha beta gamma delta epsilon')) AS nsig,
         |  size(graft_minhash_bands('alpha beta gamma delta epsilon')) AS nbands,
-        |  graft_pdf_preflight(encode('%PDF-1.7 x', 'UTF-8')).is_pdf AS is_pdf
+        |  graft_pdf_preflight(encode('%PDF-1.7 x', 'UTF-8')).is_pdf AS is_pdf,
+        |  graft_minhash_sig_bands('alpha beta gamma delta epsilon') AS mh,
+        |  graft_media_sniff(unhex('89504E470D0A1A0A0000000D494844520000001000000020')).format AS fmt,
+        |  size(graft_media_features(encode('xy', 'UTF-8'))) AS nfeat
         |""".stripMargin)
     val r = df.collect()(0)
     assert(r.getString(0) == "five small words right here")
     assert(r.getLong(1) == graft.text.TextHash.simhash64("alpha beta gamma"))
     assert(r.getInt(3) == 64 && r.getInt(4) == 8)
     assert(r.getBoolean(5))
+    val mh = r.getStruct(6)
+    assert(mh.getSeq[Long](0).length == 64 && mh.getSeq[Long](1).length == 8)
+    // fused struct agrees with the separate functions
+    assert(mh.getSeq[Long](0) ==
+      graft.text.TextHash.minhash("alpha beta gamma delta epsilon", 64, 3).toSeq)
+    assert(r.getString(7) == "png" && r.getInt(8) == 8)
   }
 }
