@@ -458,6 +458,22 @@ object SparkEntry {
         approxRows = 2 * t(s, dir, "embeddings").count())
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // url canonicalization (the dedup-by-url pass BEFORE content dedup):
+    // messy urls constructed in-query from doc_id — mixed-case host, default
+    // ports, fragments, tracking params, unsorted query — so the oracle can
+    // state the canonical form in plain SQL
+    "q43_url_canonicalize" -> ((s, dir) => {
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        lit("WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(col("doc_id") % 3 === 0, lit("")).otherwise(concat(lit("/Path/"), (col("doc_id") % 5).cast("string"))),
+        lit("?z="), (col("doc_id") % 9).cast("string"),
+        lit("&utm_source=feed&a="), (col("doc_id") % 4).cast("string"),
+        lit("&gclid=xyz#frag"), (col("doc_id") % 3).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), canonical_url(messy).as("canon"))
+    }),
     // corpus curation staple: exact token-count distribution (min/max + EXACT
     // interpolated percentiles — percentile(), not approx_percentile, so the
     // oracle can state the same linear-interpolation quantiles)
@@ -931,6 +947,16 @@ object SparkEntry {
     // CC over exactly those pairs keeps the min id of each {v, v+1M} cluster
     "q41_embedding_dedup_cc" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    // the canonical form in closed form: lowercase scheme/host, default port
+    // gone, path case PRESERVED (paths are case-sensitive), tracking params
+    // dropped, kept params sorted ('a=' < 'z=' in binary order), fragment gone
+    "q43_url_canonicalize" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |  || '://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/Path/' || CAST(doc_id % 5 AS VARCHAR) END)
+        |  || '?a=' || CAST(doc_id % 4 AS VARCHAR) || '&z=' || CAST(doc_id % 9 AS VARCHAR) AS canon
+        |FROM documents""".stripMargin,
     "q42_token_quantiles" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(n) AS INT) AS min_tok, CAST(max(n) AS INT) AS max_tok,

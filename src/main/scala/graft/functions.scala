@@ -64,6 +64,27 @@ object functions {
   /** Host of a url — the skew/salting key (SURVEY.md §4). */
   def url_host(url: Column): Column = F.parse_url(url, F.lit("HOST"))
 
+  /** Canonical url for dedup-by-url (the crawl staple BEFORE content dedup:
+    * most revisit duplicates differ only in case/fragment/tracking noise):
+    * lowercase scheme+authority, default port stripped (:80 http, :443
+    * https), fragment dropped, empty path → "/", query params sorted with
+    * tracking params (utm_*, fbclid, gclid, ref) removed. Pure codegen'd
+    * built-ins (parse_url + array ops), no UDF. */
+  def canonical_url(url: Column): Column = {
+    val proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    val auth0 = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    val auth = F.when(proto === "http", F.regexp_replace(auth0, ":80$", ""))
+      .when(proto === "https", F.regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path = F.coalesce(F.nullif(F.parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/"))
+    val kept = F.array_sort(F.filter(
+      F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") || p === "")))
+    val query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
+      .otherwise(F.lit(""))
+    F.concat(proto, F.lit("://"), auth, path, query)
+  }
+
   // ---- large-scale dedup / fingerprinting (graft.text.TextHash semantics) ----
 
   /** 64-bit SimHash near-dup fingerprint of whitespace-tokenized text. */
