@@ -61,24 +61,28 @@ object functions {
   def is_pdf(bytes: Column): Column =
     F.substring(bytes, 1, 5) === F.lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
-  /** Host of a url — the skew/salting key (SURVEY.md §4). */
-  def url_host(url: Column): Column = F.parse_url(url, F.lit("HOST"))
+  /** Host of a url — the skew/salting key (SURVEY.md §4). try_parse_url, not
+    * parse_url: Spark 4's parse_url THROWS on an invalid url (INVALID_URL),
+    * and one malformed crawl url must never kill an extraction task — null
+    * hosts just share a shuffle key. */
+  def url_host(url: Column): Column = F.try_parse_url(url, F.lit("HOST"))
 
   /** Canonical url for dedup-by-url (the crawl staple BEFORE content dedup:
     * most revisit duplicates differ only in case/fragment/tracking noise):
     * lowercase scheme+authority, default port stripped (:80 http, :443
     * https), fragment dropped, empty path → "/", query params sorted with
     * tracking params (utm_*, fbclid, gclid, ref) removed. Pure codegen'd
-    * built-ins (parse_url + array ops), no UDF. */
+    * built-ins (try_parse_url + array ops — parse_url THROWS on malformed
+    * urls; here they canonicalize to null), no UDF. */
   def canonical_url(url: Column): Column = {
-    val proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    val auth0 = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    val proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    val auth0 = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
     val auth = F.when(proto === "http", F.regexp_replace(auth0, ":80$", ""))
       .when(proto === "https", F.regexp_replace(auth0, ":443$", ""))
       .otherwise(auth0)
-    val path = F.coalesce(F.nullif(F.parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/"))
+    val path = F.coalesce(F.nullif(F.try_parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/"))
     val kept = F.array_sort(F.filter(
-      F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+      F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
       p => !(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") || p === "")))
     val query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
       .otherwise(F.lit(""))
@@ -117,7 +121,9 @@ object functions {
   def media_sniff(bytes: Column): Column =
     ColumnBridge.column(MediaSniffExpr(expr(bytes)))
 
-  /** STUB media feature sketch: array<float>[8] (real schema/plumbing, fake decode). */
+  /** Media features: array<float>[8]. REAL per-channel mean/variance for PNG
+    * (PngDecode: inflate + un-filter); deterministic hash-sketch STUB for
+    * formats with no JVM codec (JPEG/GIF/audio/video). */
   def media_features(bytes: Column): Column =
     ColumnBridge.column(MediaFeatures(expr(bytes)))
 

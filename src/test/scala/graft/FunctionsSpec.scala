@@ -28,6 +28,11 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(canon("https://h.example/path?a=1") == Seq("https://h.example/path?a=1"))
   }
 
+  test("canonical_url: malformed urls yield null, never a throw") {
+    val got = canon("not a url at all", "", "http//missing.colon/x")
+    assert(got.forall(_ == null), got)
+  }
+
   test("canonical_url is idempotent and stable under param shuffles") {
     val variants = Seq(
       "http://A.example/p?x=1&y=2&utm_source=s",

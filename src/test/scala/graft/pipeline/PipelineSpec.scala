@@ -133,6 +133,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("malformed urls never kill the run (try_parse_url: null host shares a salt key)") {
+    val s = spark
+    import s.implicits._
+    val good = Corpus.pages(spark, 50)
+    val bad = Seq(
+      graft.model.PageRow("not a url at all", new java.sql.Timestamp(0),
+        "<html><body><p>valid page behind a broken url field</p></body></html>".getBytes, null, null),
+      graft.model.PageRow("", new java.sql.Timestamp(0),
+        "<html><body><p>empty url row</p></body></html>".getBytes, null, null)).toDF()
+    val out = tmp()
+    // Spark 4's parse_url THROWS on invalid urls; the pipeline must use the
+    // try_ variant — one junk url in 10^10 rows must not fail the job
+    val res = ExtractPipeline.run(spark, good.unionByName(bad), out,
+      ExtractPipeline.Config(mode = "force", runId = "badurl-0", nBuckets = 4))
+    assert(res.totalIn == 52, res)
+    val texts = spark.read.parquet(res.extractedPath)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("not a url at all") == "valid page behind a broken url field")
+  }
+
   test("lineage row counts reconcile with extracted output") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
