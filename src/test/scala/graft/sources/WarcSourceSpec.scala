@@ -129,6 +129,18 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     Files.delete(dir.resolve("big.warc"))
   }
 
+  test("corrupt gzip member mid-archive: records before it survive, no throw") {
+    val out = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(out)
+    gz.write(record("response", "http://ok.example/1", "2026-04-01T00:00:00Z", httpResponse(html)))
+    gz.finish()
+    out.write(Array.fill[Byte](64)(0x5A)) // garbage where the next member header should be
+    val dir = Files.createTempDirectory("graft-warc-corrupt")
+    Files.write(dir.resolve("broken.warc.gz"), out.toByteArray)
+    val rows = WarcSource.pages(spark, dir.toString).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "http://ok.example/1")
+  }
+
   test("totality: truncated records, junk bytes, bad dates never throw") {
     assert(WarcSource.records(Array.emptyByteArray, gzipped = false).isEmpty)
     assert(WarcSource.records("JUNK NOT WARC".getBytes(US_ASCII), gzipped = false).isEmpty)
