@@ -29,19 +29,28 @@ object SkewSalting {
       val share = r.getLong(1).toDouble / total
       val salts = math.ceil(share * targetPartitions * overPartition).toInt
       // salt every host above half a partition's share — unsalted hosts can then
-      // stack at most ~0.5/targetPartitions each when they collide
-      if (share > 0.5 / targetPartitions && salts > 1) Some(r.getString(0) -> salts) else None
+      // stack at most ~0.5/targetPartitions each when they collide.
+      // null hosts (malformed urls — url_host is total, not throwing) are
+      // EXCLUDED: null is not a legal map key, and saltColumn spreads them
+      // unconditionally instead
+      if (r.isNullAt(0)) None
+      else if (share > 0.5 / targetPartitions && salts > 1) Some(r.getString(0) -> salts) else None
     }.toMap
   }
 
-  /** Salt column: pmod(xxhash64(url), salts(host)) for head hosts, 0 for the tail
-    * (tail hosts stay fully co-located). */
-  def saltColumn(url: Column, host: Column, headSalts: Map[String, Int]): Column = {
-    if (headSalts.isEmpty) lit(0)
+  /** Salt column: pmod(xxhash64(url), salts(host)) for head hosts, 0 for the
+    * tail (tail hosts stay fully co-located). NULL hosts — malformed urls —
+    * always spread across nullHostSalts keys: an adversarial shard can be
+    * mostly junk urls, and co-locating all of them would re-create the exact
+    * skew the salting exists to prevent. */
+  def saltColumn(url: Column, host: Column, headSalts: Map[String, Int],
+                 nullHostSalts: Int = 8): Column = {
+    val nullSpread = pmod(xxhash64(url), lit(nullHostSalts))
+    if (headSalts.isEmpty) when(host.isNull, nullSpread).otherwise(lit(0))
     else {
       val m = map(headSalts.toSeq.flatMap { case (h, s) => Seq(lit(h), lit(s)) }: _*)
       val salts = coalesce(element_at(m, host), lit(1))
-      pmod(xxhash64(url), salts)
+      when(host.isNull, nullSpread).otherwise(pmod(xxhash64(url), salts))
     }
   }
 }

@@ -153,6 +153,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(texts("not a url at all") == "valid page behind a broken url field")
   }
 
+  test("freq-aware salting survives a null-host-heavy shard (no null map key, rows spread)") {
+    val s = spark
+    import s.implicits._
+    // 70% malformed urls → null hosts dominate the sample
+    val rows = (0 until 200).map { i =>
+      val url = if (i % 10 < 7) s"junk url $i" else s"https://ok.example/doc/$i"
+      graft.model.PageRow(url, new java.sql.Timestamp(0),
+        s"<html><body><p>doc $i with enough words to pass checks</p></body></html>".getBytes, null, null)
+    }.toDF()
+    val withHost = rows.withColumn("_host", graft.functions.url_host(col("url")))
+    val salts = SkewSalting.headHostSalts(withHost, col("_host"), 8, sampleFraction = 1.0)
+    assert(!salts.keySet.exists(_ == null), salts)
+    val spread = withHost
+      .withColumn("_salt", SkewSalting.saltColumn(col("url"), col("_host"), salts))
+      .filter(col("_host").isNull)
+      .select("_salt").distinct().count()
+    assert(spread > 1, s"null-host rows must spread across salts, got $spread key(s)")
+    // and the full pipeline run with freqAwareSalt on this shard completes
+    val out = tmp()
+    val res = ExtractPipeline.run(spark, rows, out,
+      ExtractPipeline.Config(mode = "force", runId = "nullhost-0", nBuckets = 4, freqAwareSalt = true))
+    assert(res.totalIn == 200, res)
+  }
+
   test("lineage row counts reconcile with extracted output") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
