@@ -127,11 +127,11 @@ object functions {
   def media_features(bytes: Column): Column =
     ColumnBridge.column(MediaFeatures(expr(bytes)))
 
-  /** Cosine similarity of two float-array embedding columns (codegen'd builtins:
-    * zip_with dot product + aggregate norms; no UDF). */
-  def cosine_sim(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      F.aggregate(F.zip_with(x, y, (p, q) => p * q), F.lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two array<double> embedding columns — a native
+    * codegen'd expression (one fused loop). The earlier builtin-composition
+    * form (aggregate+zip_with ×3) was interpreted per pair and dominated the
+    * LSH verify stage; values are bit-identical on the embedding contract
+    * (equal-width, non-null elements). */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(expr(a), expr(b)))
 }
