@@ -22,6 +22,52 @@ object VectorExprRuntime {
     }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
+
+  private def dot(v: ArrayData, p: Array[Double]): Double = {
+    val n = math.min(v.numElements(), p.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += v.getDouble(i) * p(i); i += 1 }
+    d
+  }
+
+  /** Sign-bit bucket id over the plane set (plane order = bit order, MSB
+    * first — matches the fold `acc * 2 + bit`). */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      bucket = bucket * 2 + (if (dot(v, planes(p)) > 0) 1 else 0)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Index of the max-dot centroid; ties keep the FIRST index (the
+    * array_position(array_max) convention this replaces). */
+  def argMaxDot(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val d = dot(v, cs(c))
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe centroid indices by descending dot, ties by ascending index —
+    * the array_sort(struct(-dot, idx)) convention this replaces. */
+  def topDotIndices(v: ArrayData, cs: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val k = cs.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) { dots(c) = dot(v, cs(c)); c += 1 }
+    val idx = Array.range(0, k).sortBy(i => (-dots(i), i))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.take(math.min(math.max(nProbe, 0), k)).map(Int.box(_): Any))
+  }
 }
 
 /**
@@ -47,4 +93,71 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorExprRuntime.cosine($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Base for expressions carrying a constant plane/centroid matrix: the matrix
+  * rides the plan as a referenced object (ctx.addReferenceObj), never as a
+  * typedlit array whose dots would evaluate interpreted per row. Stored as
+  * Seq for sane case-class equality; converted once per task. */
+sealed trait MatrixExpr extends Expression {
+  def matrix: Seq[Seq[Double]]
+  @transient protected lazy val matrixArr: Array[Array[Double]] = matrix.map(_.toArray).toArray
+  protected def vecTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+}
+
+/** LSH sign-bit bucket of an array<double> vector against constant planes. */
+case class LshBucketExpr(child: Expression, matrix: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with MatrixExpr {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"lsh_bucket expects array<double>, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    VectorExprRuntime.lshBucket(input.asInstanceOf[ArrayData], matrixArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", matrixArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorExprRuntime.lshBucket($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+/** argmax-dot list assignment against constant unit centroids (IVF). */
+case class ArgMaxDotExpr(child: Expression, matrix: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with MatrixExpr {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"argmax_dot expects array<double>, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    VectorExprRuntime.argMaxDot(input.asInstanceOf[ArrayData], matrixArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrixArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorExprRuntime.argMaxDot($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDotExpr =
+    copy(child = newChild)
+}
+
+/** Top-nProbe centroid indices by dot (IVF probe lists). */
+case class TopDotIndicesExpr(child: Expression, matrix: Seq[Seq[Double]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with MatrixExpr {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"top_dot expects array<double>, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    VectorExprRuntime.topDotIndices(input.asInstanceOf[ArrayData], matrixArr, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrixArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorExprRuntime.topDotIndices($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopDotIndicesExpr =
+    copy(child = newChild)
 }

@@ -32,6 +32,11 @@ object IvfAnn {
 
   private def dvec(v: Column): Column = transform(v, x => x.cast("double"))
 
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
   /** L2-normalized double vector (cosine becomes a plain dot product).
     * NOT for per-row hot paths: projection collapse inlines the norm into the
     * transform lambda, recomputing it per ELEMENT — and any consumer that
@@ -44,20 +49,18 @@ object IvfAnn {
     transform(d, x => x / n)
   }
 
-  /** argmax-dot list assignment against a UNIT-norm centroid literal; `v` may
-    * be raw (unnormalized) doubles — the argmax is scale-invariant. */
-  def assignList(v: Column, centroids: Column): Column = {
-    val scores = transform(centroids, c => dot(v, c))
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+  /** argmax-dot list assignment against UNIT-norm centroids; `v` may be raw
+    * (unnormalized) doubles — the argmax is scale-invariant. NATIVE fused
+    * loop (ArgMaxDotExpr): the transform/aggregate form was interpreted per
+    * row, and assignment runs once per corpus row per Lloyd iteration. */
+  def assignList(v: Column, centroids: Seq[Seq[Double]]): Column =
+    bridge(graft.expr.ArgMaxDotExpr(exprOf(v), centroids))
 
-  /** The query's nProbe nearest centroid list ids (deterministic tie-break);
-    * same scale-invariance as assignList. */
-  def probeLists(v: Column, centroids: Column, nProbe: Int): Column =
-    transform(
-      slice(array_sort(transform(centroids, (c, i) =>
-        struct((-dot(v, c)).as("neg"), i.as("idx")))), 1, nProbe),
-      s => s.getField("idx"))
+  /** The query's nProbe nearest centroid list ids (descending dot,
+    * deterministic ascending-index tie-break); same scale-invariance and
+    * native-loop rationale as assignList. */
+  def probeLists(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    bridge(graft.expr.TopDotIndicesExpr(exprOf(v), centroids, nProbe))
 
   /** Train k centroids with `iters` Lloyd iterations. Deterministic; returns
     * unit-norm centroids (cosine k-means). Collect size = k × dim.
@@ -101,9 +104,8 @@ object IvfAnn {
         .map(_.getSeq[Double](0).toSeq).toSeq
     var it = 0
     while (it < iters) {
-      val lit = typedlit(centroids)
       val means = vecs
-        .withColumn("_list", assignList(col("_dv"), lit))
+        .withColumn("_list", assignList(col("_dv"), centroids))
         .select(col("_list"), posexplode(col("_v")).as(Seq("_pos", "_x")))
         .groupBy(col("_list"), col("_pos"))
         // exact decimal average: double summation order varies with the
@@ -124,7 +126,7 @@ object IvfAnn {
   /** Corpus with an IVF list assignment column (the inverted file). */
   def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
     df.withColumn("_dv", dvec(col(vecCol)))
-      .withColumn("ivf_list", assignList(col("_dv"), typedlit(centroids)))
+      .withColumn("ivf_list", assignList(col("_dv"), centroids))
 
   /** Inverted file truncated to maxListSize members per list (deterministic:
     * smallest ids kept, one window over the SAME ivf_list shuffle key the
@@ -149,7 +151,6 @@ object IvfAnn {
   def topK(df: DataFrame, vecCol: String, idCol: String,
            queryPred: Column, centroids: Seq[Seq[Double]],
            k: Int = 5, nProbe: Int = 4, maxListSize: Int = 0): DataFrame = {
-    val cLit = typedlit(centroids)
     // the exact re-rank uses the ORIGINAL (unnormalized) doubles with the same
     // cosine formula as the brute-force baseline, so IVF-with-total-recall is
     // bit-identical to brute force (normalized dots round differently in ulps)
@@ -161,7 +162,7 @@ object IvfAnn {
       .select(col(idCol).as("neighbor_id"), dv.as("nv"), col("ivf_list"))
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), dv.as("qv"),
-        explode(probeLists(dv, cLit, nProbe)).as("ivf_list"))
+        explode(probeLists(dv, centroids, nProbe)).as("ivf_list"))
     val pairs = queries.join(corpus, Seq("ivf_list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", graft.functions.cosine_sim(col("qv"), col("nv")))

@@ -10,7 +10,9 @@ import graft.functions._
  * Similarity search over embedding columns (Array[Float]) — brute-force exact
  * baseline and a multi-table hyperplane-LSH bucketed scale path (deterministic
  * splitmix64-seeded planes, multi-probe over Hamming-1 buckets). All dot
- * products are codegen'd builtins (zip_with + aggregate), no UDFs.
+ * products are NATIVE codegen'd expressions (expr.VectorExpressions) — the
+ * builtin-composition form (aggregate over zip_with) is interpreted per row
+ * and dominated both the bucket scan and the candidate verify.
  *
  * Scale parameterization (the round-1 weakness this replaces): the number of
  * sign-bit planes GROWS with corpus size — nPlanes ≈ log2(n / targetBucket) —
@@ -25,30 +27,28 @@ import graft.functions._
  */
 object SimilarityOps {
 
-  /** Deterministic pseudo-random hyperplanes (splitmix64-seeded, values in [-1,1]),
-    * shipped as a literal so the plan needs no side input. */
-  def lshPlanes(nPlanes: Int, dim: Int, seed: Long = 0L): Column = {
+  /** Deterministic pseudo-random hyperplanes (splitmix64-seeded, values in
+    * [-1,1]); the matrix rides expressions as a plan-referenced constant, so
+    * the plan still needs no side input. */
+  def lshPlanes(nPlanes: Int, dim: Int, seed: Long = 0L): Seq[Seq[Double]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+    (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         (mix(seed ^ (p.toLong * 1000003L + d)) >>> 11) * 1.1102230246251565e-16 * 2 - 1
       }
     }
-    typedlit(planes)
   }
 
-  /** LSH bucket id = integer of sign bits of dot(v, plane_i). */
-  def lshBucket(v: Column, planes: Column): Column =
-    aggregate(
-      transform(planes, p =>
-        when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) > 0, 1).otherwise(0)),
-      lit(0),
-      (acc, bit) => acc * 2 + bit)
+  /** LSH bucket id = integer of sign bits of dot(v, plane_i) — one native
+    * fused loop per row (LshBucketExpr). */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.LshBucketExpr(org.apache.spark.sql.graft.ColumnBridge.expression(v), planes))
 
   /** All probe buckets for multi-probe LSH: own bucket + every Hamming-1 neighbor. */
   def probeBuckets(bucket: Column, nPlanes: Int): Column =
