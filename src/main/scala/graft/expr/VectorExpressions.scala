@@ -23,6 +23,14 @@ object VectorExprRuntime {
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq
+  }
+
   private def dot(v: ArrayData, p: Array[Double]): Double = {
     val n = math.min(v.numElements(), p.length)
     var d = 0.0
@@ -92,6 +100,25 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorExprRuntime.cosine($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of positions where two array<long> signatures agree (the MinHash
+  * Jaccard estimator's numerator) — native loop; the aggregate(zip_with(...))
+  * form is interpreted per candidate pair. */
+case class SigMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sig_match_count expects two array<long> inputs, got $l and $r")
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorExprRuntime.sigMatchCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorExprRuntime.sigMatchCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigMatchCount =
     copy(left = newLeft, right = newRight)
 }
 

@@ -57,7 +57,12 @@ object DedupOps {
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
     val sigs = base.select(col("_id").as("_sid"), col("_sig"))
-    val est = expr(s"aggregate(zip_with(_siga, _sigb, (p,q) -> IF(p = q, 1, 0)), 0, (acc,v) -> acc + v)")
+    // native match count — the interpreted aggregate(zip_with) form costs
+    // ~64 Expression.eval calls per candidate pair
+    val est = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.SigMatchCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_siga")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_sigb"))))
       .cast("double") / numHashes
     candidates
       .join(sigs.select(col("_sid"), col("_sig").as("_siga")), col("a") === col("_sid")).drop("_sid")
