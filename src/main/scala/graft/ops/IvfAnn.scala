@@ -18,17 +18,15 @@ import org.apache.spark.sql.functions._
  *  - search shuffles on list_id: queries explode to nProbe list keys and join
  *    the inverted lists — candidate volume is ~ nProbe/k of the corpus per
  *    query instead of a full cross join;
- *  - everything is codegen'd builtins (zip_with/aggregate dot products), no
- *    UDFs; centroids ride in the plan as a literal so executors need no side
- *    input.
+ *  - assignment/probing are NATIVE fused-loop expressions (ArgMaxDotExpr /
+ *    TopDotIndicesExpr — higher-order-function dots are interpreted per row),
+ *    no UDFs; centroids ride in the plan as referenced constants so executors
+ *    need no side input.
  *
  * Determinism: init centroids are the k rows with smallest xxhash64(id);
  * Lloyd uses exact averages — identical results at any partitioning.
  */
 object IvfAnn {
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   private def dvec(v: Column): Column = transform(v, x => x.cast("double"))
 
