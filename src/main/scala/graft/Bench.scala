@@ -20,13 +20,20 @@ import org.apache.spark.sql.SparkSession
  *    agree within 15% (min 3, cap 8 trials) — fixed best-of-3 recorded a
  *    strictly-decreasing [32.5, 20.2, 13.7] in round 2, i.e. it stopped
  *    before the measurement converged;
- *  - a 1-thread raw-extractor sentinel (ThreadBench logic) recorded in the
- *    JSON: the extractor sustains ~40-55k docs/s/thread on this host when
- *    quiet (band re-measured after the corpus gained filter-chain PDFs), so a low sentinel marks a contended-host run as such;
+ *  - TWO raw-extractor sentinels (no Spark in the loop) recorded in the JSON:
+ *    1-thread (~40-55k docs/s/thread quiet — detects a generally-slow host)
+ *    and cpus-thread (detects CORE STARVATION, which a 1-thread sentinel
+ *    cannot see: one free core keeps it fast). Read the headline against
+ *    sentinel_parallel: Spark ≈ raw-parallel means the host had that many
+ *    effective cores and the pipeline is at parity; Spark ≪ raw-parallel
+ *    would be a genuine pipeline regression;
+ *  - an in-artifact scaling pair: the same extraction job on the same corpus
+ *    at parallelism 2 and 8 (coalesce-capped tasks — the sandbox stand-in for
+ *    N vs 4N executors), with scaling_eff_2_to_8 = T8 / (4 × T2);
  *  - input split size tuned to ≥4 splits per core.
  *
- * Scaling evidence (local[8] vs local[32]) is produced by graft.tools.ScalingBench
- * and recorded in BASELINE.md.
+ * The full measured ladder (separate JVMs at local[2..32]) is produced by
+ * graft.tools.ScalingBench and recorded in BASELINE.md.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +44,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sf0.1 sweep queries shuffle kilobytes: let AQE coalesce their shuffles
+      // to a handful of partitions instead of 32 near-empty tasks each — the
+      // 43-query sweep is mostly scheduling floor, and fewer tasks also
+      // shrinks the host-contention surface the driver runs keep tripping on
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -111,46 +124,111 @@ object Bench {
         .filter(col("d").isNotNull).count()
     extractPass() // warmup (C2)
 
-    // run-until-stable: stop once the two best trials agree within 15%
-    val trials = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var stable = false
-    while (!stable && trials.length < 8) {
-      trials += time(extractPass())
-      if (trials.length >= 3) {
-        val best = trials.sorted.take(2)
-        stable = best(1) <= best(0) * 1.15
+    // run-until-stable: keep timing until the two best trials agree within
+    // 15% (a strictly-decreasing fixed-count series means the measurement
+    // never converged); System.gc() between trials so one pass's allocation
+    // debt isn't charged to the next
+    def stableMin(minTrials: Int, cap: Int)(f: => Double): (Double, Seq[Double]) = {
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var stable = false
+      while (!stable && ts.length < cap) {
+        System.gc()
+        ts += f
+        if (ts.length >= minTrials) {
+          val best = ts.sorted.take(2)
+          stable = best(1) <= best(0) * 1.15
+        }
       }
+      (ts.min, ts.toSeq)
     }
-    val extractSec = trials.min
+    val (extractSec, trials) = stableMin(3, 8)(time(extractPass()))
     val docsPerSec = extractionDocs / extractSec
 
-    // contention sentinel: raw 1-thread extractor docs/s (no Spark in the
-    // loop). ~40-55k/s on a quiet host; proportionally lower when other
-    // tenants hold the cores — lets a reader discount a low headline.
+    // scaling evidence IN the artifact: the same extraction job on the same
+    // corpus in two FRESH child JVMs at local[2] and local[8] — the ladder
+    // methodology (one measurement per JVM; a shared JVM leaks C2 state into
+    // the second run) and the sandbox's stand-in for the N-vs-4N-executor
+    // criterion. Efficiency = rate(8) / (4 × rate(2)). An in-JVM coalesce(p)
+    // variant was tried first and under-reads: capping tasks to p removes
+    // multi-wave balancing from the wide level only, charging the tail to
+    // scaling. Children inherit this JVM's exact flags (add-opens, ParallelGC).
+    def childRate(cores: Int): Double = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+      // ActiveProcessorCount pins the child to its "cluster size": GC threads,
+      // netty pools, availableProcessors all see `cores` — without it the
+      // 2-core level borrows the whole machine's GC threads and reads fast,
+      // understating scaling efficiency
+      val cmd = Seq(javaBin) ++ inherited ++ Seq(s"-XX:ActiveProcessorCount=$cores",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.ScalingBench", "measurePath", cores.toString, corpusPath, "6")
+      val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor()
+      """"docs_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    }
+    val p2Rate = childRate(2)
+    val p8Rate = childRate(8)
+    val scalingEff = if (p2Rate > 0 && p8Rate > 0) p8Rate / (4.0 * p2Rate) else -1.0
+
+    // contention sentinels: raw extractor docs/s with NO Spark in the loop.
+    // 1-thread: ~40-55k/s/thread quiet — detects a generally-slow host.
+    // cpus-thread: the multi-thread sentinel a core-starved host CANNOT fake —
+    // if raw-parallel ≈ the Spark headline, the gap to BASELINE.md is the
+    // host's free-core count, not a pipeline regression; if raw-parallel ≈
+    // cpus × the 1-thread rate while Spark reads far lower, the pipeline is
+    // at fault. (The 1-thread sentinel alone was blind to core starvation:
+    // one free core keeps it fast — round-3 verdict.)
+    val sentinelDocs = (0 until 4000).map(i => graft.fixtures.CorpusGen.page(i.toLong).html).toArray
+    def rawLoop(n: Int, offset: Int): Long = {
+      var i = 0
+      var acc = 0L
+      while (i < n) {
+        val d = sentinelDocs((i + offset) % sentinelDocs.length)
+        acc += (if (graft.pdf.PdfExtract.isPdfMagic(d)) graft.pdf.PdfExtract.text(d)
+                else graft.html.HtmlExtract.extract(d)).length
+        i += 1
+      }
+      acc
+    }
     val sentinel = {
-      val docs = (0 until 4000).map(i => graft.fixtures.CorpusGen.page(i.toLong).html).toArray
       def pass(n: Int): Double = {
         val t0 = System.nanoTime()
-        var i = 0
-        var acc = 0L
-        while (i < n) {
-          val d = docs(i % docs.length)
-          acc += (if (graft.pdf.PdfExtract.isPdfMagic(d)) graft.pdf.PdfExtract.text(d)
-                  else graft.html.HtmlExtract.extract(d)).length
-          i += 1
-        }
-        if (acc == -1) println("impossible")
+        if (rawLoop(n, 0) == -1) println("impossible")
         n / ((System.nanoTime() - t0) / 1e9)
       }
       pass(8000) // C2 warmup (already warm from Spark passes, but cheap)
-      pass(30000)
+      // best-of-3: a single pass can eat one descheduling blip or a GC pause
+      // left over from the Spark passes and understate the host 10×
+      (0 until 3).map(_ => pass(30000)).max
+    }
+    val sentinelParallel = {
+      val nThreads = cpus.toInt
+      val perThread = 20000
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      try {
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          val tasks = (0 until nThreads).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = rawLoop(perThread, t * 37)
+            })
+          }
+          if (tasks.map(_.get()).sum == -1) println("impossible")
+          nThreads.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
+        }
+        pass() // warm the pool
+        math.max(pass(), pass()) // best-of-2: one descheduling blip shouldn't understate the host
+      } finally pool.shutdown()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val trialsJson = trials.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_trials_sec":$trialsJson,"extract_docs_per_sec":$docsPerSec%.1f,"sentinel_1thr_docs_per_sec":$sentinel%.1f,"cpus":"$cpus"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_trials_sec":$trialsJson,"extract_docs_per_sec":$docsPerSec%.1f,"extract_p2_docs_per_sec":$p2Rate%.1f,"extract_p8_docs_per_sec":$p8Rate%.1f,"scaling_eff_2_to_8":$scalingEff%.3f,"sentinel_1thr_docs_per_sec":$sentinel%.1f,"sentinel_parallel_docs_per_sec":$sentinelParallel%.1f,"cpus":"$cpus"}"""
     // file mirror first (driver fallback), then the bare line LAST on stdout
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     catch { case _: Throwable => }

@@ -511,21 +511,25 @@ object SparkEntry {
     }),
 
     // ANN scale path: hyperplane-LSH bucketing (sign bits of dot products with
-    // deterministic pseudo-random hyperplanes) — queries join only their bucket's
-    // candidates instead of the full cross join. Approximate by design → rows-only
-    // (recall vs brute force asserted in AnnSpec).
+    // deterministic pseudo-random hyperplanes) — queries join only their
+    // probed buckets' candidates instead of the full cross join. PRODUCTION
+    // parameterization: k sign-bit planes grown with corpus size (planesFor)
+    // and plane dimension read from the data — the same sizing q34 uses. HERE
+    // probe radius = k enumerates every bucket, making the search exhaustive
+    // (the q37 nProbe=k trick): the bucket machinery runs end-to-end while the
+    // output equals brute force, so the oracle is plain SQL. Production
+    // probing is radius=1 (its recall is pinned in AnnSpec).
     "q28_ann_lsh_bucketed" -> ((s, dir) => {
       import graft.ops.SimilarityOps
-      val nPlanes = 6
-      val planes = SimilarityOps.lshPlanes(nPlanes, dim = 64)
-      val emb = t(s, dir, "embeddings")
+      val embT = t(s, dir, "embeddings")
+      val nPlanes = SimilarityOps.planesFor(embT.count())
+      val planes = SimilarityOps.lshPlanes(nPlanes, SimilarityOps.embeddingDim(embT, "embedding"))
+      val emb = embT
         .withColumn("v", transform(col("embedding"), x => x.cast("double")))
         .withColumn("bucket", SimilarityOps.lshBucket(col("v"), planes))
-      // multi-probe: each query also probes every Hamming-1 bucket — recovers
-      // neighbors that fall just across one hyperplane
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(SimilarityOps.probeBuckets(col("bucket"), nPlanes)).as("bucket"))
+          explode(SimilarityOps.probeBuckets(col("bucket"), nPlanes, radius = nPlanes)).as("bucket"))
       val cands = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
       val pairs = q.join(cands, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -824,6 +828,15 @@ object SparkEntry {
       """SELECT sha256(text) AS text_sha256, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY text HAVING count(*) > 1""".stripMargin,
     "q16_ann_cosine_topk" ->
+      """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |) WHERE rank <= 5""".stripMargin,
+    // LSH at probe radius = k enumerates every bucket → must equal brute force
+    "q28_ann_lsh_bucketed" ->
       """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,

@@ -209,7 +209,12 @@ object DedupOps {
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      edges.toLocalIterator().forEachRemaining { row =>
+      // ONE collect job: toLocalIterator would run one sequential mini-job PER
+      // partition (32 scheduler round-trips at shuffle.partitions=32 — the
+      // round-3 q39/q41 latency regression); the threshold just verified by
+      // count() bounds the collected rows to ~200 MB, so a single parallel
+      // fetch is both faster and equally memory-safe
+      edges.collect().foreach { row =>
         val (a, b) = (row.get(0), row.get(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))

@@ -50,9 +50,18 @@ object SimilarityOps {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expr.LshBucketExpr(org.apache.spark.sql.graft.ColumnBridge.expression(v), planes))
 
-  /** All probe buckets for multi-probe LSH: own bucket + every Hamming-1 neighbor. */
-  def probeBuckets(bucket: Column, nPlanes: Int): Column =
-    array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
+  /** Probe buckets for multi-probe LSH: every bucket within Hamming distance
+    * ≤ radius of the own bucket (radius 1 — the production default — is the
+    * own bucket + the nPlanes single-bit neighbors). radius = nPlanes probes
+    * ALL 2^nPlanes buckets, making the search exhaustive/exact — the oracle
+    * configuration (the same trick as IVF's nProbe = k), never the scale path. */
+  def probeBuckets(bucket: Column, nPlanes: Int, radius: Int = 1): Column =
+    if (radius <= 1) // direct form — the 2^nPlanes mask enumeration below would scan 16M ints at nPlanes=24
+      array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
+    else {
+      val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= radius)
+      array(masks.map(m => if (m == 0) bucket else bucket.bitwiseXOR(lit(m))): _*)
+    }
 
   /** Embedding width from the data (one-row metadata probe over the first
     * NON-NULL vector — a leading null row would otherwise NPE, and the plane
@@ -134,17 +143,14 @@ object SimilarityOps {
     val withB = emb.select(col("_id"), buckets.as("_buckets"))
     def tableKey(t: Column, bucket: Column): Column =
       concat(t.cast("string"), lit(":"), bucket.cast("string"))
-    // one row per (vector, table) carrying the build key AND that table's
-    // probe keys; the bucket-size cap (window over the build key — same
-    // shuffle) removes oversized-bucket rows from BOTH sides: a row in a
-    // degenerate bucket must neither build nor probe in that table, or the
-    // quadratic blowup the cap exists to prevent reopens through the probes
+    // one NARROW (id, table:int, bucket:int) row per (vector, table); the
+    // bucket-size cap (window over the (table, bucket) key — same shuffle)
+    // removes oversized-bucket rows from BOTH sides: a row in a degenerate
+    // bucket must neither build nor probe in that table, or the quadratic
+    // blowup the cap exists to prevent reopens through the probes
     val perTable = withB.select(col("_id"),
-        explode(zip_with(col("_buckets"), sequence(lit(0), lit(nTables - 1)),
-          (b, t) => struct(tableKey(t, b).as("_tb"),
-            transform(probeBuckets(b, k), pb => tableKey(t, pb)).as("_probes")))).as("_e"))
-      .select(col("_id"), col("_e._tb").as("_tb"), col("_e._probes").as("_probes"))
-    val w = Window.partitionBy(col("_tb"))
+        posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
+    val w = Window.partitionBy(col("_t"), col("_bucket"))
     val capped = perTable
       .withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") <= maxBucketSize)
@@ -152,13 +158,18 @@ object SimilarityOps {
       // the build and probe branches below are DIFFERENT projections of this
       // subtree (no exchange reuse possible): materialize it once
       // (localCheckpoint — eager, lineage-truncated, blocks freed on GC) so
-      // the k×dim bucket dots and the cap window run a single time
+      // the k×dim bucket dots and the cap window run a single time.
+      // Materialized WIDTH matters at 10^10 rows: only (id, t:int, bucket:int)
+      // is checkpointed — the k+1 probe-key STRINGS per row (~25× wider) are
+      // derived from the 4-byte bucket AFTER the checkpoint, not stored in it
       .localCheckpoint(true)
     // the explosive stage is NARROW (id, key) only — vectors (16× wider) are
     // attached AFTER candidate pairs are deduped, the same shape as
     // nearDupPairs' band join
-    val keyed = capped.select(col("_id"), col("_tb"))
-    val probed = capped.select(col("_id"), explode(col("_probes")).as("_tb"))
+    val keyed = capped.select(col("_id"), tableKey(col("_t"), col("_bucket")).as("_tb"))
+    val probed = capped.select(col("_id"), col("_t"),
+        explode(probeBuckets(col("_bucket"), k)).as("_pb"))
+      .select(col("_id"), tableKey(col("_t"), col("_pb")).as("_tb"))
     val candidates = probed.as("x").join(keyed.as("y"),
         col("x._tb") === col("y._tb") && col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))

@@ -114,10 +114,15 @@ object PdfExtract {
     * contained objects added (top-level frames win on number collision).
     * Without this, ObjStm documents silently extract as empty. */
   private def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
-    val top = scanTopLevel(bytes)
+    val (top, dups) = scanTopLevel(bytes)
+    // duplicate `N G obj` frames mean the document carries revisions
+    // (incremental updates, §7.5.6): the xref chain — not file order — says
+    // which frame is active. Single-revision documents (no duplicates, the
+    // overwhelmingly common case) never pay for xref parsing.
+    val resolved = if (dups.isEmpty) top else applyXrefPreference(bytes, top, dups)
     // gate on a single substring scan: most documents have no ObjStm and the
     // hot path must not allocate per-object dict strings twice
-    if (indexOf(bytes, "/ObjStm", 0) < 0) top else expandObjStm(top)
+    if (indexOf(bytes, "/ObjStm", 0) < 0) resolved else expandObjStm(resolved)
   }
 
   /** Objects contained in /ObjStm streams: header is N pairs "objnum offset"
@@ -169,8 +174,51 @@ object PdfExtract {
     if (extra.isEmpty) objs else objs ++ extra
   }
 
-  private def scanTopLevel(bytes: Array[Byte]): Map[Int, PdfObj] = {
+  /** Frame body starting just after the "obj" keyword at `objKw`: locates the
+    * dict/stream extents. Returns the object and the scan-resume index. */
+  private def frameBodyAt(bytes: Array[Byte], num: Int, objKw: Int): (PdfObj, Int) = {
+    val n = bytes.length
+    val bodyStart = objKw + 3
+    // find endobj; if a stream begins, skip its payload by search
+    var e = indexOf(bytes, "endobj", bodyStart)
+    val streamAt = indexOf(bytes, "stream", bodyStart)
+    var streamOff = -1
+    var endStreamAt = -1
+    if (streamAt >= 0 && (e < 0 || streamAt < e)) {
+      streamOff = streamAt + "stream".length
+      endStreamAt = indexOf(bytes, "endstream", streamAt)
+      if (endStreamAt >= 0) e = indexOf(bytes, "endobj", endStreamAt)
+    }
+    val bodyEnd = if (e < 0) n else e
+    (PdfObj(num, bytes, bodyStart, bodyEnd - bodyStart, streamOff, endStreamAt),
+      if (e < 0) n else e + 6)
+  }
+
+  /** Object frame at a byte offset (the xref's view: "N G obj" with optional
+    * leading whitespace). None when the offset doesn't hold a frame. */
+  private def frameAt(bytes: Array[Byte], off: Long): Option[PdfObj] = {
+    val n = bytes.length
+    if (off < 0 || off >= n) return None
+    var i = off.toInt
+    while (i < n && isWsByte(bytes(i))) i += 1
+    val numStart = i
+    var num = 0L
+    while (i < n && bytes(i) >= '0' && bytes(i) <= '9' && num <= Int.MaxValue) {
+      num = num * 10 + (bytes(i) - '0'); i += 1
+    }
+    if (i == numStart || num <= 0 || num > Int.MaxValue) return None
+    while (i < n && isWsByte(bytes(i))) i += 1
+    val genStart = i
+    while (i < n && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+    if (i == genStart) return None
+    while (i < n && isWsByte(bytes(i))) i += 1
+    if (i + 3 > n || bytes(i) != 'o' || bytes(i + 1) != 'b' || bytes(i + 2) != 'j') return None
+    Some(frameBodyAt(bytes, num.toInt, i)._1)
+  }
+
+  private def scanTopLevel(bytes: Array[Byte]): (Map[Int, PdfObj], List[Int]) = {
     val out = mutable.Map.empty[Int, PdfObj]
+    val dups = mutable.ListBuffer.empty[Int]
     val n = bytes.length
     var i = 0
     while (i + 3 < n) {
@@ -192,24 +240,14 @@ object PdfExtract {
         }
         if (numEnd >= numStart && numStart >= 0 && (numStart == 0 || !isRegular(bytes(numStart - 1)))) {
           val num = new String(bytes, numStart, numEnd - numStart + 1, StandardCharsets.US_ASCII).toInt
-          val bodyStart = i + 3
-          // find endobj; if a stream begins, skip its payload by search
-          var e = indexOf(bytes, "endobj", bodyStart)
-          val streamAt = indexOf(bytes, "stream", bodyStart)
-          var streamOff = -1
-          var endStreamAt = -1
-          if (streamAt >= 0 && (e < 0 || streamAt < e)) {
-            streamOff = streamAt + "stream".length
-            endStreamAt = indexOf(bytes, "endstream", streamAt)
-            if (endStreamAt >= 0) e = indexOf(bytes, "endobj", endStreamAt)
-          }
-          val bodyEnd = if (e < 0) n else e
-          out(num) = PdfObj(num, bytes, bodyStart, bodyEnd - bodyStart, streamOff, endStreamAt)
-          i = if (e < 0) n else e + 6
+          val (obj, resume) = frameBodyAt(bytes, num, i)
+          if (out.contains(num)) dups += num
+          out(num) = obj
+          i = resume
         } else i += 1
       } else i += 1
     }
-    out.toMap
+    (out.toMap, dups.toList)
   }
 
   private def isRegular(b: Byte): Boolean =
@@ -225,6 +263,179 @@ object PdfExtract {
       i += 1
     }
     -1
+  }
+
+  private def lastIndexOf(hay: Array[Byte], needle: String): Int = {
+    val m = needle.getBytes(StandardCharsets.US_ASCII)
+    var i = hay.length - m.length
+    while (i >= 0) {
+      var k = 0
+      while (k < m.length && hay(i + k) == m(k)) k += 1
+      if (k == m.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  // ------------------------------------------------------------ xref chain
+
+  /** Latest-xref view of one object: its byte offset (type-1), membership in
+    * an /ObjStm (type-2), or freed (deleted by a revision). */
+  private sealed trait XEntry
+  private case object XFree extends XEntry
+  private final case class XOffset(off: Long) extends XEntry
+  private final case class XInStream(stm: Int) extends XEntry
+
+  /** num → entry from the newest xref chain: start at the LAST `startxref`,
+    * walk /Prev newest-first; a num's first (newest) entry wins, so earlier
+    * revisions never override. Handles classic tables (§7.5.4) and xref
+    * streams (§7.5.8, W/Index fields, filters via the normal stream decode).
+    * Hybrid-reference /XRefStm side-tables are not chased — every object a
+    * hybrid file hides there is also found by the frame scan. Empty map when
+    * no usable startxref (the scan fallback remains authoritative). */
+  private def parseXrefChain(bytes: Array[Byte]): Map[Int, XEntry] = {
+    val sx = lastIndexOf(bytes, "startxref")
+    if (sx < 0) return Map.empty
+    var i = sx + "startxref".length
+    while (i < bytes.length && isWsByte(bytes(i))) i += 1
+    var off = 0L
+    val d0 = i
+    while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && off < Int.MaxValue) {
+      off = off * 10 + (bytes(i) - '0'); i += 1
+    }
+    if (i == d0) return Map.empty
+    val out = mutable.Map.empty[Int, XEntry]
+    val seen = mutable.Set.empty[Long] // cycle guard: a hostile /Prev loop must terminate
+    var cur = off
+    while (cur > 0 && cur < bytes.length && seen.add(cur))
+      cur = parseXrefSection(bytes, cur.toInt, out)
+    out.toMap
+  }
+
+  /** Parse one xref section at `at`, adding entries for nums not yet seen
+    * (newest-first chain ⇒ first writer wins). Returns /Prev or -1. */
+  private def parseXrefSection(bytes: Array[Byte], at: Int, out: mutable.Map[Int, XEntry]): Long = {
+    val n = bytes.length
+    var i = at
+    while (i < n && isWsByte(bytes(i))) i += 1
+    def readInt(): Long = {
+      while (i < n && isWsByte(bytes(i))) i += 1
+      var v = -1L
+      while (i < n && bytes(i) >= '0' && bytes(i) <= '9' && v < Long.MaxValue / 16) {
+        if (v < 0) v = 0
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    if (i + 4 <= n && bytes(i) == 'x' && bytes(i + 1) == 'r' && bytes(i + 2) == 'e' && bytes(i + 3) == 'f') {
+      // classic table: subsections "start count" then count entries
+      // "oooooooooo ggggg n|f" until the trailer keyword
+      i += 4
+      var continue = true
+      while (continue) {
+        while (i < n && isWsByte(bytes(i))) i += 1
+        if (i >= n || !(bytes(i) >= '0' && bytes(i) <= '9')) continue = false
+        else {
+          val start = readInt()
+          val count = readInt()
+          if (start < 0 || count < 0 || count > (1 << 22)) return -1L
+          var k = 0L
+          while (k < count) {
+            val f1 = readInt()
+            readInt() // generation — revisions tracked per num, not per gen
+            while (i < n && isWsByte(bytes(i))) i += 1
+            val flag = if (i < n) bytes(i) else 'f'.toByte
+            if (flag == 'n' || flag == 'f') i += 1
+            val num = (start + k).toInt
+            if (f1 >= 0 && num > 0 && !out.contains(num))
+              out(num) = if (flag == 'n') XOffset(f1) else XFree
+            k += 1
+          }
+        }
+      }
+      val tAt = indexOf(bytes, "trailer", i)
+      if (tAt < 0) return -1L
+      // trailer dicts are small; a bounded window avoids scanning megabytes
+      val win = new String(bytes, tAt, math.min(4096, n - tAt), StandardCharsets.ISO_8859_1)
+      dictInt(win, "/Prev").map(_.toLong).getOrElse(-1L)
+    } else {
+      // xref STREAM: a normal object frame whose decoded stream holds
+      // fixed-width rows [type, field2, field3] per /W over /Index ranges
+      frameAt(bytes, at) match {
+        case Some(o) if o.streamOff >= 0 =>
+          val dict = o.dictStr
+          val data = streamBytes(o).getOrElse(return -1L)
+          val w = dictIntArray(dict, "/W")
+          if (w.length < 3) return -1L
+          val (w1, w2, w3) = (w(0), w(1), w(2))
+          val rowLen = w1 + w2 + w3
+          if (w1 < 0 || w2 < 0 || w3 < 0 || rowLen <= 0 || rowLen > 32) return -1L
+          val size = dictInt(dict, "/Size").getOrElse(0)
+          val index = { val ix = dictIntArray(dict, "/Index"); if (ix.nonEmpty) ix else List(0, size) }
+          var pos = 0
+          def field(width: Int, default: Long): Long = {
+            if (width == 0) return default
+            var v = 0L
+            var k = 0
+            while (k < width) { v = (v << 8) | (data(pos + k) & 0xffL); k += 1 }
+            pos += width
+            v
+          }
+          index.grouped(2).foreach {
+            case List(start, count) if start >= 0 && count >= 0 && count <= (1 << 22) =>
+              var k = 0
+              while (k < count && pos + rowLen <= data.length) {
+                val t = field(w1, 1L) // absent type field defaults to 1 (§7.5.8.3)
+                val a = field(w2, 0L)
+                field(w3, 0L)
+                val num = start + k
+                if (num > 0 && !out.contains(num)) t match {
+                  case 0L => out(num) = XFree
+                  case 1L => out(num) = XOffset(a)
+                  case 2L => if (a > 0 && a <= Int.MaxValue) out(num) = XInStream(a.toInt)
+                  case _ => ()
+                }
+                k += 1
+              }
+            case _ => ()
+          }
+          dictInt(dict, "/Prev").map(_.toLong).getOrElse(-1L)
+        case _ => -1L
+      }
+    }
+  }
+
+  /** Revision resolution for documents with duplicate object frames: the
+    * newest xref chain designates the active frame per num — file order is
+    * only a heuristic (right for append-only updates, wrong for rolled-back
+    * or superseded objects). An XInStream/XFree verdict REMOVES the top-level
+    * frame: the active version lives in an /ObjStm (expansion fills it) or
+    * was deleted. No/corrupt xref keeps the scan's last-frame-wins fallback. */
+  private def applyXrefPreference(bytes: Array[Byte], top: Map[Int, PdfObj],
+                                  dups: List[Int]): Map[Int, PdfObj] = {
+    val xref = try parseXrefChain(bytes) catch { case scala.util.control.NonFatal(_) => Map.empty[Int, XEntry] }
+    if (xref.isEmpty) return top
+    var out = top
+    dups.distinct.foreach { num =>
+      xref.get(num) match {
+        case Some(XOffset(off)) =>
+          frameAt(bytes, off).filter(_.num == num).foreach(o => out = out.updated(num, o))
+        case Some(XInStream(_)) | Some(XFree) => out = out - num
+        case None => ()
+      }
+    }
+    out
+  }
+
+  /** Plain integer array value `[i1 i2 ...]` for a dict key (/W, /Index). */
+  private def dictIntArray(body: String, key: String): List[Int] = {
+    val at = body.indexOf(key)
+    if (at < 0) return Nil
+    val open = body.indexOf('[', at + key.length)
+    if (open < 0) return Nil
+    val region = bracketRegion(body, open)
+    if (region == null) Nil
+    else """-?\d+""".r.findAllIn(region).flatMap(s => s.toIntOption).toList
   }
 
 
@@ -639,7 +850,8 @@ object PdfExtract {
   private[pdf] final case class FontInfo(toUni: ToUni, widths: Array[Float], firstChar: Int,
                                          diffs: Array[String] = null,
                                          cidWidths: Map[Int, Float] = null,
-                                         cidDefault: Float = 1000f)
+                                         cidDefault: Float = 1000f,
+                                         type3NoUni: Boolean = false)
 
   /** Adobe Glyph List subset covering the names real generators emit in
     * /Differences (letters, digits, ASCII punctuation, common Latin-1
@@ -842,8 +1054,14 @@ object PdfExtract {
           val (widths, firstChar) = parseWidths(fb, bodies)
           val diffs = parseDifferences(fb, bodies)
           val (cidW, cidDw) = parseCidWidths(fb, bodies)
-          if (tu == null && widths == null && diffs == null && cidW == null) None
-          else Some(m.group(1) -> FontInfo(tu, widths, firstChar, diffs, cidW, cidDw))
+          // Type3 glyphs are arbitrary content-stream procedures (§9.6.5):
+          // without /ToUnicode (or usable /Differences) their codes have NO
+          // text meaning — decoding them as latin-1 yields silent garbage, so
+          // the font is flagged and shown text under it is suppressed +
+          // surfaced as a distinct error class instead
+          val t3 = fb.contains("/Type3") && tu == null && diffs == null
+          if (tu == null && widths == null && diffs == null && cidW == null && !t3) None
+          else Some(m.group(1) -> FontInfo(tu, widths, firstChar, diffs, cidW, cidDw, t3))
         }
       }.toMap
     } catch { case _: Exception => Map.empty }
@@ -926,7 +1144,7 @@ object PdfExtract {
     * `fonts` maps font resource names (Tf operand) to ToUnicode CMaps; shown
     * strings under a mapped font decode through it (CID/2-byte text). */
   private def interpret(content: Array[Byte], page: Int, out: mutable.ArrayBuffer[Run],
-                        fonts: Map[String, FontInfo] = Map.empty): Unit = {
+                        fonts: Map[String, FontInfo] = Map.empty): Boolean = {
     val n = content.length
     var i = 0
     val operands = mutable.ArrayBuffer.empty[Any] // Float | String | List[Any] | Name
@@ -935,6 +1153,7 @@ object PdfExtract {
     var leading = 0f
     var lineX = 0f; var lineY = 0f
     var curX = 0f; var curY = 0f
+    var sawType3 = false // text shown under an unmappable Type3 font (suppressed, flagged)
 
     def decodeShown(raw: String): String = {
       if (curFont == null || (curFont.toUni == null && curFont.diffs == null)) return raw
@@ -998,6 +1217,15 @@ object PdfExtract {
     /** Show a raw string operand: decode (CID/ToUnicode) and advance by the
       * font's /Widths metrics when declared, else the 0.5em model. */
     def show(raw: String): Unit = {
+      // unmappable Type3 text: the codes index glyph PROCEDURES, not
+      // characters — emitting them would be silent garbage. Advance the pen
+      // (layout stays sane for any mappable runs around it) but emit nothing
+      // and flag the page, so the caller can classify pdf_type3_font.
+      if (curFont != null && curFont.type3NoUni) {
+        if (raw.nonEmpty) sawType3 = true
+        curX += advanceOf(raw, raw)
+        return
+      }
       val decoded = decodeShown(raw)
       if (decoded.nonEmpty) {
         out += Run(page, curX, curY, fontSize, decoded)
@@ -1173,6 +1401,7 @@ object PdfExtract {
         }
       }
     }
+    sawType3
   }
 
   // --------------------------------------------------------------- assembly
@@ -1272,7 +1501,8 @@ object PdfExtract {
 
   /** Single-parse extraction with a per-row failure signal. `error` is null on
     * success; otherwise a stable category ("pdf_no_objects",
-    * "pdf_no_content_stream", or "pdf_" + ErrorClass keyword category). The
+    * "pdf_no_content_stream", "pdf_type3_font", or "pdf_" + ErrorClass
+    * keyword category). The
     * reference swallows per-file failures into its error handler
     * (ocr_combined.py:219-230, error_handler.py:305-325); at 10^12 docs a
     * silent empty string is indistinguishable from a genuinely empty doc, so
@@ -1286,8 +1516,16 @@ object PdfExtract {
       val streams = pageStreamsOf(objs)
       if (streams.isEmpty) return Outcome("", IndexedSeq.empty, "pdf_no_content_stream")
       val out = mutable.ArrayBuffer.empty[Run]
-      streams.zipWithIndex.foreach { case ((cs, fonts), p) => interpret(cs, p, out, fonts) }
+      var sawType3 = false
+      streams.zipWithIndex.foreach { case ((cs, fonts), p) =>
+        if (interpret(cs, p, out, fonts)) sawType3 = true
+      }
       val rs = out.toIndexedSeq
+      // only the Type3 glyph procedures carried the document's text: nothing
+      // extractable remains, and that deserves a DISTINCT class — an empty
+      // string with error=null is indistinguishable from a blank document
+      if (sawType3 && rs.isEmpty)
+        return Outcome("", IndexedSeq.empty, "pdf_type3_font")
       val text = lines(rs).map { case (_, pageLines) =>
         pageLines.map(_.map(_.text.trim).filter(_.nonEmpty).mkString(" "))
           .filter(_.nonEmpty).mkString("\n")

@@ -54,10 +54,20 @@ object ScalingBench {
       s.stop()
 
     case "measure" :: c :: n :: dir :: Nil =>
-      val cores = c.toInt
-      val nDocs = n.toLong
+      measureAt(c.toInt, corpusPath(dir, n.toLong), maxTrials = 8)
+
+    // direct-path variant (graft.Bench spawns this in fresh child JVMs for the
+    // in-artifact local[2]-vs-local[8] scaling pair); optional trials cap
+    case "measurePath" :: c :: path :: rest if rest.length <= 1 =>
+      measureAt(c.toInt, path, maxTrials = rest.headOption.map(_.toInt).getOrElse(8))
+
+    case _ =>
+      System.err.println("usage: ScalingBench gen <nDocs> <dir> | measure <cores> <nDocs> <dir> | measurePath <cores> <path> [maxTrials]")
+      sys.exit(2)
+  }
+
+  private def measureAt(cores: Int, path: String, maxTrials: Int): Unit = {
       val s = session(cores, s"graft-scaling-$cores")
-      val path = corpusPath(dir, nDocs)
       // ≥4 input splits per core so the long tail doesn't idle the extra cores
       val total = {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -76,7 +86,7 @@ object ScalingBench {
       // cap 8) so a monotone-improving sequence isn't cut off mid-descent
       val trials = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       var stable = false
-      while (!stable && trials.length < 8) {
+      while (!stable && trials.length < maxTrials) {
         val t0 = System.nanoTime()
         val counted = pass()
         trials += ((counted, (System.nanoTime() - t0) / 1e9))
@@ -90,9 +100,5 @@ object ScalingBench {
       println(
         f"""{"cores":$cores,"master":"${s.sparkContext.master}","n_docs":$counted,"sec":$sec%.2f,"trials_sec":$all,"docs_per_sec":${counted / sec}%.1f}""")
       s.stop()
-
-    case _ =>
-      System.err.println("usage: ScalingBench gen <nDocs> <dir> | measure <cores> <nDocs> <dir>")
-      sys.exit(2)
   }
 }

@@ -579,4 +579,59 @@ class PdfExtractSpec extends AnyFunSuite {
     val trunc = minimalPdf("BT\n/F1 12 Tf\n(unterminated").take(40).toArray
     PdfExtract.text(trunc) // must not throw
   }
+
+  // ------------------------------------------------------------ Type3 fonts
+
+  private def type3Pdf(fontDict: String, content: String,
+                       extra: (Int, Array[Byte])*): Array[Byte] = rawPdf(
+    Seq(
+      1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"),
+      4 -> streamObj(s"<< /Length ${content.length} >>", ascii(content)),
+      5 -> ascii(fontDict)) ++ extra: _*)
+
+  test("Type3 font without ToUnicode: distinct pdf_type3_font class, no garbage") {
+    // glyph codes index CharProcs procedures — latin-1 decoding them would be
+    // silent garbage; the run is suppressed and the document classified
+    val pdf = type3Pdf(
+      "<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] /CharProcs 6 0 R >>",
+      "BT /F1 12 Tf 72 700 Td () Tj ET",
+      6 -> ascii("<< >>"))
+    val o = PdfExtract.outcome(pdf)
+    assert(o.error == "pdf_type3_font")
+    assert(o.text == "")
+    assert(PdfExtract.text(pdf) == "") // the raw-text API suppresses too
+  }
+
+  test("Type3 WITH ToUnicode decodes normally (no error)") {
+    val cmap =
+      """begincodespacerange <00> <FF> endcodespacerange
+        |beginbfchar <01> <0041> <02> <0042> endbfchar""".stripMargin
+    val pdf = type3Pdf(
+      "<< /Type /Font /Subtype /Type3 /CharProcs 7 0 R /ToUnicode 6 0 R >>",
+      "BT /F1 12 Tf 72 700 Td <0102> Tj ET",
+      6 -> streamObj(s"<< /Length ${cmap.length} >>", ascii(cmap)),
+      7 -> ascii("<< >>"))
+    val o = PdfExtract.outcome(pdf)
+    assert(o.error == null)
+    assert(o.text == "AB")
+  }
+
+  test("mixed fonts: mappable text extracts, Type3 runs suppressed, no error") {
+    val content = "BT /F1 12 Tf 72 700 Td () Tj /F2 12 Tf 72 680 Td (readable) Tj ET"
+    val pdf = rawPdf(
+      1 -> ascii("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> ascii("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> ascii("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>"),
+      4 -> streamObj(s"<< /Length ${content.length} >>", ascii(content)),
+      5 -> ascii("<< /Type /Font /Subtype /Type3 /CharProcs 7 0 R >>"),
+      6 -> ascii("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      7 -> ascii("<< >>"))
+    val o = PdfExtract.outcome(pdf)
+    assert(o.error == null, "partial extraction is success — only all-Type3 documents classify")
+    assert(o.text == "readable")
+  }
 }
