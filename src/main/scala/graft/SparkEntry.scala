@@ -681,6 +681,27 @@ object SparkEntry {
             .cast("double"), 4).as("other_channels"))
     }),
 
+    // REAL baseline-JPEG decode (JpegDecode: marker parse + Huffman + dequant
+    // + IDCT): 200 flat grayscale JPEGs encoded at plan-build time by
+    // JpegEncode (quantizer ≡ 1 — a flat block survives the DCT round-trip
+    // EXACTLY), selected per row by doc_id. Decoding must recover the flat
+    // value, so mean = doc_id % 200 and variance = 0 in closed form — the
+    // same fixture-with-closed-form-oracle pattern as q40's PNG.
+    "q44_jpeg_features" -> ((s, dir) => {
+      val jpegHex = (0 until 200).map { v =>
+        graft.media.JpegEncode.flatGray(16, 16, v).map(b => f"${b & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(jpegHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_c0"),
+          round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"),
+          round((element_at(col("f"), 2) + element_at(col("f"), 3) + element_at(col("f"), 4) +
+            element_at(col("f"), 6) + element_at(col("f"), 7) + element_at(col("f"), 8))
+            .cast("double"), 4).as("other_channels"))
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -882,6 +903,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(doc_id % 200 + 7.5 AS DOUBLE) AS mean_c0,
         |  CAST(21.25 AS DOUBLE) AS var_c0,
+        |  CAST(0.0 AS DOUBLE) AS other_channels
+        |FROM documents""".stripMargin,
+    // flat JPEG decoded through the full baseline pipeline: mean is the flat
+    // value exactly, variance 0 (quantizer ≡ 1; DC-only block IDCT rounds
+    // back to the constant)
+    "q44_jpeg_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_c0,
+        |  CAST(0.0 AS DOUBLE) AS var_c0,
         |  CAST(0.0 AS DOUBLE) AS other_channels
         |FROM documents""".stripMargin,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT

@@ -1,0 +1,368 @@
+package graft.media
+
+import scala.util.control.NonFatal
+
+/**
+ * Pure-JVM baseline-JPEG decoder (ITU-T T.81) for the feature-extraction
+ * path: marker walk → DQT/DHT/SOF0/SOS parse → Huffman entropy decode (with
+ * 0xFF00 de-stuffing and RSTn restarts) → dequantize → de-zigzag → 2D IDCT →
+ * level shift. Supports the shapes the pipeline needs real statistics for:
+ * 8-bit baseline (SOF0), 1 component (grayscale) or 3 components with NO
+ * chroma subsampling (1×1 sampling everywhere; stored as Y/Cb/Cr channels).
+ * Progressive (SOF2), arithmetic coding, 12-bit precision, and subsampled
+ * color return None — the caller's declared-stub fallback handles those.
+ *
+ * Robustness for crawl data: a truncated scan decodes the MCUs present and
+ * returns None only when nothing decodes; hostile dimensions are
+ * allocation-guarded like PngDecode.
+ */
+object JpegDecode {
+
+  /** 8-bit samples, row-major, channel-interleaved (gray: 1ch; color: Y,Cb,Cr). */
+  final case class Pixels(width: Int, height: Int, channels: Int, samples: Array[Byte])
+
+  /** Zigzag scan order (T.81 Figure A.6): scan position → row-major index. */
+  private[media] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Orthonormal DCT-II basis: B(u)(x) = ½·C(u)·cos((2x+1)uπ/16). Rows are
+    * orthonormal, so the same matrix serves forward and inverse transforms. */
+  private[media] val Basis: Array[Double] = {
+    val b = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        b(u * 8 + x) = 0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    b
+  }
+
+  /** 2D IDCT: coef (row-major F[v][u]) → spatial f[y][x], separable two-pass. */
+  private[media] def idct(coef: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // tmp[v][x] = Σu B[u][x]·F[v][u]
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Basis(u * 8 + x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // f[y][x] = Σv B[v][y]·tmp[v][x]
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += Basis(vv * 8 + y) * tmp(vv * 8 + x); vv += 1 }
+        out(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 2D forward DCT (the encoder's half — same orthonormal basis). */
+  private[media] def fdct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // tmp[v][x] = Σy B[v][y]·f[y][x]
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += Basis(v * 8 + y) * block(y * 8 + x); y += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Double](64)
+    var vv = 0
+    while (vv < 8) { // F[v][u] = Σx B[u][x]·tmp[v][x]
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += Basis(u * 8 + x) * tmp(vv * 8 + x); x += 1 }
+        out(vv * 8 + u) = s
+        u += 1
+      }
+      vv += 1
+    }
+    out
+  }
+
+  /** Canonical Huffman table from a DHT segment's 16 counts + symbols
+    * (T.81 Annex C): per-length min/max codes and a value pointer. */
+  private final class Huff(counts: Array[Int], val symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data: de-stuffs 0xFF00 and stops
+    * (markerHit) at any real marker so a truncated scan terminates cleanly. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var markerHit: Int = -1
+    def nextBit(): Int = {
+      if (markerHit >= 0) return 0
+      if (bitCnt == 0) {
+        if (pos >= b.length) { markerHit = 0xd9; return 0 }
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          val nxt = if (pos < b.length) b(pos) & 0xff else 0xd9
+          if (nxt == 0x00) pos += 1
+          else { markerHit = nxt; pos -= 1; return 0 }
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def alignAndRestart(): Boolean = {
+      // byte-align, then consume an RSTn marker if present
+      bitCnt = 0
+      markerHit = -1
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff && ((b(pos + 1) & 0xf8) == 0xd0)) {
+        pos += 2
+        true
+      } else false
+    }
+    def decode(h: Huff): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16 && (h.maxCode(l) < 0 || code > h.maxCode(l))) {
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      if (l > 16 || markerHit >= 0) -1
+      else h.symbols(h.valPtr(l) + code - h.minCode(l))
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  def decode(b: Array[Byte]): Option[Pixels] = {
+    try {
+      if (b == null || b.length < 16) return None
+      if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+      val quant = new Array[Array[Int]](4) // per-table, in ZIGZAG order (as stored)
+      val dcTables = new Array[Huff](4)
+      val acTables = new Array[Huff](4)
+      var w = 0
+      var h = 0
+      var nComp = 0
+      val compQ = new Array[Int](3) // quant table per component
+      val compDc = new Array[Int](3)
+      val compAc = new Array[Int](3)
+      var restartInterval = 0
+      var scanAt = -1
+
+      var i = 2
+      while (scanAt < 0 && i + 4 <= b.length) {
+        if (u8(i) != 0xff) i += 1
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xff) i += 1 // fill byte
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+          else {
+            val len = u16(i + 2)
+            if (len < 2 || i + 2 + len > b.length) return None
+            val seg = i + 4
+            val segEnd = i + 2 + len
+            marker match {
+              case 0xdb => // DQT: one or more (PqTq, 64 values) tables
+                var p = seg
+                while (p < segEnd) {
+                  val pq = u8(p) >> 4
+                  val tq = u8(p) & 15
+                  if (pq != 0 || tq > 3) return None // 16-bit tables: out of scope
+                  if (p + 65 > segEnd) return None
+                  val t = new Array[Int](64)
+                  var k = 0
+                  while (k < 64) { t(k) = u8(p + 1 + k); k += 1 }
+                  quant(tq) = t
+                  p += 65
+                }
+              case 0xc4 => // DHT: one or more (TcTh, 16 counts, symbols)
+                var p = seg
+                while (p + 17 <= segEnd) {
+                  val tc = u8(p) >> 4
+                  val th = u8(p) & 15
+                  val counts = new Array[Int](16)
+                  var total = 0
+                  var k = 0
+                  while (k < 16) { counts(k) = u8(p + 1 + k); total += counts(k); k += 1 }
+                  if (th > 3 || total > 256 || p + 17 + total > segEnd) return None
+                  val syms = new Array[Int](total)
+                  k = 0
+                  while (k < total) { syms(k) = u8(p + 17 + k); k += 1 }
+                  val huff = new Huff(counts, syms)
+                  if (tc == 0) dcTables(th) = huff else acTables(th) = huff
+                  p += 17 + total
+                }
+              case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential shares the decode path)
+                if (u8(seg) != 8) return None // 12-bit precision: out of scope
+                h = u16(seg + 1); w = u16(seg + 3)
+                nComp = u8(seg + 5)
+                if (nComp != 1 && nComp != 3) return None
+                var c = 0
+                while (c < nComp) {
+                  val hv = u8(seg + 7 + c * 3)
+                  if (hv != 0x11) return None // subsampling: declared stub
+                  compQ(c) = u8(seg + 8 + c * 3)
+                  c += 1
+                }
+              case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+                return None // progressive / arithmetic / hierarchical: out of scope
+              case 0xdd => restartInterval = u16(seg)
+              case 0xda => // SOS
+                val ns = u8(seg)
+                if (ns != nComp) return None
+                var c = 0
+                while (c < ns) {
+                  compDc(c) = u8(seg + 2 + c * 2) >> 4
+                  compAc(c) = u8(seg + 2 + c * 2) & 15
+                  c += 1
+                }
+                scanAt = segEnd
+              case _ => () // APPn, COM, others: skip
+            }
+            i = segEnd
+          }
+        }
+      }
+      if (scanAt < 0 || w <= 0 || h <= 0 || nComp == 0) return None
+      if (w > (1 << 14) || h > (1 << 14)) return None
+      if (w.toLong * h * nComp > (1L << 28)) return None // hostile-dimension guard
+      var c = 0
+      while (c < nComp) {
+        if (quant(compQ(c)) == null || dcTables(compDc(c)) == null || acTables(compAc(c)) == null)
+          return None
+        c += 1
+      }
+
+      val samples = new Array[Byte](w * h * nComp)
+      val br = new BitReader(b, scanAt)
+      val pred = new Array[Int](3)
+      val mcusX = (w + 7) / 8
+      val mcusY = (h + 7) / 8
+      val coef = new Array[Double](64)
+      var mcu = 0
+      var my = 0
+      var decodedAny = false
+      var halted = false
+      while (my < mcusY && !halted) {
+        var mx = 0
+        while (mx < mcusX && !halted) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (br.alignAndRestart()) java.util.Arrays.fill(pred, 0)
+          }
+          var ci = 0
+          while (ci < nComp && !halted) {
+            java.util.Arrays.fill(coef, 0.0)
+            val q = quant(compQ(ci))
+            val t = br.decode(dcTables(compDc(ci)))
+            if (t < 0) halted = true
+            else {
+              pred(ci) += extend(br.receive(t), t)
+              coef(0) = pred(ci).toDouble * q(0)
+              var k = 1
+              while (k < 64 && !halted) {
+                val rs = br.decode(acTables(compAc(ci)))
+                if (rs < 0) halted = true
+                else {
+                  val r = rs >> 4
+                  val s = rs & 15
+                  if (s == 0) { if (r == 15) k += 16 else k = 64 } // ZRL | EOB
+                  else {
+                    k += r
+                    if (k > 63) halted = true // corrupt run length
+                    else {
+                      coef(Zigzag(k)) = extend(br.receive(s), s).toDouble * q(k)
+                      k += 1
+                    }
+                  }
+                }
+              }
+              if (!halted) {
+                val px = idct(coef)
+                var y = 0
+                while (y < 8) {
+                  val py = my * 8 + y
+                  if (py < h) {
+                    var x = 0
+                    while (x < 8) {
+                      val pxx = mx * 8 + x
+                      if (pxx < w) {
+                        val v = Math.round(px(y * 8 + x) + 128.0).toInt
+                        samples((py * w + pxx) * nComp + ci) =
+                          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                      }
+                      x += 1
+                    }
+                  }
+                  y += 1
+                }
+                decodedAny = true
+              }
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      if (!decodedAny) None else Some(Pixels(w, h, nComp, samples))
+    } catch { case NonFatal(_) => None }
+  }
+}

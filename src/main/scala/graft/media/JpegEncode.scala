@@ -1,0 +1,136 @@
+package graft.media
+
+/**
+ * Deterministic baseline-JPEG ENCODER (grayscale, 8-bit, SOF0) for fixtures
+ * and oracles — the production decode path is JpegDecode; this exists so
+ * specs and oracle queries can construct valid JPEGs whose decoded statistics
+ * are statable in closed form (the same role PngDecode's in-query stored-
+ * deflate PNG plays for q40). Quality is fixed at quantizer ≡ 1 (lossless up
+ * to DCT rounding: a FLAT block round-trips exactly), and the Huffman tables
+ * are self-consistent canonical tables written into DHT: 12 DC categories at
+ * code length 4, all 162 AC run/size symbols at code length 8.
+ */
+object JpegEncode {
+
+  // AC symbol order for the canonical length-8 table: EOB, all (run,size)
+  // combos run-major, ZRL — the DHT segment and the encoder share this list
+  private val AcSymbols: Array[Int] =
+    (0x00 +: (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s) :+ 0xF0).toArray
+  private val AcCode: Map[Int, Int] = AcSymbols.zipWithIndex.toMap
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def write(bits: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        buf = (buf << 1) | ((bits >> k) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        k -= 1
+      }
+    }
+    def pad(): Unit = if (cnt > 0) write((1 << (8 - cnt)) - 1, 8 - cnt) // 1-fill
+  }
+
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode an 8-bit grayscale image (row-major, values 0..255). */
+  def gray(pixels: Array[Int], w: Int, h: Int, restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h, "pixels must be w*h")
+    val out = new java.io.ByteArrayOutputStream(256 + pixels.length / 4)
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); u16(67); out.write(0x00) // DQT table 0, all-ones quantizer
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); u16(11) // SOF0: 8-bit, 1 component, 1x1 sampling
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    // DHT DC (class 0, id 0): 12 symbols (categories 0..11) at length 4
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0))
+    (0 until 12).foreach(out.write)
+    // DHT AC (class 1, id 0): all 162 symbols at length 8
+    m(0xc4); u16(2 + 1 + 16 + 162); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 8) 162 else 0))
+    AcSymbols.foreach(out.write)
+    if (restartInterval > 0) { m(0xdd); u16(4); u16(restartInterval) }
+    m(0xda); u16(8) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val bw = new BitWriter(out)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    var pred = 0
+    var mcu = 0
+    val block = new Array[Double](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.pad()
+          m(0xd0 + ((mcu / restartInterval - 1) % 8))
+          pred = 0
+        }
+        // edge blocks replicate the last row/column (standard padding)
+        var y = 0
+        while (y < 8) {
+          val py = math.min(h - 1, my * 8 + y)
+          var x = 0
+          while (x < 8) {
+            val px = math.min(w - 1, mx * 8 + x)
+            block(y * 8 + x) = pixels(py * w + px).toDouble - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val coef = JpegDecode.fdct(block)
+        val qz = new Array[Int](64) // quantized, zigzag order (q ≡ 1)
+        var k = 0
+        while (k < 64) { qz(k) = Math.round(coef(JpegDecode.Zigzag(k))).toInt; k += 1 }
+        // DC: category code (length 4, canonical code == category) + diff bits
+        val diff = qz(0) - pred
+        pred = qz(0)
+        val t = category(diff)
+        bw.write(t, 4)
+        if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        // AC: run-length of zeros in zigzag order; ZRL for runs >= 16; EOB
+        var run = 0
+        k = 1
+        while (k < 64) {
+          if (qz(k) == 0) run += 1
+          else {
+            while (run >= 16) { bw.write(AcCode(0xF0), 8); run -= 16 }
+            // sizes cap at 10 (like the standard tables): a basis-aligned
+            // amplitude-128 pattern can quantize to ±1024 — clamp to ±1023
+            val v0 = qz(k)
+            val v = if (v0 > 1023) 1023 else if (v0 < -1023) -1023 else v0
+            val s = category(v)
+            bw.write(AcCode((run << 4) | s), 8)
+            bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.write(AcCode(0x00), 8) // EOB
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.pad()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Flat grayscale fixture: every pixel = value (decodes back exactly). */
+  def flatGray(w: Int, h: Int, value: Int): Array[Byte] =
+    gray(Array.fill(w * h)(value & 0xff), w, h)
+}

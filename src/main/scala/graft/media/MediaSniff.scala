@@ -6,11 +6,13 @@ package graft.media
  *
  * REAL: container detection + dimensions from headers (PNG IHDR, GIF logical
  * screen descriptor, JPEG SOF scan, RIFF/WAVE, %PDF, HTML); PNG content decode
- * (PngDecode: inflate + un-filter — zlib is in the JVM) with per-channel
- * mean/variance features.
+ * (PngDecode: inflate + un-filter — zlib is in the JVM) and baseline-JPEG
+ * content decode (JpegDecode: Huffman + dequant + IDCT, grayscale or
+ * unsubsampled YCbCr) with per-channel mean/variance features.
  * STUB: feature extraction for formats whose codecs genuinely aren't in this
- * build environment (JPEG/GIF entropy decode, audio, video) — those fall back
- * to a deterministic byte-hash sketch with the real schema/batching plumbing.
+ * build environment (GIF LZW raster, progressive/subsampled JPEG, audio,
+ * video) — those fall back to a deterministic byte-hash sketch with the real
+ * schema/batching plumbing.
  */
 object MediaSniff {
 
@@ -56,29 +58,34 @@ object MediaSniff {
   }
 
   /** 8-dim feature vector. PNG payloads DECODE (inflate + un-filter) and
-    * yield real per-channel statistics: [mean(ch0..ch3), variance(ch0..ch3)]
-    * with absent channels zero (population variance via E[x²] − mean²,
-    * double accumulators). Formats without a JVM codec (JPEG/GIF/audio/video)
-    * fall back to the deterministic byte-hash sketch — the remaining declared
-    * stub. */
+    * baseline JPEG payloads DECODE (Huffman + dequant + IDCT, JpegDecode:
+    * grayscale or unsubsampled YCbCr); both yield real per-channel
+    * statistics: [mean(ch0..ch3), variance(ch0..ch3)] with absent channels
+    * zero (population variance via E[x²] − mean², double accumulators).
+    * Formats without a JVM codec (GIF LZW, progressive/subsampled JPEG,
+    * audio, video) fall back to the deterministic byte-hash sketch — the
+    * remaining declared stub. */
   def features(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (b == null) return out
-    PngDecode.decode(b) match {
-      case Some(p) =>
-        val n = p.width.toLong * p.height
+    val decoded: Option[(Int, Int, Int, Array[Byte])] =
+      PngDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples))
+        .orElse(JpegDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples)))
+    decoded match {
+      case Some((width, height, channels, samples)) =>
+        val n = width.toLong * height
         val sums = new Array[Double](4)
         val sqs = new Array[Double](4)
         var i = 0
-        while (i < p.samples.length) {
-          val v = (p.samples(i) & 0xff).toDouble
-          val c = i % p.channels
+        while (i < samples.length) {
+          val v = (samples(i) & 0xff).toDouble
+          val c = i % channels
           sums(c) += v
           sqs(c) += v * v
           i += 1
         }
         var c = 0
-        while (c < p.channels) {
+        while (c < channels) {
           val mean = sums(c) / n
           out(c) = mean.toFloat
           out(4 + c) = (sqs(c) / n - mean * mean).toFloat
