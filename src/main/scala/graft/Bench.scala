@@ -141,8 +141,74 @@ object Bench {
       }
       (ts.min, ts.toSeq)
     }
-    val (extractSec, trials) = stableMin(3, 8)(time(extractPass()))
+    // contention sentinels: raw extractor docs/s with NO Spark in the loop,
+    // measured ADJACENT to the headline trials so they describe the same host
+    // window. 1-thread (~40-55k/s/thread quiet) detects a generally-slow
+    // host; cpus-thread detects CORE STARVATION, which a 1-thread sentinel
+    // cannot see (one free core keeps it fast — round-3 verdict). Read the
+    // headline against raw-parallel: Spark ≈ raw-parallel ⇒ the gap to
+    // BASELINE.md is the host's free-core count, not a pipeline regression;
+    // Spark ≪ raw-parallel ⇒ genuine pipeline fault.
+    val sentinelDocs = (0 until 4000).map(i => graft.fixtures.CorpusGen.page(i.toLong).html).toArray
+    def rawLoop(n: Int, offset: Int): Long = {
+      var i = 0
+      var acc = 0L
+      while (i < n) {
+        val d = sentinelDocs((i + offset) % sentinelDocs.length)
+        acc += (if (graft.pdf.PdfExtract.isPdfMagic(d)) graft.pdf.PdfExtract.text(d)
+                else graft.html.HtmlExtract.extract(d)).length
+        i += 1
+      }
+      acc
+    }
+    def oneThreadSentinel(): Double = {
+      def pass(n: Int): Double = {
+        val t0 = System.nanoTime()
+        if (rawLoop(n, 0) == -1) println("impossible")
+        n / ((System.nanoTime() - t0) / 1e9)
+      }
+      pass(8000) // C2 warmup (already warm from Spark passes, but cheap)
+      // best-of-3: a single pass can eat one descheduling blip or a GC pause
+      // left over from the Spark passes and understate the host 10×
+      (0 until 3).map(_ => pass(30000)).max
+    }
+    def parallelSentinel(passes: Int): Double = {
+      val nThreads = cpus.toInt
+      val perThread = 20000
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      try {
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          val tasks = (0 until nThreads).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = rawLoop(perThread, t * 37)
+            })
+          }
+          if (tasks.map(_.get()).sum == -1) println("impossible")
+          nThreads.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
+        }
+        pass() // warm the pool
+        (0 until passes).map(_ => pass()).max // one blip shouldn't understate the host
+      } finally pool.shutdown()
+    }
+
+    val (_, trials0) = stableMin(3, 8)(time(extractPass()))
+    val trials = scala.collection.mutable.ArrayBuffer(trials0: _*)
+    var sentinelParallel = parallelSentinel(2)
+    // adaptive: the quiet-host pipeline runs at ≳1× the raw-parallel rate
+    // (parquet decode amortizes; measured 674k Spark vs 520k raw). A best
+    // trial far below what the raw sentinel proves the host can deliver
+    // RIGHT NOW means the trial window was starved — keep timing within the
+    // cap instead of certifying a contended reading (the round-1..3 failure:
+    // three driver artifacts recorded starved windows as the headline).
+    while (trials.length < 8 && extractionDocs / trials.min < 0.3 * sentinelParallel) {
+      System.gc()
+      trials += time(extractPass())
+      sentinelParallel = math.max(sentinelParallel, parallelSentinel(1))
+    }
+    val extractSec = trials.min
     val docsPerSec = extractionDocs / extractSec
+    val sentinel = oneThreadSentinel()
 
     // scaling evidence IN the artifact: the same extraction job on the same
     // corpus in two FRESH child JVMs at local[2] and local[8] — the ladder
@@ -172,57 +238,6 @@ object Bench {
     val p2Rate = childRate(2)
     val p8Rate = childRate(8)
     val scalingEff = if (p2Rate > 0 && p8Rate > 0) p8Rate / (4.0 * p2Rate) else -1.0
-
-    // contention sentinels: raw extractor docs/s with NO Spark in the loop.
-    // 1-thread: ~40-55k/s/thread quiet — detects a generally-slow host.
-    // cpus-thread: the multi-thread sentinel a core-starved host CANNOT fake —
-    // if raw-parallel ≈ the Spark headline, the gap to BASELINE.md is the
-    // host's free-core count, not a pipeline regression; if raw-parallel ≈
-    // cpus × the 1-thread rate while Spark reads far lower, the pipeline is
-    // at fault. (The 1-thread sentinel alone was blind to core starvation:
-    // one free core keeps it fast — round-3 verdict.)
-    val sentinelDocs = (0 until 4000).map(i => graft.fixtures.CorpusGen.page(i.toLong).html).toArray
-    def rawLoop(n: Int, offset: Int): Long = {
-      var i = 0
-      var acc = 0L
-      while (i < n) {
-        val d = sentinelDocs((i + offset) % sentinelDocs.length)
-        acc += (if (graft.pdf.PdfExtract.isPdfMagic(d)) graft.pdf.PdfExtract.text(d)
-                else graft.html.HtmlExtract.extract(d)).length
-        i += 1
-      }
-      acc
-    }
-    val sentinel = {
-      def pass(n: Int): Double = {
-        val t0 = System.nanoTime()
-        if (rawLoop(n, 0) == -1) println("impossible")
-        n / ((System.nanoTime() - t0) / 1e9)
-      }
-      pass(8000) // C2 warmup (already warm from Spark passes, but cheap)
-      // best-of-3: a single pass can eat one descheduling blip or a GC pause
-      // left over from the Spark passes and understate the host 10×
-      (0 until 3).map(_ => pass(30000)).max
-    }
-    val sentinelParallel = {
-      val nThreads = cpus.toInt
-      val perThread = 20000
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-      try {
-        def pass(): Double = {
-          val t0 = System.nanoTime()
-          val tasks = (0 until nThreads).map { t =>
-            pool.submit(new java.util.concurrent.Callable[Long] {
-              def call(): Long = rawLoop(perThread, t * 37)
-            })
-          }
-          if (tasks.map(_.get()).sum == -1) println("impossible")
-          nThreads.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
-        }
-        pass() // warm the pool
-        math.max(pass(), pass()) // best-of-2: one descheduling blip shouldn't understate the host
-      } finally pool.shutdown()
-    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
