@@ -201,7 +201,7 @@ object Bench {
     // RIGHT NOW means the trial window was starved — keep timing within the
     // cap instead of certifying a contended reading (the round-1..3 failure:
     // three driver artifacts recorded starved windows as the headline).
-    while (trials.length < 8 && extractionDocs / trials.min < 0.3 * sentinelParallel) {
+    while (trials.length < 8 && extractionDocs / trials.min < 0.5 * sentinelParallel) {
       System.gc()
       trials += time(extractPass())
       sentinelParallel = math.max(sentinelParallel, parallelSentinel(1))

@@ -179,15 +179,17 @@ object DedupOps {
       s"connectedComponents requires integral or string id columns; got a: $aT, b: $bT " +
         "(a lossy cast would null out ids and silently drop every edge)")
     def src(c: Column): Column = if (isIntegral) c.cast("long") else c
-    val edges = pairs.select(src(col("a")).as("src"), src(col("b")).as("dst"))
-      .unionByName(pairs.select(src(col("b")).as("src"), src(col("a")).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count()
-    if (nEdges <= localThreshold) {
-      // metadata-sized pair graph (the common case even at huge corpora —
-      // near-dup pairs are a sliver of n): one collect + union-find beats
-      // diameter-many distributed iterations each costing scheduler round-trips
+    // ONE limit-probe job gates the local path: union-find needs neither the
+    // symmetrized nor the deduplicated edge set (union() is idempotent and
+    // direction-blind), so the raw pair frame is probed directly — the
+    // previous shape paid a distinct SHUFFLE plus a count job plus a collect
+    // job before the first union, three scheduler round-trips of pure latency
+    // on metadata-sized graphs (the common case even at huge corpora: near-dup
+    // pairs are a sliver of n). CollectLimit stops gathering past the
+    // threshold, bounding driver memory exactly like the count-gate did.
+    val probe = pairs.select(src(col("a")), src(col("b")))
+      .limit(math.min(localThreshold, (Int.MaxValue - 1).toLong).toInt + 1).collect()
+    if (probe.length <= localThreshold) {
       val spark = pairs.sparkSession
       // UTF-8 byte order (unsigned), matching Spark's binary-collation min —
       // Java String.compareTo is UTF-16 order and diverges above the BMP
@@ -209,18 +211,12 @@ object DedupOps {
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      // ONE collect job: toLocalIterator would run one sequential mini-job PER
-      // partition (32 scheduler round-trips at shuffle.partitions=32 — the
-      // round-3 q39/q41 latency regression); the threshold just verified by
-      // count() bounds the collected rows to ~200 MB, so a single parallel
-      // fetch is both faster and equally memory-safe
-      edges.collect().foreach { row =>
+      probe.foreach { row =>
         val (a, b) = (row.get(0), row.get(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (lessThan(ra, rb)) parent(rb) = ra else parent(ra) = rb }
       }
-      edges.unpersist(blocking = false)
       import spark.implicits._
       return if (isIntegral)
         parent.keys.toSeq.map(id => (id.asInstanceOf[Long], find(id).asInstanceOf[Long]))
@@ -229,6 +225,13 @@ object DedupOps {
         parent.keys.toSeq.map(id => (id.asInstanceOf[String], find(id).asInstanceOf[String]))
           .toDF("id", "component")
     }
+    // big graph (rare): symmetrized distinct edge frame, persisted across the
+    // min-label iterations — the distinct matters HERE, where every duplicate
+    // edge would re-shuffle per iteration
+    val edges = pairs.select(src(col("a")).as("src"), src(col("b")).as("dst"))
+      .unionByName(pairs.select(src(col("b")).as("src"), src(col("a")).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
