@@ -702,6 +702,48 @@ object SparkEntry {
             .cast("double"), 4).as("other_channels"))
     }),
 
+    // REAL GIF decode (GifDecode: LZW + palette → RGB): 200 tiny flat-color
+    // GIFs (palette entry 0 = gray level doc_id % 200) built at plan-build
+    // time by GifEncode.flatColor — decode must recover the palette color on
+    // every pixel, so all three channel means equal the level and every
+    // variance is 0, statable in closed form
+    "q45_gif_features" -> ((s, dir) => {
+      val gifHex = (0 until 200).map { v =>
+        graft.media.GifEncode.flatColor(8, 8, v, v, v).map(b => f"${b & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(gifHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_r"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_g"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_b"),
+          round((element_at(col("f"), 4) + element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
+    }),
+
+    // REAL WAV PCM decode (WavDecode): an 8-bit mono RIFF/WAVE payload is
+    // built IN-QUERY (static header + the sample value doc_id % 200 repeated
+    // 256 times), so the oracle states mean = value, variance = 0 in plain
+    // SQL — audio's q40/q44 analog
+    "q46_wav_features" -> ((s, dir) => {
+      val dataLen = 256
+      def le32(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+      def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+      val headerHex = "52494646" + le32(36 + dataLen) + "57415645" + // RIFF size WAVE
+        "666D7420" + le32(16) + le16(1) + le16(1) + le32(8000) + le32(8000) + le16(1) + le16(8) +
+        "64617461" + le32(dataLen)
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(concat(lit(headerHex),
+          repeat(lpad(hex((col("doc_id") % 200).cast("int")), 2, "0"), dataLen)))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_c0"),
+          round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"),
+          round((element_at(col("f"), 2) + element_at(col("f"), 3) + element_at(col("f"), 4) +
+            element_at(col("f"), 6) + element_at(col("f"), 7) + element_at(col("f"), 8))
+            .cast("double"), 4).as("other_channels"))
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -909,6 +951,21 @@ object SparkEntry {
     // value exactly, variance 0 (quantizer ≡ 1; DC-only block IDCT rounds
     // back to the constant)
     "q44_jpeg_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_c0,
+        |  CAST(0.0 AS DOUBLE) AS var_c0,
+        |  CAST(0.0 AS DOUBLE) AS other_channels
+        |FROM documents""".stripMargin,
+    // flat-color GIF: every pixel is palette entry 0 = (v,v,v)
+    "q45_gif_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_r,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_g,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_b,
+        |  CAST(0.0 AS DOUBLE) AS rest
+        |FROM documents""".stripMargin,
+    // flat 8-bit PCM: every sample is the value, one channel
+    "q46_wav_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_c0,
         |  CAST(0.0 AS DOUBLE) AS var_c0,

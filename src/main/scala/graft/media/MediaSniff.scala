@@ -5,13 +5,13 @@ package graft.media
  * `binary` columns with typed metadata extracted by header inspection.
  *
  * REAL: container detection + dimensions from headers (PNG IHDR, GIF logical
- * screen descriptor, JPEG SOF scan, RIFF/WAVE, %PDF, HTML); PNG content decode
- * (PngDecode: inflate + un-filter — zlib is in the JVM) and baseline-JPEG
- * content decode (JpegDecode: Huffman + dequant + IDCT, grayscale or
- * unsubsampled YCbCr) with per-channel mean/variance features.
+ * screen descriptor, JPEG SOF scan, RIFF/WAVE, %PDF, HTML); content decode
+ * with per-channel mean/variance features for PNG (PngDecode: inflate +
+ * un-filter), baseline JPEG (JpegDecode: Huffman + dequant + IDCT), GIF
+ * (GifDecode: LZW + palette), and WAV PCM audio (WavDecode).
  * STUB: feature extraction for formats whose codecs genuinely aren't in this
- * build environment (GIF LZW raster, progressive/subsampled JPEG, audio,
- * video) — those fall back to a deterministic byte-hash sketch with the real
+ * build environment (progressive/subsampled JPEG, non-PCM audio, video) —
+ * those fall back to a deterministic byte-hash sketch with the real
  * schema/batching plumbing.
  */
 object MediaSniff {
@@ -57,23 +57,25 @@ object MediaSniff {
     } else Info("unknown", -1, -1)
   }
 
-  /** 8-dim feature vector. PNG payloads DECODE (inflate + un-filter) and
-    * baseline JPEG payloads DECODE (Huffman + dequant + IDCT, JpegDecode:
-    * grayscale or unsubsampled YCbCr); both yield real per-channel
-    * statistics: [mean(ch0..ch3), variance(ch0..ch3)] with absent channels
-    * zero (population variance via E[x²] − mean², double accumulators).
-    * Formats without a JVM codec (GIF LZW, progressive/subsampled JPEG,
-    * audio, video) fall back to the deterministic byte-hash sketch — the
-    * remaining declared stub. */
+  /** 8-dim feature vector: [mean(ch0..ch3), variance(ch0..ch3)], absent
+    * channels zero (population variance via E[x²] − mean², double
+    * accumulators). REAL decode paths: PNG (inflate + un-filter), baseline
+    * JPEG (Huffman + dequant + IDCT; gray or unsubsampled YCbCr), GIF
+    * (LZW + palette → RGB), WAV PCM (8/16-bit, frames as the unit). The
+    * deterministic byte-hash sketch remains ONLY for progressive/subsampled
+    * JPEG, non-PCM audio, and video — formats with no JVM codec here. */
   def features(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (b == null) return out
-    val decoded: Option[(Int, Int, Int, Array[Byte])] =
-      PngDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples))
-        .orElse(JpegDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples)))
+    // (unit count, channels, interleaved u8 samples) — pixels for images,
+    // frames for audio
+    val decoded: Option[(Long, Int, Array[Byte])] =
+      PngDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples))
+        .orElse(JpegDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
+        .orElse(GifDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
+        .orElse(WavDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
     decoded match {
-      case Some((width, height, channels, samples)) =>
-        val n = width.toLong * height
+      case Some((n, channels, samples)) =>
         val sums = new Array[Double](4)
         val sqs = new Array[Double](4)
         var i = 0
@@ -97,8 +99,9 @@ object MediaSniff {
   }
 
   /** STUB fallback: deterministic 8-dim byte-hash sketch standing in for a
-    * real embedding model (codec libs absent for JPEG/GIF/audio/video). The
-    * Spark-side schema, partitioning and batch shape are the real contract. */
+    * real embedding model (codec libs absent for progressive/subsampled JPEG,
+    * non-PCM audio, video). The Spark-side schema, partitioning and batch
+    * shape are the real contract. */
   private def hashSketch(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     var i = 0

@@ -1,0 +1,68 @@
+package graft.media
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WavDecodeSpec extends AnyFunSuite {
+
+  private def wav(fmt: Int, channels: Int, bits: Int, data: Array[Byte],
+                  extraChunk: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes)
+    tag("RIFF"); u32(36 + data.length); tag("WAVE")
+    if (extraChunk) { tag("LIST"); u32(3); out.write("abc".getBytes); out.write(0) } // odd len → pad
+    tag("fmt "); u32(16)
+    u16(fmt); u16(channels); u32(8000); u32(8000 * channels * bits / 8); u16(channels * bits / 8); u16(bits)
+    tag("data"); u32(data.length)
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
+  test("8-bit mono PCM passes samples through exactly") {
+    val data = Array.tabulate(100)(i => (i * 2).toByte)
+    val s = WavDecode.decode(wav(1, 1, 8, data)).get
+    assert(s.frames == 100 && s.channels == 1)
+    assert(s.data.toSeq == data.toSeq)
+  }
+
+  test("16-bit stereo PCM: channels interleaved, (s >> 8) + 128 conversion") {
+    // frame i: left = i*256 (→ i+128), right = -i*256 (→ 128-i)
+    val n = 50
+    val data = new Array[Byte](n * 2 * 2)
+    for (i <- 0 until n) {
+      val l = (i * 256).toShort; val r = (-i * 256).toShort
+      data(i * 4) = (l & 0xff).toByte; data(i * 4 + 1) = ((l >> 8) & 0xff).toByte
+      data(i * 4 + 2) = (r & 0xff).toByte; data(i * 4 + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val s = WavDecode.decode(wav(1, 2, 16, data)).get
+    assert(s.frames == n && s.channels == 2)
+    for (i <- 0 until n) {
+      assert((s.data(i * 2) & 0xff) == i + 128)
+      assert((s.data(i * 2 + 1) & 0xff) == 128 - i)
+    }
+  }
+
+  test("chunk walk skips unknown (odd-length, word-aligned) chunks before fmt") {
+    val data = Array.fill(32)(77.toByte)
+    val s = WavDecode.decode(wav(1, 1, 8, data, extraChunk = true)).get
+    assert(s.frames == 32 && (s.data(0) & 0xff) == 77)
+  }
+
+  test("non-PCM, exotic widths, junk, truncation → None, never a throw") {
+    val data = Array.fill(16)(1.toByte)
+    assert(WavDecode.decode(wav(3, 1, 8, data)).isEmpty)  // IEEE float fmt
+    assert(WavDecode.decode(wav(1, 1, 24, data)).isEmpty) // 24-bit: stub
+    assert(WavDecode.decode(wav(1, 9, 8, data)).isEmpty)  // 9 channels
+    assert(WavDecode.decode(Array.emptyByteArray).isEmpty)
+    assert(WavDecode.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    val good = wav(1, 1, 8, data)
+    (1 until good.length).foreach(n => WavDecode.decode(good.take(n)))
+  }
+
+  test("MediaSniff.features: flat 8-bit PCM yields exact mean, zero variance") {
+    val f = MediaSniff.features(wav(1, 1, 8, Array.fill(256)(123.toByte)))
+    assert(f(0) == 123f && f(4) == 0f)
+    assert(f(1) == 0f && f(5) == 0f)
+  }
+}
