@@ -488,6 +488,42 @@ object SparkEntry {
           round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
           round(expr("percentile(n_tok, 0.99)"), 4).as("p99"))),
 
+    // ---------------- corpus curation (named LLM-data-pipeline stages) ----------------
+    // benchmark decontamination (GPT-3 appendix A shape): flag documents
+    // sharing any 13-token gram with a benchmark set — the benchmark here is
+    // constructed from the table itself (tokens 4..16 of every 17th doc), so
+    // the oracle can state the overlap in plain SQL over token strings (the
+    // Spark side joins 64-bit gram hashes; splitmix collisions at this
+    // cardinality are ~1e-9 and the dataset is fixed)
+    "q47_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(array_join(slice(split(col("text"), " "), 4, 13), " ").as("bench_text"))
+      graft.ops.CurationOps.decontaminate(docs, "text", "doc_id", bench, "bench_text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher-style repetition signals (duplicate n-gram fraction, top-bigram
+    // mass) — the published MassiveText quality rules' repetition family
+    "q48_repetition_stats" -> ((s, dir) =>
+      graft.ops.CurationOps.repetitionStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))),
+    // crawl balancing: keep at most 40 documents per host (hosts constructed
+    // in-query: 7 hosts via doc_id % 7, order by doc_id)
+    "q49_host_cap" -> ((s, dir) => {
+      val host = concat(lit("www.example"), (col("doc_id") % 7).cast("string"), lit(".com"))
+      graft.ops.CurationOps.hostCap(
+        t(s, dir, "documents").select(col("doc_id"), host.as("host")), "host", "doc_id", 40)
+        .select(col("doc_id"), col("host")).orderBy(col("doc_id"))
+    }),
+    // deterministic stratified sampling: ~30% per row via splitmix64(doc_id ^
+    // seed) — reproducible across runs/partitionings (never rand()); the
+    // oracle replays the same splitmix chain in DuckDB UBIGINT arithmetic
+    "q50_stratified_sample" -> ((s, dir) =>
+      graft.ops.CurationOps.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id", pct = 30)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
@@ -971,6 +1007,60 @@ object SparkEntry {
         |  CAST(0.0 AS DOUBLE) AS var_c0,
         |  CAST(0.0 AS DOUBLE) AS other_channels
         |FROM documents""".stripMargin,
+    // 13-token-gram overlap replayed over token STRINGS (join-equivalent to
+    // the engine's gram-hash join, see query comment)
+    "q47_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bench AS (
+        |  SELECT array_to_string(t[4:16], ' ') AS g FROM tk
+        |  WHERE doc_id % 17 = 0 AND len(t) >= 16
+        |),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+        |  FROM tk CROSS JOIN LATERAL unnest(range(1, greatest(1, len(t) - 11))) u(i)
+        |  WHERE len(t) >= 13
+        |),
+        |hit AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q48_repetition_stats" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g3 AS (
+        |  SELECT doc_id, list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+        |  FROM tk WHERE len(t) >= 3
+        |),
+        |top2 AS (
+        |  SELECT doc_id, max(c) AS m, CAST(sum(c) AS BIGINT) AS tot FROM (
+        |    SELECT doc_id, b, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        |      FROM tk WHERE len(t) >= 2)
+        |    GROUP BY doc_id, b)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(len(g3.gs), 0) AS INT) AS n_grams,
+        |  CAST(coalesce(len(list_distinct(g3.gs)), 0) AS INT) AS n_distinct_grams,
+        |  CASE WHEN coalesce(len(g3.gs), 0) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(g3.gs)) AS DOUBLE) / len(g3.gs), 4) END AS dup_gram_frac,
+        |  CASE WHEN t2.tot IS NULL THEN 0.0
+        |       ELSE round(CAST(t2.m AS DOUBLE) / t2.tot, 4) END AS top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN g3 ON d.doc_id = g3.doc_id
+        |LEFT JOIN top2 t2 ON d.doc_id = t2.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q49_host_cap" ->
+      """SELECT doc_id, 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) <= 40
+        |ORDER BY doc_id""".stripMargin,
+    "q50_stratified_sample" -> {
+      val key = USql64.toI64(USql64.sm("xor(CAST(doc_id AS UBIGINT), 24301::UBIGINT)"))
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ((($key) % 100) + 100) % 100 < 30
+         |ORDER BY doc_id""".stripMargin
+    },
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check

@@ -87,6 +87,31 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
 }
 
 /** Winnowing-style rolling fingerprint (min rolling hash over token n-grams). */
+/** All token n-gram hashes in order (strict windows: < n tokens → empty) —
+  * the corpus side of decontamination joins and per-doc repetition stats. */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.ngramHashes(input.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** splitmix64 finalizer over a long column — the deterministic sampling key
+  * (reproducible across runs and partitionings, unlike rand()). */
+case class SplitMix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.mix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextHash.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SplitMix64 =
+    copy(child = newChild)
+}
+
 case class RollingFingerprint(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

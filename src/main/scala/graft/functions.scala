@@ -113,6 +113,16 @@ object functions {
   def rolling_fingerprint(text: Column, n: Int = 8): Column =
     ColumnBridge.column(RollingFingerprint(expr(text), n))
 
+  /** All token n-gram hashes in order (strict windows: < n tokens → empty) —
+    * decontamination overlap joins and repetition stats. */
+  def ngram_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashes(expr(text), n))
+
+  /** splitmix64 of a long column — deterministic, partition-invariant
+    * sampling key (never rand()). */
+  def splitmix64(v: Column): Column =
+    ColumnBridge.column(SplitMix64(expr(v)))
+
   /** Exact token-shingle Jaccard (verification pass over LSH candidate pairs). */
   def shingle_jaccard(a: Column, b: Column, k: Int = 3): Column =
     ColumnBridge.column(ShingleJaccard(expr(a), expr(b), k))

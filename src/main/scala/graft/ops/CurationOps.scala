@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * Corpus-curation operators a training-data pipeline runs between extraction
+ * and tokenization — the named stages from the public data-curation
+ * literature (GPT-3 appendix A / The Pile / Gopher MassiveText rules), each
+ * in a shuffle-frugal Spark shape.
+ */
+object CurationOps {
+
+  /** Token n-grams of a text column as 64-bit hashes (one fused expression:
+    * split → rolling splitmix fold), via the same rolling_fingerprint family
+    * the dedup ops use. Exposed for decontaminate's two sides. */
+  private def ngramHashes(text: Column, n: Int): Column =
+    ngram_hashes(text, n)
+
+  /**
+   * Benchmark decontamination (GPT-3 appendix A shape): flag every document
+   * sharing ANY token n-gram (default 13 — the published choice) with the
+   * benchmark corpus. Scale shape: the benchmark is orders of magnitude
+   * smaller than the corpus, so its DISTINCT n-gram hashes broadcast; the
+   * corpus side explodes to (doc, hash) pairs and semi-joins — ONE corpus
+   * scan, no shuffle of corpus text, never a cross join. Returns (id,
+   * contaminated:boolean).
+   */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("_g"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol).as("_id"), explode(ngramHashes(col(textCol), n)).as("_g"))
+      .join(broadcast(benchGrams), Seq("_g"), "left_semi")
+      .select(col("_id")).distinct()
+    docs.select(col(idCol))
+      .join(hits.withColumn("_c", lit(true)).withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_c"), lit(false)).as("contaminated"))
+  }
+
+  /** Gopher/MassiveText-style repetition signals (Rae et al. 2021 §A1.1):
+    * fraction of duplicate token n-grams, and the fraction of all 2-gram
+    * occurrences taken by the single most frequent 2-gram. Pure per-row
+    * column math — no shuffle, codegen-friendly. */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3): DataFrame = {
+    val grams = ngramHashes(col(textCol), n)
+    val bigrams = ngramHashes(col(textCol), 2)
+    // top-bigram count via a groupBy-free expression: sort the hashes, then
+    // the longest equal-run length = max occurrence count
+    val sorted = array_sort(bigrams)
+    val runLens = expr(
+      """aggregate(
+        |  slice(sortedBigrams, 2, greatest(0, size(sortedBigrams) - 1)),
+        |  struct(1 as run, 1 as best, sortedBigrams[0] as prev),
+        |  (acc, x) -> IF(x = acc.prev,
+        |      struct(acc.run + 1 as run, greatest(acc.best, acc.run + 1) as best, x as prev),
+        |      struct(1 as run, acc.best as best, x as prev)),
+        |  acc -> acc.best)""".stripMargin)
+    docs
+      .withColumn("sortedBigrams", sorted)
+      .select(
+        col(idCol),
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct_grams"),
+        when(size(grams) === 0, 0.0).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4))
+          .as("dup_gram_frac"),
+        when(size(col("sortedBigrams")) === 0, 0.0)
+          .otherwise(round(runLens.cast("double") / size(col("sortedBigrams")), 4))
+          .as("top_bigram_frac"))
+  }
+
+  /** Per-host document cap (crawl balancing: no single host may dominate the
+    * corpus): keep the first `k` documents per host in `orderCol` order. One
+    * shuffle on host — the same key the extraction pipeline already salts. */
+  def hostCap(docs: DataFrame, hostCol: String, orderCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(orderCol).asc)
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Deterministic stratified sampling: keep ~pct% of rows per stratum, the
+    * keep decision a pure splitmix64 hash of the id (reproducible across
+    * runs/partitionings — never rand()). No shuffle; the stratum column is
+    * only for the caller's accounting. */
+  def stratifiedSample(docs: DataFrame, idCol: String, pct: Int, seed: Long = 0x5eedL): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    docs.filter(pmod(splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed))), lit(100)) < pct)
+  }
+}

@@ -157,6 +157,24 @@ object TextHash {
     out
   }
 
+  /** Public splitmix64 finalizer (deterministic sampling keys). */
+  def mix64(z: Long): Long = mix(z)
+
+  /** ALL token n-gram hashes in document order (decontamination overlap,
+    * repetition statistics). STRICT window semantics: fewer than n tokens →
+    * EMPTY (unlike rollingFingerprint's forced single shortened gram — a
+    * 5-token doc must never collide with a benchmark 13-gram). */
+  def ngramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null || text.isEmpty) return Array.emptyLongArray
+    val b = tokenBounds(text)
+    val nTok = b.length / 2
+    if (nTok < n) return Array.emptyLongArray
+    val out = new Array[Long](nTok - n + 1)
+    var ti = 0
+    while (ti < out.length) { out(ti) = shingleHash(text, b, ti, n); ti += 1 }
+    out
+  }
+
   /** Winnowing-style fingerprint: min rolling hash over token n-grams. */
   def rollingFingerprint(text: String, n: Int): Long = {
     if (text == null || text.isEmpty) return 0L

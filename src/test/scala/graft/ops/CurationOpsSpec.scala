@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("decontaminate flags exactly the documents sharing a benchmark 13-gram") {
+    val phrase = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"leading words $phrase trailing words here"),
+      (2L, "completely unrelated text " + (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, phrase), // exactly the benchmark gram
+      (4L, phrase.split(" ").dropRight(1).mkString(" ")), // only 12 tokens of it
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+    val bench = Seq(phrase).toDF("bench_text")
+    val got = CurationOps.decontaminate(docs, "text", "doc_id", bench, "bench_text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
+  }
+
+  test("decontaminate plan: benchmark side broadcast, no cartesian") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bench = Seq("a b c").toDF("bench_text")
+    val plan = CurationOps.decontaminate(docs, "text", "doc_id", bench, "bench_text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("repetitionStats: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),       // trigrams [aaa, aaa]: dup 0.5; bigrams [aa,aa,aa]: top 1.0
+      (2L, "a b c d"),       // trigrams [abc, bcd]: dup 0; bigrams all distinct: top 1/3
+      (3L, "x y"),           // no trigrams → zeros; one bigram → top 1.0
+      (4L, "solo")           // nothing
+    ).toDF("doc_id", "text")
+    val got = CurationOps.repetitionStats(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 2, 1, 0.5, 1.0)))
+    assert(got(1) == ((2L, 2, 2, 0.0, 0.3333)))
+    assert(got(2) == ((3L, 0, 0, 0.0, 1.0)))
+    assert(got(3) == ((4L, 0, 0, 0.0, 0.0)))
+  }
+
+  test("hostCap keeps the first k per host in order") {
+    val docs = (1L to 20L).map(i => (i, s"h${i % 2}")).toDF("id", "host")
+    val kept = CurationOps.hostCap(docs, "host", "id", 3)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // first 3 odd + first 3 even ids
+  }
+
+  test("stratifiedSample is deterministic, partition-invariant, and ~pct sized") {
+    val docs = spark.range(10000).select(col("id").as("doc_id"), (col("id") % 3).as("lang"))
+    val a = CurationOps.stratifiedSample(docs, "doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = CurationOps.stratifiedSample(docs.repartition(13), "doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same keep-set under any partitioning")
+    assert(math.abs(a.size - 3000) < 300, s"~30% expected, got ${a.size}")
+    assert(CurationOps.stratifiedSample(docs, "doc_id", 0).count() == 0)
+    assert(CurationOps.stratifiedSample(docs, "doc_id", 100).count() == 10000)
+  }
+}
