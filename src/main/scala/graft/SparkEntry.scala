@@ -524,6 +524,32 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id", pct = 30)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
 
+    // CCNet-style line dedup: three-line docs constructed in-query — a
+    // corpus-wide boilerplate line, the doc's own text, a per-group footer —
+    // each duplicated line survives only in its (min doc_id, min line) home
+    "q51_line_dedup" -> ((s, dir) => {
+      val txt = concat(
+        lit("all rights reserved footer\n"),
+        col("text"),
+        lit("\nfooter group "), (col("doc_id") % 5).cast("string"))
+      graft.ops.CurationOps.dropDuplicatedLines(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // PII redaction to typed placeholders; the payload is constructed so the
+    // oracle can state the redacted form as a closed-form literal (no regex
+    // dialect in the oracle at all)
+    "q52_pii_redact" -> ((s, dir) => {
+      val messy = concat(
+        col("text"),
+        lit(" contact user"), (col("doc_id") % 9).cast("string"),
+        lit(".name@mail"), (col("doc_id") % 4).cast("string"), lit(".example.com now"),
+        lit(" call +1 555 0"), (col("doc_id") % 10).cast("string"), lit(" 42"),
+        lit(" ip 10.0.0."), (col("doc_id") % 250).cast("string"), lit(" end"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.CurationOps.redactPii(messy).as("clean"))
+    }),
+
     "q14_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), lower(hex(simhash64(col("text")))).as("simhash_hex"))),
@@ -1061,6 +1087,38 @@ object SparkEntry {
          |WHERE ((($key) % 100) + 100) % 100 < 30
          |ORDER BY doc_id""".stripMargin
     },
+    // first-occurrence-keeps semantics replayed with a window over lines
+    "q51_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'all rights reserved footer' || chr(10) || text || chr(10) ||
+        |    'footer group ' || CAST(doc_id % 5 AS VARCHAR) AS txt
+        |  FROM documents
+        |),
+        |lines AS (
+        |  SELECT doc_id, CAST(ln - 1 AS BIGINT) AS ln, line FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(txt, chr(10))) AS line,
+        |      unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln
+        |    FROM base)
+        |),
+        |kept AS (
+        |  SELECT doc_id, ln, line FROM (
+        |    SELECT doc_id, ln, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+        |    FROM lines) WHERE rn = 1
+        |)
+        |SELECT b.doc_id, coalesce(k.t, '') AS text_deduped
+        |FROM base b LEFT JOIN (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS t FROM kept GROUP BY doc_id
+        |) k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    // the redacted payload in closed form — the constructed email/phone/ip
+    // shapes each collapse to their placeholder
+    "q52_pii_redact" ->
+      """SELECT doc_id,
+        |  text || ' contact [EMAIL] now call [PHONE] ip [IP] end' AS clean
+        |FROM documents""".stripMargin,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check

@@ -85,6 +85,51 @@ object CurationOps {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
 
+  /**
+   * CCNet-style line-level dedup (Wenzek et al. 2019): a line duplicated
+   * ACROSS the corpus (boilerplate, nav, cookie banners) survives only in its
+   * first occurrence — the (min doc id, min line index) one, a deterministic
+   * stand-in for CCNet's shard-order first-seen — and every other copy is
+   * dropped; documents are reassembled in original line order (empty string
+   * when nothing survives).
+   *
+   * Scale shape: the keeper-per-line aggregation is a groupBy on the line
+   * with map-side combine — a line duplicated 10^8 times collapses to one
+   * record per map partition BEFORE the shuffle, so hot boilerplate lines
+   * cannot skew the aggregation. The join attaching keepers back to line
+   * occurrences IS keyed on the line (inherently — every copy must learn its
+   * keeper); oversized hot-line partitions there are AQE skew-join territory.
+   */
+  def dropDuplicatedLines(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_ln", "_line")))
+    val keepers = lines.groupBy(col("_line"))
+      .agg(min(struct(col("_id"), col("_ln"))).as("_keep"))
+    val kept = lines.join(keepers, Seq("_line"))
+      .filter(struct(col("_id"), col("_ln")) === col("_keep"))
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_ln"), col("_line")))),
+          x => x.getField("_line")), "\n").as("text_deduped"))
+    docs.select(col(idCol).as("_id")).join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol), coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** PII scrubbing to typed placeholders (emails → [EMAIL], IPv4 → [IP],
+    * phone-like digit runs → [PHONE]) — patterns restricted to the
+    * lookahead-free common subset of Java regex and RE2. Order matters: IP
+    * before phone, or the phone run eats the address's digits. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "[EMAIL]"),
+        ipv4, "[IP]"),
+      phone, "[PHONE]")
+  }
+
   /** Deterministic stratified sampling: keep ~pct% of rows per stratum, the
     * keep decision a pure splitmix64 hash of the id (reproducible across
     * runs/partitionings — never rand()). No shuffle; the stratum column is

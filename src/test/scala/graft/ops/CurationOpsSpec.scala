@@ -56,6 +56,45 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // first 3 odd + first 3 even ids
   }
 
+  test("dropDuplicatedLines: corpus-duplicated lines survive only in the first occurrence") {
+    val docs = Seq(
+      (3L, "boiler\nunique three\nboiler"), // in-doc dup: second copy dropped too
+      (1L, "boiler\nunique one"),
+      (2L, "unique two\nboiler"),
+      (4L, "boiler")                         // loses everything → empty
+    ).toDF("doc_id", "text")
+    val got = CurationOps.dropDuplicatedLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "boiler\nunique one", // min doc_id keeps the shared line
+      2L -> "unique two",
+      3L -> "unique three",
+      4L -> ""))
+  }
+
+  test("dropDuplicatedLines preserves original line order after reassembly") {
+    val docs = Seq((1L, (0 until 50).map(i => s"line $i").mkString("\n"))).toDF("doc_id", "text")
+    val got = CurationOps.dropDuplicatedLines(docs.repartition(7), "text", "doc_id")
+      .collect().head.getString(1)
+    assert(got == (0 until 50).map(i => s"line $i").mkString("\n"))
+  }
+
+  test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
+    val cases = Seq(
+      "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
+      "server at 192.168.0.1 rebooted" -> "server at [IP] rebooted",
+      "call +44 (0) 20-7946 0958 now" -> "call [PHONE] now",
+      "mixed a@b.co and 10.0.0.7 and +1 555 010 99" -> "mixed [EMAIL] and [IP] and [PHONE]",
+      "no pii in plain words" -> "no pii in plain words",
+      "version 1.2 costs 42 dollars" -> "version 1.2 costs 42 dollars")
+    val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), CurationOps.redactPii(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"input: $in")
+    }
+  }
+
   test("stratifiedSample is deterministic, partition-invariant, and ~pct sized") {
     val docs = spark.range(10000).select(col("id").as("doc_id"), (col("id") % 3).as("lang"))
     val a = CurationOps.stratifiedSample(docs, "doc_id", 30).select("doc_id")
