@@ -45,7 +45,8 @@ object GraftExtensions {
     "graft_minhash_bands" -> one(MinHashBands(_, 64, 3, 8)),
     "graft_minhash_sig_bands" -> one(MinHashSigBands(_, 64, 3, 8)),
     "graft_media_sniff" -> one(MediaSniffExpr.apply),
-    "graft_media_features" -> one(MediaFeatures.apply)
+    "graft_media_features" -> one(MediaFeatures.apply),
+    "graft_av_meta" -> one(AvMetaExpr.apply)
   )
 
   /** Direct registration into an existing session (spark.sql.extensions is a

@@ -806,6 +806,50 @@ object SparkEntry {
             .cast("double"), 4).as("other_channels"))
     }),
 
+    // REAL audio/video container metadata (AvMeta: MP4 box walk, MP3 Layer III
+    // frame walk, FLAC STREAMINFO bit unpack): minimal valid payloads built at
+    // plan-build time by AvEncode with doc_id-derived parameters, so duration /
+    // sample-rate / dimensions are all statable in closed form — the metadata
+    // half of the video/audio surface is thereby real and oracle-checked; only
+    // codec payload DECODE remains the declared stub
+    "q53_av_meta" -> ((s, dir) => {
+      val mp4Hex = (0 until 200).map { m =>
+        graft.media.AvEncode.mp4Video(m % 50 + 100, m % 30 + 200, (m + 1) * 500L, 1000L)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      val mp3Hex = (0 until 20).map { m =>
+        graft.media.AvEncode.mp3Silent(m + 1).map(b => f"${b & 0xff}%02X").mkString
+      }
+      val flacHex = (0 until 200).map { m =>
+        graft.media.AvEncode.flacStreamInfo((m + 1) * 800L).map(b => f"${b & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, element_at(array(mp4Hex.map(lit): _*), m + 1))
+          .when(col("doc_id") % 3 === 1, element_at(array(mp3Hex.map(lit): _*), (m % 20) + 1))
+          .otherwise(element_at(array(flacHex.map(lit): _*), m + 1)))
+      t(s, dir, "documents")
+        .withColumn("a", av_meta(payload))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.duration_ms").as("duration_ms"), col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"), col("a.width").as("width"),
+          col("a.height").as("height"))
+    }),
+
+    // duplicated-passage signal (Lee et al. 2022 EXACTSUBSTR): a shared
+    // 6-token sentence is appended to every third document, so cross-doc
+    // duplicated 5-gram windows exist by construction; the oracle replays the
+    // same windows as token STRINGS (the q47 pattern — the Spark side joins
+    // 64-bit gram hashes)
+    "q54_dup_spans" -> ((s, dir) => {
+      val txt = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" alpha beta gamma delta epsilon zeta"))
+          .otherwise(lit("")))
+      graft.ops.CurationOps.duplicatedSpanStats(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -1119,6 +1163,48 @@ object SparkEntry {
       """SELECT doc_id,
         |  text || ' contact [EMAIL] now call [PHONE] ip [IP] end' AS clean
         |FROM documents""".stripMargin,
+    // the AvEncode parameters are doc_id-derived, so every metadata field is a
+    // closed-form expression; integer durations floor exactly as the engine's
+    // Long division does (// on positive BIGINTs)
+    "q53_av_meta" ->
+      """WITH m AS (SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' ELSE 'flac' END AS format,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN (m + 1) * 500
+        |    WHEN 1 THEN ((m % 20) + 1) * 1152 * 1000 // 44100
+        |    ELSE (m + 1) * 100 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 44100 ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN -1 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN m % 50 + 100 ELSE -1 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN m % 30 + 200 ELSE -1 END AS INT) AS height
+        |FROM m""".stripMargin,
+    // the engine joins 64-bit gram hashes; the oracle replays the identical
+    // windows as token strings (q47's collision argument applies)
+    "q54_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' alpha beta gamma delta epsilon zeta' ELSE '' END AS txt
+        |  FROM documents
+        |),
+        |tk AS (SELECT doc_id, string_split(txt, ' ') AS t FROM base),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM tk CROSS JOIN LATERAL unnest(range(1, greatest(1, len(t) - 3))) u(i)
+        |  WHERE len(t) >= 5
+        |),
+        |cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        |per AS (
+        |  SELECT doc_id, count(*) AS nw, sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dw
+        |  FROM grams JOIN cnt USING (g) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(nw, 0) AS INT) AS n_windows,
+        |  CAST(coalesce(dw, 0) AS INT) AS dup_windows,
+        |  CASE WHEN coalesce(nw, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(dw AS DOUBLE) / nw, 4) END AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check

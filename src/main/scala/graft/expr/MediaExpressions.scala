@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.media.MediaSniff
+import graft.media.{AvMeta, MediaSniff}
 
 object MediaSniffExpr {
   val structType: StructType = StructType(Seq(
@@ -27,6 +27,31 @@ case class MediaSniffExpr(child: Expression) extends UnaryExpression with Codege
     InternalRow(UTF8String.fromString(i.format), i.width, i.height)
   }
   override protected def withNewChildInternal(newChild: Expression): MediaSniffExpr =
+    copy(child = newChild)
+}
+
+object AvMetaExpr {
+  val structType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)
+  ))
+}
+
+/** Audio/video container metadata (MP4 boxes, MP3 frame walk, FLAC
+  * STREAMINFO, WAV chunks) — structure parsing only, never a codec decode. */
+case class AvMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = AvMetaExpr.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val i = AvMeta.parse(input.asInstanceOf[Array[Byte]])
+    InternalRow(UTF8String.fromString(i.format), i.durationMs, i.sampleRate,
+      i.channels, i.width, i.height)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvMetaExpr =
     copy(child = newChild)
 }
 

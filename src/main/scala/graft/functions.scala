@@ -137,6 +137,12 @@ object functions {
   def media_features(bytes: Column): Column =
     ColumnBridge.column(MediaFeatures(expr(bytes)))
 
+  /** Audio/video container metadata: struct(format, duration_ms, sample_rate,
+    * channels, width, height) from MP4 boxes / MP3 frame walk / FLAC
+    * STREAMINFO / WAV chunks — structure parsing only, no codec decode. */
+  def av_meta(bytes: Column): Column =
+    ColumnBridge.column(AvMetaExpr(expr(bytes)))
+
   /** Cosine similarity of two array<double> embedding columns — a native
     * codegen'd expression (one fused loop). The earlier builtin-composition
     * form (aggregate+zip_with ×3) was interpreted per pair and dominated the

@@ -52,6 +52,15 @@ object MediaSniff {
       Info("wav", -1, -1)
     } else if (u(0) == '%' && u(1) == 'P' && u(2) == 'D' && u(3) == 'F') {
       Info("pdf", -1, -1)
+    } else if (b.length >= 8 && u(4) == 'f' && u(5) == 't' && u(6) == 'y' && u(7) == 'p') {
+      // ISO-BMFF (mp4/mov family): dimensions live in moov/trak boxes —
+      // AvMeta parses them; sniff stays a prefix-only probe
+      Info("mp4", -1, -1)
+    } else if (u(0) == 'f' && u(1) == 'L' && u(2) == 'a' && u(3) == 'C') {
+      Info("flac", -1, -1)
+    } else if ((u(0) == 'I' && u(1) == 'D' && u(2) == '3') ||
+               (u(0) == 0xff && (u(1) & 0xe0) == 0xe0)) {
+      Info("mp3", -1, -1)
     } else if (u(0) == '<') {
       Info("html", -1, -1)
     } else Info("unknown", -1, -1)

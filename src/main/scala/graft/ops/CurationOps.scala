@@ -115,6 +115,43 @@ object CurationOps {
       .select(col("_id").as(idCol), coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /**
+   * Duplicated-passage signal (Lee et al. 2022, "Deduplicating Training Data
+   * Makes Language Models Better" — the EXACTSUBSTR criterion): for every
+   * document, how many of its token n-gram windows occur more than once in
+   * the whole corpus (any document, including itself). The published pipeline
+   * removes those spans; at corpus-stats time the per-document duplicated
+   * fraction is the filter/repair signal.
+   *
+   * Scale shape: windows travel as 64-bit hashes, never text, and the corpus
+   * is SCANNED ONCE — a join of grams against per-gram counts would rebuild
+   * the scan+explode subtree on both join inputs (the partial aggregate under
+   * one exchange defeats ReusedExchange). Instead: (1) groupBy (gram, doc)
+   * with map-side combine (in-doc boilerplate repetition collapses per map
+   * partition), (2) the corpus-wide count attaches as an unordered window
+   * sum over the gram key, (3) one narrow re-aggregation on the doc id. A
+   * gram shared by D documents puts D narrow rows in one window partition —
+   * the same per-key concentration any attach shape pays.
+   * Returns (id, n_windows, dup_windows, dup_frac).
+   */
+  def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                          n: Int = 13): DataFrame = {
+    val pairCounts = docs
+      .select(col(idCol).as("_id"), explode(ngramHashes(col(textCol), n)).as("_g"))
+      .groupBy(col("_g"), col("_id")).agg(count(lit(1)).as("_k"))
+    val withTotals = pairCounts.withColumn("_c",
+      sum(col("_k")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))))
+    val per = withTotals.groupBy(col("_id"))
+      .agg(sum(col("_k")).as("_nw"),
+        coalesce(sum(when(col("_c") > 1, col("_k"))), lit(0L)).as("_dw"))
+    docs.select(col(idCol).as("_id")).join(per, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_nw"), lit(0L)).cast("int").as("n_windows"),
+        coalesce(col("_dw"), lit(0L)).cast("int").as("dup_windows"),
+        when(coalesce(col("_nw"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("_dw").cast("double") / col("_nw"), 4)).as("dup_frac"))
+  }
+
   /** PII scrubbing to typed placeholders (emails → [EMAIL], IPv4 → [IP],
     * phone-like digit runs → [PHONE]) — patterns restricted to the
     * lookahead-free common subset of Java regex and RE2. Order matters: IP

@@ -152,6 +152,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicated-span stats explode the corpus ONCE (window attach, not a gram join)") {
+    // the join formulation rebuilds scan+explode under BOTH join inputs (the
+    // partial aggregate beneath one exchange defeats ReusedExchange); the
+    // window-attach shape must show exactly one explode of the gram array
+    val s = planString(SparkEntry.queries("q54_dup_spans")(spark, sf))
+    val explodes = s.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1, s"expected 1 corpus explode, got $explodes:\n${s.take(3000)}")
+    assert(s.contains("Window"), s.take(3000))
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to

@@ -79,6 +79,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == (0 until 50).map(i => s"line $i").mkString("\n"))
   }
 
+  test("duplicatedSpanStats: corpus-wide repeated windows counted per doc") {
+    val shared = "one two three four five six" // 6 tokens → two 5-gram windows
+    val docs = Seq(
+      (1L, s"$shared tail a b c"),   // shares both windows with doc 2
+      (2L, shared),
+      (3L, "q w e r t y u"),         // 3 unique windows
+      (4L, "rep rep rep rep rep rep rep rep rep rep"), // in-doc repetition: all 6 windows identical
+      (5L, "too short")              // < 5 tokens → no windows
+    ).toDF("doc_id", "text")
+    val got = CurationOps.duplicatedSpanStats(docs, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // doc 1 has 10 tokens → 6 windows; the first two ("one..five","two..six")
+    // also occur in doc 2
+    assert(got(0) == ((1L, 6, 2, 0.3333)))
+    assert(got(1) == ((2L, 2, 2, 1.0)))
+    assert(got(2) == ((3L, 3, 0, 0.0)))
+    assert(got(3) == ((4L, 6, 6, 1.0)))
+    assert(got(4) == ((5L, 0, 0, 0.0)))
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
