@@ -850,6 +850,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
+    // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
+    // required stop words) — bullet/ellipsis/symbol payloads constructed
+    // in-query so every rule fires on some rows; all per-row integer-exact
+    // ratios, replayed in DuckDB list ops
+    "q55_gopher_quality" -> ((s, dir) => {
+      val txt = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\n- bullet line one\n- bullet line two\ntrailing thought..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" ### #### #")).otherwise(lit("")))
+      graft.ops.CurationOps.gopherQualitySignals(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -1205,6 +1221,53 @@ object SparkEntry {
         |       ELSE round(CAST(dw AS DOUBLE) / nw, 4) END AS dup_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // every Gopher rule replayed in DuckDB list ops; all ratios are
+    // integer-over-integer divisions, so the keep verdict is deterministic
+    // on both engines
+    "q55_gopher_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet line one' || chr(10) ||
+        |      '- bullet line two' || chr(10) || 'trailing thought...' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ### #### #' ELSE '' END AS txt
+        |  FROM documents
+        |),
+        |w AS (
+        |  SELECT doc_id, txt,
+        |    list_filter(string_split(txt, ' '), x -> len(x) > 0) AS words,
+        |    string_split(txt, chr(10)) AS lines
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(words) AS wc,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE) / len(words) END AS mean_len,
+        |    len(txt) - len(replace(txt, '#', '')) AS hashes,
+        |    (len(txt) - len(replace(txt, '...', ''))) // 3 AS ellipses,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS bullet_lines,
+        |    len(list_filter(lines, l -> l LIKE '%...')) AS ellipsis_lines,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+        |    len(list_intersect(list_distinct(words),
+        |        ['the','be','to','of','and','that','have','with'])) AS n_stops
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  CAST(wc AS INT) AS word_count,
+        |  round(mean_len, 4) AS mean_word_len,
+        |  round(CASE WHEN wc = 0 THEN 0.0 ELSE CAST(hashes + ellipses AS DOUBLE) / wc END, 4) AS symbol_word_ratio,
+        |  round(CAST(bullet_lines AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
+        |  round(CAST(ellipsis_lines AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac,
+        |  round(CASE WHEN wc = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / wc END, 4) AS alpha_word_frac,
+        |  CAST(n_stops AS INT) AS n_required_stops,
+        |  (wc >= 50 AND wc <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        |   AND (CASE WHEN wc = 0 THEN 0.0 ELSE CAST(hashes + ellipses AS DOUBLE) / wc END) <= 0.1
+        |   AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+        |   AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+        |   AND (CASE WHEN wc = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / wc END) >= 0.8
+        |   AND n_stops >= 2) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check

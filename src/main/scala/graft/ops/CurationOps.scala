@@ -152,6 +152,56 @@ object CurationOps {
           .otherwise(round(col("_dw").cast("double") / col("_nw"), 4)).as("dup_frac"))
   }
 
+  /**
+   * The Gopher/MassiveText document-level quality rules (Rae et al. 2021
+   * §A1.1) that complement `repetitionStats`' repetition family: word-count
+   * bounds, mean word length, symbol-to-word ratio (# and ellipsis), bullet /
+   * ellipsis line fractions, alphabetic-word fraction, and the
+   * ≥2-required-stop-words test. Returns every signal plus the conjunctive
+   * `keep` verdict so callers can re-threshold without recomputing.
+   *
+   * Pure per-row column math over one text scan — no shuffle, and ratios are
+   * exact integer-over-integer divisions (deterministic across engines).
+   * Tokens here are the corpus convention (single-space split), matching the
+   * other curation ops.
+   */
+  def gopherQualitySignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = col(textCol)
+    val words = filter(split(txt, " "), w => length(w) > 0)
+    val lines = split(txt, "\n")
+    val wc = size(words)
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = when(wc === 0, 0.0).otherwise(sumLen.cast("double") / wc)
+    val hashCount = length(txt) - length(regexp_replace(txt, "#", ""))
+    val ellipsisCount = ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("int")
+    val symbolRatio = when(wc === 0, 0.0)
+      .otherwise((hashCount + ellipsisCount).cast("double") / wc)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val bulletFrac = bulletLines.cast("double") / nLines // split() ⇒ ≥1 line always
+    val ellipsisFrac = ellipsisLines.cast("double") / nLines
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val alphaFrac = when(wc === 0, 0.0).otherwise(alphaWords.cast("double") / wc)
+    val requiredStops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val nStops = size(array_intersect(array_distinct(words), requiredStops))
+    docs.select(
+      col(idCol),
+      wc.as("word_count"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_word_ratio"),
+      round(bulletFrac, 4).as("bullet_line_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_line_frac"),
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      nStops.as("n_required_stops"),
+      (wc >= 50 && wc <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && nStops >= 2).as("keep"))
+  }
+
   /** PII scrubbing to typed placeholders (emails → [EMAIL], IPv4 → [IP],
     * phone-like digit runs → [PHONE]) — patterns restricted to the
     * lookahead-free common subset of Java regex and RE2. Order matters: IP

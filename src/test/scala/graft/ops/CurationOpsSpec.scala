@@ -100,6 +100,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4) == ((5L, 0, 0, 0.0)))
   }
 
+  test("gopherQualitySignals: hand-computed rules and keep verdicts") {
+    val goodText = (1 to 60).map(i => s"word$i").mkString(" ") + " the of" // 62 words, all alpha
+    val docs = Seq(
+      (1L, goodText),                                   // passes every rule
+      (2L, "the of and that"),                          // only 4 words → word-count fail
+      (3L, goodText + " " + Seq.fill(10)("###").mkString(" ")), // symbol ratio 30/72 > 0.1
+      (4L, "the of start\n- bullet a\n- bullet b\n" + // 2/4 bullet lines: ok (≤0.9)
+        (1 to 50).map(i => s"item$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = CurationOps.gopherQualitySignals(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(7), r.getBoolean(8)))
+      .toMap
+    assert(got(1L)._1 == 62 && got(1L)._6, s"doc1: ${got(1L)}")
+    assert(got(2L)._1 == 4 && !got(2L)._6)
+    assert(got(3L)._3 > 0.1 && !got(3L)._6, s"doc3: ${got(3L)}")
+    assert(got(4L)._4 == 0.5 && got(4L)._6, s"doc4: ${got(4L)}")
+    // zero-word edge: empty text must yield zeros, not nulls
+    val empty = CurationOps.gopherQualitySignals(Seq((9L, "")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert(empty.getInt(1) == 0 && empty.getDouble(2) == 0.0 && !empty.getBoolean(8))
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
