@@ -866,6 +866,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4/T5 cleanup (Raffel et al. §2.2): terminal-punctuation line filter +
+    // page-level lorem-ipsum/brace/sentence-count rules — lines constructed
+    // in-query so every rule fires; the cleaned text itself is compared, not
+    // just the verdict
+    "q56_c4_filter" -> ((s, dir) => {
+      val txt = concat(
+        lit("First sentence here.\n"),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" ends here!")).otherwise(lit(" ends here")),
+        lit("\ntoo short\n"),
+        when(col("doc_id") % 4 === 0, lit("lorem ipsum inserted\n")).otherwise(lit("")),
+        lit("Question line? Answer line! Final line."))
+      graft.ops.CurationOps.c4Filter(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -1268,6 +1285,38 @@ object SparkEntry {
         |   AND (CASE WHEN wc = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / wc END) >= 0.8
         |   AND n_stops >= 2) AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+    // line filter + page rules replayed in DuckDB list ops; the cleaned text
+    // is string-compared (DuckDB regexp_replace needs the 'g' flag — Spark's
+    // is global by default)
+    "q56_c4_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'First sentence here.' || chr(10) ||
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' ends here!' ELSE ' ends here' END || chr(10) ||
+        |    'too short' || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'lorem ipsum inserted' || chr(10) ELSE '' END ||
+        |    'Question line? Answer line! Final line.' AS txt
+        |  FROM documents
+        |),
+        |k AS (
+        |  SELECT doc_id, txt,
+        |    list_filter(string_split(txt, chr(10)), l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(string_split(l, ' ')) >= 3) AS kept
+        |  FROM base
+        |),
+        |c AS (
+        |  SELECT doc_id, txt, kept, array_to_string(kept, chr(10)) AS text_clean,
+        |    (contains(lower(txt), 'lorem ipsum') OR contains(txt, '{')) AS flagged
+        |  FROM k
+        |)
+        |SELECT doc_id, text_clean,
+        |  CAST(len(kept) AS INT) AS n_kept_lines,
+        |  CAST(len(text_clean) - len(regexp_replace(text_clean, '[.!?]', '', 'g')) AS INT) AS n_sentences,
+        |  flagged,
+        |  (len(text_clean) - len(regexp_replace(text_clean, '[.!?]', '', 'g')) >= 5
+        |   AND NOT flagged) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check

@@ -202,6 +202,34 @@ object CurationOps {
         alphaFrac >= 0.8 && nStops >= 2).as("keep"))
   }
 
+  /**
+   * C4-style cleanup (Raffel et al. 2020 §2.2, the published T5 corpus
+   * rules): keep only lines that end in terminal punctuation AND have at
+   * least 3 words; then at page level, flag documents containing any
+   * badword, "lorem ipsum", or a curly brace (code), and require ≥5
+   * sentences in the retained text. Returns the cleaned text, the per-rule
+   * signals, and the conjunctive `keep` — pure per-row column math over one
+   * scan, no shuffle.
+   */
+  def c4Filter(docs: DataFrame, textCol: String, idCol: String,
+               badwords: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    val txt = col(textCol)
+    val keptLines = filter(split(txt, "\n"), l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(split(l, " ")) >= 3)
+    val cleaned = array_join(keptLines, "\n")
+    val nSentences = length(cleaned) - length(regexp_replace(cleaned, "[.!?]", ""))
+    val flagged = (badwords.map(b => contains(lower(txt), lit(b))) :+ contains(txt, lit("{")))
+      .reduce(_ || _)
+    docs.select(
+      col(idCol),
+      cleaned.as("text_clean"),
+      size(keptLines).as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      flagged.as("flagged"),
+      (nSentences >= 5 && !flagged).as("keep"))
+  }
+
   /** PII scrubbing to typed placeholders (emails → [EMAIL], IPv4 → [IP],
     * phone-like digit runs → [PHONE]) — patterns restricted to the
     * lookahead-free common subset of Java regex and RE2. Order matters: IP

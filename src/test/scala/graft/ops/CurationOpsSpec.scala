@@ -123,6 +123,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.getInt(1) == 0 && empty.getDouble(2) == 0.0 && !empty.getBoolean(8))
   }
 
+  test("c4Filter: line punctuation/word rules, page flags, sentence threshold") {
+    val docs = Seq(
+      (1L, "Good opening line.\nshort.\nno punct at all\nThree more words here! And then? Plus a closer. Extra one."),
+      (2L, "Only one sentence here.\nrest has no punctuation"),
+      (3L, "A fine page overall. With sentences! Right? Even more. And more.\nbut lorem ipsum appears"),
+      (4L, "Code page with braces. One { two. Three! Four? Five. Six.")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.c4Filter(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    // doc 1: "short." has <3 words, "no punct" line dropped → 2 kept lines, 5 sentences → keep
+    assert(got(1L) == (("Good opening line.\nThree more words here! And then? Plus a closer. Extra one.", 2, 5, false, true)))
+    // doc 2: 1 kept line, 1 sentence < 5 → dropped
+    assert(got(2L)._3 == 1 && !got(2L)._5)
+    // doc 3: enough sentences but lorem ipsum → flagged
+    assert(got(3L)._3 == 5 && got(3L)._4 && !got(3L)._5)
+    // doc 4: brace → flagged even with 6 sentences
+    assert(got(4L)._4 && !got(4L)._5)
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
