@@ -190,6 +190,65 @@ object SparkEntry {
        |SELECT $outCols FROM est WHERE ej >= $threshold ORDER BY a, b""".stripMargin
   }
 
+  /**
+   * DSIR replayed end-to-end in DuckDB: memoized token hashes (seed 0x7a7a)
+   * → strict 1/2-gram windows folded from the splitmix golden constant
+   * (TextHash.shingleHash) → pmod bucketing in signed BIGINT → per-bucket
+   * add-one-smoothed log-ratios quantized to integer micro-nats (so the
+   * per-doc sum is an exact Long sum — float summation order cannot matter)
+   * → per-doc weight. Target side = every 13th document, same as the query.
+   */
+  private def q57OracleSql: String = {
+    val B = 10000
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS tok, i
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |               unnest(range(len(string_split(text,' ')))) AS i FROM documents)
+       |  WHERE len(t) > 0
+       |),
+       |utok AS (SELECT DISTINCT tok FROM tok),
+       |uth AS (SELECT tok, ${USql64.htok("tok", 0x7a7aL)} AS h FROM utok),
+       |th AS (SELECT t.doc_id AS doc_id, t.i AS i, u.h AS h FROM tok t JOIN uth u USING (tok)),
+       |ths AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+       |grams AS (
+       |  SELECT doc_id, hs[ti+1 : ti+1] AS tr
+       |  FROM ths CROSS JOIN LATERAL unnest(range(len(hs))) u(ti)
+       |  UNION ALL
+       |  SELECT doc_id, hs[ti+1 : ti+2] AS tr
+       |  FROM ths CROSS JOIN LATERAL unnest(range(len(hs) - 1)) u(ti)
+       |),
+       |ugr AS (SELECT DISTINCT tr FROM grams),
+       |ugh AS (
+       |  SELECT tr, list_reduce(list_prepend(11400714819323198485::UBIGINT, tr),
+       |    (a, b) -> ${USql64.sm("xor(a, b)")}) AS gh
+       |  FROM ugr
+       |),
+       |db AS (
+       |  SELECT g.doc_id, ((${USql64.toI64("u.gh")} % $B) + $B) % $B AS b
+       |  FROM grams g JOIN ugh u USING (tr)
+       |),
+       |pair AS (SELECT doc_id, b, count(*) AS c FROM db GROUP BY doc_id, b),
+       |rc AS (SELECT b, sum(c) AS r FROM pair GROUP BY b),
+       |tc AS (SELECT b, sum(c) AS t FROM pair WHERE doc_id % 13 = 0 GROUP BY b),
+       |tot AS (SELECT (SELECT sum(c) FROM pair) AS nr,
+       |               (SELECT coalesce(sum(c), 0) FROM pair WHERE doc_id % 13 = 0) AS nt),
+       |ratio AS (
+       |  SELECT rc.b,
+       |    CAST(round((ln(CAST(coalesce(tc.t, 0) + 1 AS DOUBLE)) - ln(CAST(rc.r + 1 AS DOUBLE))
+       |      + ln(CAST(tot.nr + $B AS DOUBLE)) - ln(CAST(tot.nt + $B AS DOUBLE))) * 1000000) AS BIGINT) AS lri
+       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+       |),
+       |per AS (
+       |  SELECT p.doc_id, sum(p.c) AS nf, sum(p.c * ratio.lri) AS s
+       |  FROM pair p JOIN ratio USING (b) GROUP BY p.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(nf, 0) AS INT) AS n_features,
+       |  round(coalesce(s, 0) / 1000000.0, 4) AS dsir_logweight
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def q32OracleSql: String =
     s"""WITH $simhashCtes
        |SELECT x.doc_id AS a, y.doc_id AS b,
@@ -883,6 +942,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // profile scored against a target corpus (every 13th doc, the q47
+    // pattern); the oracle replays token hashing, gram folding, bucketing,
+    // and the micro-nat-quantized log-ratios exactly in DuckDB
+    "q57_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 13 === 0).select(col("text").as("tgt_text"))
+      graft.ops.CurationOps.dsirWeights(docs, "text", "doc_id", target, "tgt_text")
+        .orderBy(col("doc_id"))
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -1317,6 +1387,7 @@ object SparkEntry {
         |  (len(text_clean) - len(regexp_replace(text_clean, '[.!?]', '', 'g')) >= 5
         |   AND NOT flagged) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a
     // full value oracle, not a rows-only check

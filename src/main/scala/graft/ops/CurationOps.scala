@@ -230,6 +230,53 @@ object CurationOps {
       (nSentences >= 5 && !flagged).as("keep"))
   }
 
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every document by how much its
+   * hashed n-gram profile (unigrams + bigrams, `buckets` hash buckets — the
+   * paper's 10k default) looks like a small target corpus rather than the raw
+   * corpus: weight = Σ_f c_f · [ln p̂_target(f) − ln p̂_raw(f)] with add-one
+   * smoothing. Selection then keeps the top-weight documents (resampling is
+   * the caller's `stratifiedSample`-style step).
+   *
+   * Scale shape: ONE corpus scan → (bucket, doc) counts with map-side
+   * combine; per-bucket corpus totals derive from those counts (narrow
+   * re-agg, exchange reused); the target side is tiny by construction and the
+   * log-ratio table is ≤ `buckets` rows — broadcast to the final attach. The
+   * per-bucket log-ratio is quantized to integer micro-nats BEFORE the
+   * per-doc sum, so the result is independent of float summation order (a
+   * Long sum is exact).
+   */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  buckets: Int = 10000): DataFrame = {
+    def bucketsOf(t: Column) =
+      transform(concat(ngram_hashes(t, 1), ngram_hashes(t, 2)),
+        h => pmod(h, lit(buckets.toLong)))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val tCounts = target.select(explode(bucketsOf(col(targetTextCol))).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_t"))
+    val pair = docs
+      .select(col(idCol).as("_id"), explode(bucketsOf(col(textCol))).as("_b"))
+      .groupBy(col("_b"), col("_id")).agg(count(lit(1)).as("_c"))
+    val rCounts = pair.groupBy(col("_b")).agg(sum(col("_c")).as("_r"))
+    val ratios = rCounts.join(tCounts, Seq("_b"), "full_outer")
+      .withColumn("_nt", sum(coalesce(col("_t"), lit(0L))).over(w1))
+      .withColumn("_nr", sum(coalesce(col("_r"), lit(0L))).over(w1))
+      .select(col("_b"), round((
+        log((coalesce(col("_t"), lit(0L)) + 1).cast("double"))
+          - log((coalesce(col("_r"), lit(0L)) + 1).cast("double"))
+          + log((col("_nr") + buckets).cast("double"))
+          - log((col("_nt") + buckets).cast("double"))) * 1e6).cast("long").as("_lri"))
+    val per = pair.join(broadcast(ratios), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_c")).as("_nf"), sum(col("_c") * col("_lri")).as("_s"))
+    docs.select(col(idCol).as("_id")).join(per, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_nf"), lit(0L)).cast("int").as("n_features"),
+        round(coalesce(col("_s"), lit(0L)) / 1e6, 4).as("dsir_logweight"))
+  }
+
   /** PII scrubbing to typed placeholders (emails → [EMAIL], IPv4 → [IP],
     * phone-like digit runs → [PHONE]) — patterns restricted to the
     * lookahead-free common subset of Java regex and RE2. Order matters: IP

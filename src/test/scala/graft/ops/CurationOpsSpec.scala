@@ -144,6 +144,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L)._4 && !got(4L)._5)
   }
 
+  test("dsirWeights: target-like docs outrank off-distribution docs; partition-invariant") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma delta" else "omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val target = Seq("alpha beta gamma delta", "alpha beta gamma").toDF("t")
+    val got = CurationOps.dsirWeights(docs, "text", "doc_id", target, "t")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // 4 tokens → 4 unigrams + 3 bigrams
+    assert(got(2L)._1 == 7 && got(1L)._1 == 7)
+    assert(got(2L)._2 > got(1L)._2, s"target-like ${got(2L)} must outrank ${got(1L)}")
+    // every even doc identical, every odd doc identical
+    assert((2L to 40L by 2).map(got(_)._2).distinct.size == 1)
+    // partition invariance (the micro-nat quantization makes sums exact)
+    val again = CurationOps.dsirWeights(docs.repartition(7), "text", "doc_id", target, "t")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
