@@ -942,6 +942,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SUBSAMPLED (4:2:0) color JPEG decode — the dominant web-JPEG layout,
+    // previously part of the declared stub: flat Y/Cb/Cr planes survive the
+    // MCU walk + chroma upsample exactly (q44's closed-form pattern)
+    "q58_jpeg420_features" -> ((s, dir) => {
+      val jpegHex = (0 until 200).map { v =>
+        graft.media.JpegEncode.flatColor(16, 16, v, (v + 40) % 256, (v + 80) % 256)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(jpegHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_y"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_cb"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_cr"),
+          round((element_at(col("f"), 4) + element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // profile scored against a target corpus (every 13th doc, the q47
     // pattern); the oracle replays token hashing, gram folding, bucketing,
@@ -1387,6 +1406,15 @@ object SparkEntry {
         |  (len(text_clean) - len(regexp_replace(text_clean, '[.!?]', '', 'g')) >= 5
         |   AND NOT flagged) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    // flat 4:2:0 planes decode to exactly their encoded values — channel
+    // means are the constructor parameters, every variance 0
+    "q58_jpeg420_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_y,
+        |  CAST((doc_id % 200 + 40) % 256 AS DOUBLE) AS mean_cb,
+        |  CAST((doc_id % 200 + 80) % 256 AS DOUBLE) AS mean_cr,
+        |  0.0 AS rest
+        |FROM documents""".stripMargin,
     "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a

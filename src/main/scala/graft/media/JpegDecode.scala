@@ -7,10 +7,12 @@ import scala.util.control.NonFatal
  * path: marker walk → DQT/DHT/SOF0/SOS parse → Huffman entropy decode (with
  * 0xFF00 de-stuffing and RSTn restarts) → dequantize → de-zigzag → 2D IDCT →
  * level shift. Supports the shapes the pipeline needs real statistics for:
- * 8-bit baseline (SOF0), 1 component (grayscale) or 3 components with NO
- * chroma subsampling (1×1 sampling everywhere; stored as Y/Cb/Cr channels).
- * Progressive (SOF2), arithmetic coding, 12-bit precision, and subsampled
- * color return None — the caller's declared-stub fallback handles those.
+ * 8-bit baseline (SOF0), 1 component (grayscale) or 3 interleaved components
+ * with ANY sampling factors 1-4 — incl. 4:2:0 / 4:2:2 chroma subsampling,
+ * by far the most common web-JPEG layouts (per-component planes, MCU block
+ * loops per T.81 A.2.3, nearest-neighbor chroma upsample; stored as Y/Cb/Cr
+ * channels). Progressive (SOF2), arithmetic coding, and 12-bit precision
+ * return None — the caller's declared-stub fallback handles those.
  *
  * Robustness for crawl data: a truncated scan decodes the MCUs present and
  * returns None only when nothing decodes; hostile dimensions are
@@ -203,6 +205,8 @@ object JpegDecode {
       val compQ = new Array[Int](3) // quant table per component
       val compDc = new Array[Int](3)
       val compAc = new Array[Int](3)
+      val compH = new Array[Int](3) // sampling factors (4:2:0 etc.)
+      val compV = new Array[Int](3)
       var restartInterval = 0
       var scanAt = -1
 
@@ -257,10 +261,13 @@ object JpegDecode {
                 var c = 0
                 while (c < nComp) {
                   val hv = u8(seg + 7 + c * 3)
-                  if (hv != 0x11) return None // subsampling: declared stub
+                  compH(c) = hv >> 4
+                  compV(c) = hv & 15
+                  if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4) return None
                   compQ(c) = u8(seg + 8 + c * 3)
                   c += 1
                 }
+                if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // single-component scans are non-interleaved: MCU = one data unit
               case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
                 return None // progressive / arithmetic / hierarchical: out of scope
               case 0xdd => restartInterval = u16(seg)
@@ -290,11 +297,25 @@ object JpegDecode {
         c += 1
       }
 
-      val samples = new Array[Byte](w * h * nComp)
+      // decode into per-component planes at each component's own resolution
+      // (T.81 A.1.1: comp dims = ceil(dim·factor/maxFactor)), then upsample
+      // nearest-neighbor at interleave time — 1×1-everywhere degenerates to
+      // the old single-resolution path, 4:2:0/4:2:2 get real chroma decode
+      var maxH = 1
+      var maxV = 1
+      var c0 = 0
+      while (c0 < nComp) {
+        if (compH(c0) > maxH) maxH = compH(c0)
+        if (compV(c0) > maxV) maxV = compV(c0)
+        c0 += 1
+      }
+      val cw = Array.tabulate(nComp)(c => (w * compH(c) + maxH - 1) / maxH)
+      val chh = Array.tabulate(nComp)(c => (h * compV(c) + maxV - 1) / maxV)
+      val planes = Array.tabulate(nComp)(c => new Array[Byte](cw(c) * chh(c)))
       val br = new BitReader(b, scanAt)
       val pred = new Array[Int](3)
-      val mcusX = (w + 7) / 8
-      val mcusY = (h + 7) / 8
+      val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
       val coef = new Array[Double](64)
       var mcu = 0
       var my = 0
@@ -308,52 +329,63 @@ object JpegDecode {
           }
           var ci = 0
           while (ci < nComp && !halted) {
-            java.util.Arrays.fill(coef, 0.0)
-            val q = quant(compQ(ci))
-            val t = br.decode(dcTables(compDc(ci)))
-            if (t < 0) halted = true
-            else {
-              pred(ci) += extend(br.receive(t), t)
-              coef(0) = pred(ci).toDouble * q(0)
-              var k = 1
-              while (k < 64 && !halted) {
-                val rs = br.decode(acTables(compAc(ci)))
-                if (rs < 0) halted = true
+            // compV×compH data units per component per MCU, raster order
+            var by = 0
+            while (by < compV(ci) && !halted) {
+              var bx = 0
+              while (bx < compH(ci) && !halted) {
+                java.util.Arrays.fill(coef, 0.0)
+                val q = quant(compQ(ci))
+                val t = br.decode(dcTables(compDc(ci)))
+                if (t < 0) halted = true
                 else {
-                  val r = rs >> 4
-                  val s = rs & 15
-                  if (s == 0) { if (r == 15) k += 16 else k = 64 } // ZRL | EOB
-                  else {
-                    k += r
-                    if (k > 63) halted = true // corrupt run length
+                  pred(ci) += extend(br.receive(t), t)
+                  coef(0) = pred(ci).toDouble * q(0)
+                  var k = 1
+                  while (k < 64 && !halted) {
+                    val rs = br.decode(acTables(compAc(ci)))
+                    if (rs < 0) halted = true
                     else {
-                      coef(Zigzag(k)) = extend(br.receive(s), s).toDouble * q(k)
-                      k += 1
-                    }
-                  }
-                }
-              }
-              if (!halted) {
-                val px = idct(coef)
-                var y = 0
-                while (y < 8) {
-                  val py = my * 8 + y
-                  if (py < h) {
-                    var x = 0
-                    while (x < 8) {
-                      val pxx = mx * 8 + x
-                      if (pxx < w) {
-                        val v = Math.round(px(y * 8 + x) + 128.0).toInt
-                        samples((py * w + pxx) * nComp + ci) =
-                          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                      val r = rs >> 4
+                      val s = rs & 15
+                      if (s == 0) { if (r == 15) k += 16 else k = 64 } // ZRL | EOB
+                      else {
+                        k += r
+                        if (k > 63) halted = true // corrupt run length
+                        else {
+                          coef(Zigzag(k)) = extend(br.receive(s), s).toDouble * q(k)
+                          k += 1
+                        }
                       }
-                      x += 1
                     }
                   }
-                  y += 1
+                  if (!halted) {
+                    val px = idct(coef)
+                    val baseY = (my * compV(ci) + by) * 8
+                    val baseX = (mx * compH(ci) + bx) * 8
+                    var y = 0
+                    while (y < 8) {
+                      val py = baseY + y
+                      if (py < chh(ci)) {
+                        var x = 0
+                        while (x < 8) {
+                          val pxx = baseX + x
+                          if (pxx < cw(ci)) {
+                            val v = Math.round(px(y * 8 + x) + 128.0).toInt
+                            planes(ci)(py * cw(ci) + pxx) =
+                              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                          }
+                          x += 1
+                        }
+                      }
+                      y += 1
+                    }
+                    decodedAny = true
+                  }
                 }
-                decodedAny = true
+                bx += 1
               }
+              by += 1
             }
             ci += 1
           }
@@ -362,7 +394,24 @@ object JpegDecode {
         }
         my += 1
       }
-      if (!decodedAny) None else Some(Pixels(w, h, nComp, samples))
+      if (!decodedAny) return None
+      val samples = new Array[Byte](w * h * nComp)
+      var py = 0
+      while (py < h) {
+        var px = 0
+        while (px < w) {
+          var ci = 0
+          while (ci < nComp) {
+            val sy = py * compV(ci) / maxV
+            val sx = px * compH(ci) / maxH
+            samples((py * w + px) * nComp + ci) = planes(ci)(sy * cw(ci) + sx)
+            ci += 1
+          }
+          px += 1
+        }
+        py += 1
+      }
+      Some(Pixels(w, h, nComp, samples))
     } catch { case NonFatal(_) => None }
   }
 }

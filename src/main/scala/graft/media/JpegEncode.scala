@@ -133,4 +133,63 @@ object JpegEncode {
   /** Flat grayscale fixture: every pixel = value (decodes back exactly). */
   def flatGray(w: Int, h: Int, value: Int): Array[Byte] =
     gray(Array.fill(w * h)(value & 0xff), w, h)
+
+  /** Flat-color SUBSAMPLED fixture (default 4:2:0 — luma `hY`×`vY`, chroma
+    * 1×1): every pixel decodes to exactly (yv, cbv, crv) — a flat block is
+    * DC-only under q ≡ 1, and flat chroma upsamples to itself, so the
+    * closed-form oracle survives the subsampled path too. */
+  def flatColor(w: Int, h: Int, yv: Int, cbv: Int, crv: Int,
+                hY: Int = 2, vY: Int = 2): Array[Byte] = {
+    require(w > 0 && h > 0 && hY >= 1 && hY <= 4 && vY >= 1 && vY <= 4)
+    val out = new java.io.ByteArrayOutputStream(512)
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); u16(67); out.write(0x00) // DQT table 0, all-ones quantizer
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); u16(8 + 3 * 3) // SOF0: 8-bit, 3 components, luma subsampled
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write((hY << 4) | vY); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00) // DHT DC (as in gray)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0))
+    (0 until 12).foreach(out.write)
+    m(0xc4); u16(2 + 1 + 16 + 162); out.write(0x10) // DHT AC (as in gray)
+    (1 to 16).foreach(l => out.write(if (l == 8) 162 else 0))
+    AcSymbols.foreach(out.write)
+    m(0xda); u16(6 + 2 * 3) // SOS: 3 components, shared tables
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val bw = new BitWriter(out)
+    val mcusX = (w + 8 * hY - 1) / (8 * hY)
+    val mcusY = (h + 8 * vY - 1) / (8 * vY)
+    val dc = Array(8 * (yv - 128), 8 * (cbv - 128), 8 * (crv - 128)) // flat block: DC-only
+    val blocksPer = Array(hY * vY, 1, 1)
+    val first = Array(true, true, true)
+    def block(ci: Int): Unit = {
+      val diff = if (first(ci)) { first(ci) = false; dc(ci) } else 0
+      val t = category(diff)
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bw.write(AcCode(0x00), 8) // EOB
+    }
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      var ci = 0
+      while (ci < 3) {
+        var bk = 0
+        while (bk < blocksPer(ci)) { block(ci); bk += 1 }
+        ci += 1
+      }
+      mcu += 1
+    }
+    bw.pad()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -105,21 +105,53 @@ class JpegDecodeSpec extends AnyFunSuite {
     assert(f(1) == 0f && f(2) == 0f && f(3) == 0f && f(5) == 0f && f(6) == 0f && f(7) == 0f)
   }
 
-  test("out-of-scope shapes fall back to None (progressive, subsampled, 12-bit)") {
+  test("out-of-scope shapes fall back to None (progressive, 12-bit)") {
     val base = JpegEncode.flatGray(8, 8, 100)
     // progressive: rewrite SOF0 (FFC0) marker to SOF2 (FFC2)
     val prog = base.clone()
     val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
     assert(JpegDecode.decode(prog).isEmpty)
-    // subsampled: component sampling byte 0x22 instead of 0x11
+    // grayscale declaring 2x2 sampling (byte at sof+11 = component hv):
+    // single-component scans are NON-interleaved (T.81), so the factors don't
+    // change the MCU structure — this now decodes instead of stubbing out
     val sub = base.clone()
-    sub(sof + 9) = 0x22.toByte
-    assert(JpegDecode.decode(sub).isEmpty)
+    assert((sub(sof + 11) & 0xff) == 0x11)
+    sub(sof + 11) = 0x22.toByte
+    val subDec = JpegDecode.decode(sub).get
+    assert(subDec.samples.forall(b => (b & 0xff) == 100))
     // 12-bit precision
     val p12 = base.clone()
     p12(sof + 4) = 12.toByte
     assert(JpegDecode.decode(p12).isEmpty)
+  }
+
+  test("4:2:0 flat color round-trips exactly, including edge-clipped MCUs") {
+    for ((w, h) <- Seq((16, 16), (20, 12), (17, 9), (8, 8))) {
+      val dec = JpegDecode.decode(JpegEncode.flatColor(w, h, 90, 120, 200)).get
+      assert(dec.width == w && dec.height == h && dec.channels == 3)
+      var i = 0
+      while (i < dec.samples.length) {
+        assert((dec.samples(i) & 0xff) == 90, s"Y at $i ($w x $h)")
+        assert((dec.samples(i + 1) & 0xff) == 120, s"Cb at $i")
+        assert((dec.samples(i + 2) & 0xff) == 200, s"Cr at $i")
+        i += 3
+      }
+    }
+  }
+
+  test("4:2:2 and 1x2 sampling layouts decode through the same MCU walk") {
+    for ((hY, vY) <- Seq((2, 1), (1, 2), (1, 1))) {
+      val dec = JpegDecode.decode(JpegEncode.flatColor(24, 16, 60, 110, 140, hY, vY)).get
+      assert(dec.width == 24 && dec.height == 16 && dec.channels == 3, s"$hY x $vY")
+      assert(dec.samples.grouped(3).forall(p =>
+        (p(0) & 0xff) == 60 && (p(1) & 0xff) == 110 && (p(2) & 0xff) == 140), s"$hY x $vY")
+    }
+  }
+
+  test("totality: truncated subsampled scans never throw") {
+    val jpg = JpegEncode.flatColor(32, 32, 10, 20, 30)
+    (1 until jpg.length by 5).foreach(n => JpegDecode.decode(jpg.take(n)))
   }
 
   test("totality: truncation and corruption never throw") {
