@@ -961,6 +961,27 @@ object SparkEntry {
             element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
     }),
 
+    // PROGRESSIVE (SOF2) JPEG decode — multi-scan spectral selection +
+    // successive approximation, the other common web-JPEG coding: 4:2:0
+    // color fixtures with 4-level DC refinement and EOB-run AC scans decode
+    // back to their flat values exactly
+    "q59_jpeg_progressive_features" -> ((s, dir) => {
+      val jpegHex = (0 until 200).map { v =>
+        graft.media.JpegEncode.progressiveFlat(16, 16,
+          Array(v, (v + 40) % 256, (v + 80) % 256), dcAl = 4)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(jpegHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_y"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_cb"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_cr"),
+          round((element_at(col("f"), 4) + element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // profile scored against a target corpus (every 13th doc, the q47
     // pattern); the oracle replays token hashing, gram folding, bucketing,
@@ -1409,6 +1430,14 @@ object SparkEntry {
     // flat 4:2:0 planes decode to exactly their encoded values — channel
     // means are the constructor parameters, every variance 0
     "q58_jpeg420_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_y,
+        |  CAST((doc_id % 200 + 40) % 256 AS DOUBLE) AS mean_cb,
+        |  CAST((doc_id % 200 + 80) % 256 AS DOUBLE) AS mean_cr,
+        |  0.0 AS rest
+        |FROM documents""".stripMargin,
+    // same closed form as q58 — flat planes survive the progressive scans
+    "q59_jpeg_progressive_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_y,
         |  CAST((doc_id % 200 + 40) % 256 AS DOUBLE) AS mean_cb,

@@ -268,8 +268,10 @@ object JpegDecode {
                   c += 1
                 }
                 if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // single-component scans are non-interleaved: MCU = one data unit
-              case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-                return None // progressive / arithmetic / hierarchical: out of scope
+              case 0xc2 =>
+                return decodeProgressive(b) // SOF2: multi-scan path (own walk)
+              case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+                return None // arithmetic / hierarchical / lossless: out of scope
               case 0xdd => restartInterval = u16(seg)
               case 0xda => // SOS
                 val ns = u8(seg)
@@ -395,23 +397,385 @@ object JpegDecode {
         my += 1
       }
       if (!decodedAny) return None
-      val samples = new Array[Byte](w * h * nComp)
-      var py = 0
-      while (py < h) {
-        var px = 0
-        while (px < w) {
-          var ci = 0
-          while (ci < nComp) {
-            val sy = py * compV(ci) / maxV
-            val sx = px * compH(ci) / maxH
-            samples((py * w + px) * nComp + ci) = planes(ci)(sy * cw(ci) + sx)
-            ci += 1
-          }
-          px += 1
-        }
-        py += 1
-      }
-      Some(Pixels(w, h, nComp, samples))
+      Some(interleave(w, h, nComp, compH, compV, maxH, maxV, cw, chh, planes))
     } catch { case NonFatal(_) => None }
+  }
+
+  /** Nearest-neighbor upsample of per-component planes into interleaved samples. */
+  private def interleave(w: Int, h: Int, nComp: Int, compH: Array[Int], compV: Array[Int],
+                         maxH: Int, maxV: Int, cw: Array[Int], chh: Array[Int],
+                         planes: Array[Array[Byte]]): Pixels = {
+    val samples = new Array[Byte](w * h * nComp)
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        var ci = 0
+        while (ci < nComp) {
+          val sy = py * compV(ci) / maxV
+          val sx = px * compH(ci) / maxH
+          samples((py * w + px) * nComp + ci) = planes(ci)(sy * cw(ci) + sx)
+          ci += 1
+        }
+        px += 1
+      }
+      py += 1
+    }
+    Pixels(w, h, nComp, samples)
+  }
+
+  /**
+   * Progressive JPEG (SOF2, T.81 Annex G): coefficients accumulate across
+   * scans in per-block zigzag-ordered buffers — DC first + refinement scans
+   * (successive approximation), AC first scans with EOB runs, AC refinement
+   * scans with correction bits — then ONE dequantize + IDCT pass at the end.
+   * Interleaved DC scans walk MCUs; AC scans are per-component
+   * non-interleaved (spec requires ns=1), indexed on the component's own
+   * block raster inside the MCU-padded allocation grid. A truncated stream
+   * renders whatever scans arrived — progressive's defining property.
+   */
+  private def decodeProgressive(b: Array[Byte]): Option[Pixels] = {
+    try {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      val quant = new Array[Array[Int]](4)
+      val dcTables = new Array[Huff](4)
+      val acTables = new Array[Huff](4)
+      var w = 0
+      var h = 0
+      var nComp = 0
+      val compId = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      val compH = new Array[Int](3)
+      val compV = new Array[Int](3)
+      var maxH = 1
+      var maxV = 1
+      var restartInterval = 0
+      var mcusX = 0
+      var mcusY = 0
+      var allocBW: Array[Int] = null // blocks per row in the MCU-padded grid
+      var bW: Array[Int] = null      // real block raster (ceil(compDim/8))
+      var bH: Array[Int] = null
+      var cw: Array[Int] = null
+      var chh: Array[Int] = null
+      var coefs: Array[Array[Int]] = null // per comp: allocBW*allocBH blocks × 64, zigzag order
+      var sawScan = false
+
+      var i = 2
+      var eoi = false
+      while (!eoi && i + 2 <= b.length) {
+        if (u8(i) != 0xff) i += 1
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xff) i += 1
+          else if (marker == 0xd9) eoi = true
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+          else if (i + 4 > b.length) eoi = true
+          else {
+            val len = u16(i + 2)
+            if (len < 2 || i + 2 + len > b.length) return None
+            val seg = i + 4
+            val segEnd = i + 2 + len
+            var nextI = segEnd
+            marker match {
+              case 0xdb =>
+                var p = seg
+                while (p < segEnd) {
+                  val pq = u8(p) >> 4
+                  val tq = u8(p) & 15
+                  if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+                  val t = new Array[Int](64)
+                  var k = 0
+                  while (k < 64) { t(k) = u8(p + 1 + k); k += 1 }
+                  quant(tq) = t
+                  p += 65
+                }
+              case 0xc4 =>
+                var p = seg
+                while (p + 17 <= segEnd) {
+                  val tc = u8(p) >> 4
+                  val th = u8(p) & 15
+                  val counts = new Array[Int](16)
+                  var total = 0
+                  var k = 0
+                  while (k < 16) { counts(k) = u8(p + 1 + k); total += counts(k); k += 1 }
+                  if (th > 3 || total > 256 || p + 17 + total > segEnd) return None
+                  val syms = new Array[Int](total)
+                  k = 0
+                  while (k < total) { syms(k) = u8(p + 17 + k); k += 1 }
+                  val huff = new Huff(counts, syms)
+                  if (tc == 0) dcTables(th) = huff else acTables(th) = huff
+                  p += 17 + total
+                }
+              case 0xc2 =>
+                if (u8(seg) != 8) return None
+                h = u16(seg + 1); w = u16(seg + 3)
+                nComp = u8(seg + 5)
+                if (nComp != 1 && nComp != 3) return None
+                if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+                var c = 0
+                while (c < nComp) {
+                  compId(c) = u8(seg + 6 + c * 3)
+                  val hv = u8(seg + 7 + c * 3)
+                  compH(c) = hv >> 4
+                  compV(c) = hv & 15
+                  if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4) return None
+                  compQ(c) = u8(seg + 8 + c * 3)
+                  c += 1
+                }
+                if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+                c = 0
+                while (c < nComp) {
+                  if (compH(c) > maxH) maxH = compH(c)
+                  if (compV(c) > maxV) maxV = compV(c)
+                  c += 1
+                }
+                mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+                mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+                cw = Array.tabulate(nComp)(c => (w * compH(c) + maxH - 1) / maxH)
+                chh = Array.tabulate(nComp)(c => (h * compV(c) + maxV - 1) / maxV)
+                bW = Array.tabulate(nComp)(c => (cw(c) + 7) / 8)
+                bH = Array.tabulate(nComp)(c => (chh(c) + 7) / 8)
+                allocBW = Array.tabulate(nComp)(c => mcusX * compH(c))
+                val allocBH = Array.tabulate(nComp)(c => mcusY * compV(c))
+                var total = 0L
+                c = 0
+                while (c < nComp) { total += allocBW(c).toLong * allocBH(c) * 64; c += 1 }
+                if (total > (1L << 26)) return None // hostile-dimension guard
+                coefs = Array.tabulate(nComp)(c => new Array[Int](allocBW(c) * allocBH(c) * 64))
+              case 0xdd => restartInterval = u16(seg)
+              case 0xda =>
+                if (coefs == null) return None
+                val ns = u8(seg)
+                if (ns < 1 || ns > nComp) return None
+                val scanComp = new Array[Int](ns)
+                val scanDc = new Array[Int](ns)
+                val scanAc = new Array[Int](ns)
+                var s = 0
+                while (s < ns) {
+                  val id = u8(seg + 1 + s * 2)
+                  var ci = 0
+                  while (ci < nComp && compId(ci) != id) ci += 1
+                  if (ci == nComp) return None
+                  scanComp(s) = ci
+                  scanDc(s) = u8(seg + 2 + s * 2) >> 4
+                  scanAc(s) = u8(seg + 2 + s * 2) & 15
+                  s += 1
+                }
+                val ss = u8(seg + 1 + ns * 2)
+                val se = u8(seg + 2 + ns * 2)
+                val ah = u8(seg + 3 + ns * 2) >> 4
+                val al = u8(seg + 3 + ns * 2) & 15
+                if (ss > 63 || se > 63 || se < ss) return None
+                if (ss == 0 && se != 0) return None // progressive DC scans carry ONLY the DC band (G.1.1.1.1)
+                if (ss > 0 && ns != 1) return None // AC scans are single-component
+                val br = new BitReader(b, segEnd)
+                decodeProgScan(b, br, coefs, scanComp, scanDc, scanAc, ss, se, ah, al,
+                  dcTables, acTables, compH, compV, allocBW, bW, bH, mcusX, mcusY,
+                  restartInterval)
+                sawScan = true
+                nextI = br.pos
+              case _ => ()
+            }
+            i = nextI
+          }
+        }
+      }
+      if (!sawScan || coefs == null) return None
+      // single dequantize + IDCT pass over every real block
+      val planes = Array.tabulate(nComp)(c => new Array[Byte](cw(c) * chh(c)))
+      val coef = new Array[Double](64)
+      var ci = 0
+      while (ci < nComp) {
+        val q = quant(compQ(ci))
+        if (q == null) return None
+        var by = 0
+        while (by < bH(ci)) {
+          var bx = 0
+          while (bx < bW(ci)) {
+            val off = (by * allocBW(ci) + bx) * 64
+            var k = 0
+            while (k < 64) { coef(Zigzag(k)) = coefs(ci)(off + k).toDouble * q(k); k += 1 }
+            val px = idct(coef)
+            var y = 0
+            while (y < 8) {
+              val py = by * 8 + y
+              if (py < chh(ci)) {
+                var x = 0
+                while (x < 8) {
+                  val pxx = bx * 8 + x
+                  if (pxx < cw(ci)) {
+                    val v = Math.round(px(y * 8 + x) + 128.0).toInt
+                    planes(ci)(py * cw(ci) + pxx) =
+                      (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                  }
+                  x += 1
+                }
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      Some(interleave(w, h, nComp, compH, compV, maxH, maxV, cw, chh, planes))
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** One progressive scan's entropy decode, accumulating into `coefs`. */
+  private def decodeProgScan(b: Array[Byte], br: BitReader, coefs: Array[Array[Int]],
+                             scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             dcTables: Array[Huff], acTables: Array[Huff],
+                             compH: Array[Int], compV: Array[Int],
+                             allocBW: Array[Int], bW: Array[Int], bH: Array[Int],
+                             mcusX: Int, mcusY: Int, restartInterval: Int): Unit = {
+    val preds = new Array[Int](3)
+    var eobrun = 0
+    var halted = false
+
+    def dcBlock(ci: Int, si: Int, off: Int): Unit = {
+      val cf = coefs(ci)
+      if (ah == 0) {
+        val t = br.decode(dcTables(scanDc(si)))
+        if (t < 0 || br.markerHit >= 0) { halted = true; return }
+        preds(ci) += extend(br.receive(t), t)
+        cf(off) = preds(ci) << al
+      } else {
+        if (br.nextBit() == 1) cf(off) |= (1 << al)
+        if (br.markerHit >= 0) halted = true
+      }
+    }
+
+    def acFirstBlock(ci: Int, si: Int, off: Int): Unit = {
+      val cf = coefs(ci)
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se && !halted) {
+        val rs = br.decode(acTables(scanAc(si)))
+        if (rs < 0 || br.markerHit >= 0) { halted = true; return }
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0) - 1
+            return
+          }
+        } else {
+          k += r
+          if (k > se) { halted = true; return }
+          cf(off + k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefineBlock(ci: Int, si: Int, off: Int): Unit = {
+      val cf = coefs(ci)
+      val p1 = 1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var break = false
+        while (k <= se && !break && !halted) {
+          val rs = br.decode(acTables(scanAc(si)))
+          if (rs < 0 || br.markerHit >= 0) { halted = true; return }
+          var r = rs >> 4
+          val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              break = true // tail refinement below, then eobrun covers this block
+            }
+            // r == 15 (ZRL): skip 16 zero-history coefs, refining nonzeros passed
+          } else {
+            newval = if (br.nextBit() == 1) p1 else -p1
+          }
+          if (!break) {
+            var placed = false
+            while (k <= se && !placed && !halted) {
+              if (cf(off + k) != 0) {
+                if (br.nextBit() == 1 && (cf(off + k) & p1) == 0)
+                  cf(off + k) += (if (cf(off + k) >= 0) p1 else -p1)
+                if (br.markerHit >= 0) halted = true
+              } else {
+                if (r == 0) {
+                  if (newval != 0) cf(off + k) = newval
+                  placed = true
+                }
+                r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newval != 0) halted = true // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0 && !halted) {
+        while (k <= se) {
+          if (cf(off + k) != 0) {
+            if (br.nextBit() == 1 && (cf(off + k) & p1) == 0)
+              cf(off + k) += (if (cf(off + k) >= 0) p1 else -p1)
+            if (br.markerHit >= 0) { halted = true; return }
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def unit(ci: Int, si: Int, blockIdx: Int): Unit = {
+      val off = blockIdx * 64
+      if (ss == 0) dcBlock(ci, si, off)
+      else if (ah == 0) acFirstBlock(ci, si, off)
+      else acRefineBlock(ci, si, off)
+    }
+
+    def restart(count: Int): Unit =
+      if (restartInterval > 0 && count > 0 && count % restartInterval == 0) {
+        if (br.alignAndRestart()) { java.util.Arrays.fill(preds, 0); eobrun = 0 }
+      }
+
+    if (scanComp.length == 1) {
+      // ns=1 ⇒ non-interleaved (T.81 A.2.2): walk the component's own block raster
+      val ci = scanComp(0)
+      var blk = 0
+      val total = bW(ci) * bH(ci)
+      while (blk < total && !halted) {
+        restart(blk)
+        unit(ci, 0, (blk / bW(ci)) * allocBW(ci) + blk % bW(ci))
+        blk += 1
+      }
+    } else {
+      // interleaved MCU walk (DC scans over several components)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY && !halted) {
+        var mx = 0
+        while (mx < mcusX && !halted) {
+          restart(mcu)
+          var si = 0
+          while (si < scanComp.length && !halted) {
+            val ci = scanComp(si)
+            var by = 0
+            while (by < compV(ci) && !halted) {
+              var bx = 0
+              while (bx < compH(ci) && !halted) {
+                unit(ci, si, (my * compV(ci) + by) * allocBW(ci) + (mx * compH(ci) + bx))
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
   }
 }

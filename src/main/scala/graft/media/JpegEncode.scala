@@ -134,6 +134,117 @@ object JpegEncode {
   def flatGray(w: Int, h: Int, value: Int): Array[Byte] =
     gray(Array.fill(w * h)(value & 0xff), w, h)
 
+  // progressive AC table: the baseline symbols plus EOBn (r<<4, r=1..14) —
+  // EOB runs only exist in progressive scans
+  private val AcSymbolsProg: Array[Int] = AcSymbols ++ (1 to 14).map(_ << 4)
+  private val AcCodeProg: Map[Int, Int] = AcSymbolsProg.zipWithIndex.toMap
+
+  /**
+   * Progressive (SOF2) flat fixture, grayscale (`vals` length 1) or color
+   * (length 3, luma sampled `hY`×`vY`): scan 1 = interleaved DC first pass at
+   * Al=`dcAl`, then `dcAl` DC refinement scans (successive approximation,
+   * one bit plane each — a flat block's DC is 8·(v−128), so dcAl=4 pushes
+   * real 1-bits through the refinement path for odd v−128), then one AC
+   * first-pass scan per component consisting entirely of EOB runs. Flat
+   * blocks are DC-only, so every pixel decodes back exactly.
+   */
+  def progressiveFlat(w: Int, h: Int, vals: Array[Int], hY: Int = 2, vY: Int = 2,
+                      dcAl: Int = 1): Array[Byte] = {
+    val n = vals.length
+    require(w > 0 && h > 0 && (n == 1 || n == 3))
+    val fh = if (n == 1) Array(1) else Array(hY, 1, 1)
+    val fv = if (n == 1) Array(1) else Array(vY, 1, 1)
+    val maxHf = fh.max
+    val maxVf = fv.max
+    val out = new java.io.ByteArrayOutputStream(512)
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); u16(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc2); u16(8 + 3 * n) // SOF2
+    out.write(8); u16(h); u16(w); out.write(n)
+    var c = 0
+    while (c < n) {
+      out.write(c + 1); out.write((fh(c) << 4) | fv(c)); out.write(0)
+      c += 1
+    }
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0))
+    (0 until 12).foreach(out.write)
+    m(0xc4); u16(2 + 1 + 16 + AcSymbolsProg.length); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 8) AcSymbolsProg.length else 0))
+    AcSymbolsProg.foreach(out.write)
+
+    val mcusX = (w + 8 * maxHf - 1) / (8 * maxHf)
+    val mcusY = (h + 8 * maxVf - 1) / (8 * maxVf)
+    val dc = vals.map(v => 8 * ((v & 0xff) - 128))
+    def sosHeader(compIdxs: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xda); u16(6 + 2 * compIdxs.length)
+      out.write(compIdxs.length)
+      compIdxs.foreach { ci => out.write(ci + 1); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    def perMcuUnits(body: (Int, Boolean) => Unit): Unit = {
+      // interleaved MCU walk: fh(ci)*fv(ci) data units per component per MCU
+      val first = Array.fill(n)(true)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        var ci = 0
+        while (ci < n) {
+          var bk = 0
+          while (bk < fh(ci) * fv(ci)) {
+            body(ci, first(ci)); first(ci) = false
+            bk += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    }
+    // scan 1: DC first pass at Al=dcAl (diff of dc >> dcAl on each
+    // component's first unit; two's complement makes shift+bit-OR exact)
+    sosHeader(0 until n, 0, 0, 0, dcAl)
+    var bw = new BitWriter(out)
+    perMcuUnits { (ci, first) =>
+      val diff = if (first) dc(ci) >> dcAl else 0
+      val t = category(diff)
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    bw.pad()
+    // DC refinement scans: one bit plane per pass, Al = dcAl-1 .. 0
+    var al = dcAl - 1
+    while (al >= 0) {
+      sosHeader(0 until n, 0, 0, al + 1, al)
+      bw = new BitWriter(out)
+      perMcuUnits { (ci, _) => bw.write((dc(ci) >> al) & 1, 1) }
+      bw.pad()
+      al -= 1
+    }
+    // per-component AC first pass: all-zero bands as pure EOB runs
+    c = 0
+    while (c < n) {
+      val cwc = (w * fh(c) + maxHf - 1) / maxHf
+      val chc = (h * fv(c) + maxVf - 1) / maxVf
+      var blocks = ((cwc + 7) / 8) * ((chc + 7) / 8)
+      sosHeader(Seq(c), 1, 63, 0, 0)
+      bw = new BitWriter(out)
+      while (blocks > 0) {
+        var r = 0
+        while ((1 << (r + 1)) <= blocks && r < 14) r += 1
+        val run = math.min(blocks, (1 << (r + 1)) - 1)
+        bw.write(AcCodeProg(r << 4), 8)
+        if (r > 0) bw.write(run - (1 << r), r)
+        blocks -= run
+      }
+      bw.pad()
+      c += 1
+    }
+    m(0xd9)
+    out.toByteArray
+  }
+
   /** Flat-color SUBSAMPLED fixture (default 4:2:0 — luma `hY`×`vY`, chroma
     * 1×1): every pixel decodes to exactly (yv, cbv, crv) — a flat block is
     * DC-only under q ≡ 1, and flat chroma upsamples to itself, so the

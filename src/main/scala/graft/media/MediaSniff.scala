@@ -7,14 +7,14 @@ package graft.media
  * REAL: container detection + dimensions from headers (PNG IHDR, GIF logical
  * screen descriptor, JPEG SOF scan, RIFF/WAVE, ISO-BMFF/mp4, FLAC, MP3,
  * %PDF, HTML); content decode with per-channel mean/variance features for
- * PNG (PngDecode: inflate + un-filter), baseline JPEG incl. 4:2:0/4:2:2
- * chroma subsampling (JpegDecode: Huffman + dequant + IDCT + MCU block
- * walk), GIF (GifDecode: LZW + palette), and WAV PCM audio (WavDecode);
- * audio/video duration/rate/dims via AvMeta.
+ * PNG (PngDecode: inflate + un-filter), baseline AND progressive JPEG incl.
+ * 4:2:0/4:2:2 chroma subsampling (JpegDecode: Huffman + dequant + IDCT, MCU
+ * block walk, multi-scan successive approximation), GIF (GifDecode: LZW +
+ * palette), and WAV PCM audio (WavDecode); audio/video duration/rate/dims
+ * via AvMeta.
  * STUB: feature extraction for formats whose codecs genuinely aren't in this
- * build environment (progressive JPEG, non-PCM audio, video frames) — those
- * fall back to a deterministic byte-hash sketch with the real
- * schema/batching plumbing.
+ * build environment (non-PCM audio, video frames) — those fall back to a
+ * deterministic byte-hash sketch with the real schema/batching plumbing.
  */
 object MediaSniff {
 
@@ -71,11 +71,11 @@ object MediaSniff {
   /** 8-dim feature vector: [mean(ch0..ch3), variance(ch0..ch3)], absent
     * channels zero (population variance via E[x²] − mean², double
     * accumulators). REAL decode paths: PNG (inflate + un-filter), baseline
-    * JPEG (Huffman + dequant + IDCT; gray or YCbCr incl. 4:2:0/4:2:2
-    * subsampling), GIF (LZW + palette → RGB), WAV PCM (8/16-bit, frames as
-    * the unit). The deterministic byte-hash sketch remains ONLY for
-    * progressive JPEG, non-PCM audio, and video — formats with no JVM codec
-    * here. */
+    * JPEG baseline AND progressive (Huffman + dequant + IDCT; gray or YCbCr
+    * incl. 4:2:0/4:2:2 subsampling), GIF (LZW + palette → RGB), WAV PCM
+    * (8/16-bit, frames as the unit). The deterministic byte-hash sketch
+    * remains ONLY for non-PCM audio and video frames — formats with no JVM
+    * codec here. */
   def features(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (b == null) return out
@@ -111,9 +111,9 @@ object MediaSniff {
   }
 
   /** STUB fallback: deterministic 8-dim byte-hash sketch standing in for a
-    * real embedding model (codec libs absent for progressive JPEG, non-PCM
-    * audio, video frames). The Spark-side schema, partitioning and batch
-    * shape are the real contract. */
+    * real embedding model (codec libs absent for non-PCM audio and video
+    * frames). The Spark-side schema, partitioning and batch shape are the
+    * real contract. */
   private def hashSketch(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     var i = 0

@@ -105,9 +105,10 @@ class JpegDecodeSpec extends AnyFunSuite {
     assert(f(1) == 0f && f(2) == 0f && f(3) == 0f && f(5) == 0f && f(6) == 0f && f(7) == 0f)
   }
 
-  test("out-of-scope shapes fall back to None (progressive, 12-bit)") {
+  test("out-of-scope shapes fall back to None (malformed progressive scan, 12-bit)") {
     val base = JpegEncode.flatGray(8, 8, 100)
-    // progressive: rewrite SOF0 (FFC0) marker to SOF2 (FFC2)
+    // a BASELINE stream relabeled SOF2 carries an Ss=0/Se=63 scan — illegal
+    // in progressive (DC scans are DC-only, G.1.1.1.1) → rejected, not garbage
     val prog = base.clone()
     val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
@@ -146,6 +147,95 @@ class JpegDecodeSpec extends AnyFunSuite {
       assert(dec.width == 24 && dec.height == 16 && dec.channels == 3, s"$hY x $vY")
       assert(dec.samples.grouped(3).forall(p =>
         (p(0) & 0xff) == 60 && (p(1) & 0xff) == 110 && (p(2) & 0xff) == 140), s"$hY x $vY")
+    }
+  }
+
+  test("progressive: DC successive approximation + EOB runs round-trip exactly") {
+    for (v <- Seq(0, 77, 128, 131, 255)) {
+      val dec = JpegDecode.decode(JpegEncode.progressiveFlat(24, 24, Array(v))).get
+      assert(dec.width == 24 && dec.height == 24 && dec.channels == 1)
+      assert(dec.samples.forall(b => (b & 0xff) == v), s"progressive flat $v not exact")
+    }
+  }
+
+  test("progressive: 4-level DC refinement pushes real bits through every plane") {
+    // dc = 8·(v−128): v−128 odd ⇒ bit 3 set, so Al=4 first pass loses real
+    // bits that only the refinement scans can restore
+    for (v <- Seq(117, 131, 255, 1)) {
+      val dec = JpegDecode.decode(JpegEncode.progressiveFlat(16, 16, Array(v), dcAl = 4)).get
+      assert(dec.samples.forall(b => (b & 0xff) == v), s"dcAl=4 flat $v not exact")
+    }
+  }
+
+  test("progressive: 4:2:0 color with non-interleaved AC scans over padded grids") {
+    // w=20, hY=2 ⇒ allocBW(Y)=4 ≠ bW(Y)=3: the AC block raster must use the
+    // component raster inside the MCU-padded allocation
+    val dec = JpegDecode.decode(JpegEncode.progressiveFlat(20, 12, Array(90, 120, 200))).get
+    assert(dec.width == 20 && dec.height == 12 && dec.channels == 3)
+    assert(dec.samples.grouped(3).forall(p =>
+      (p(0) & 0xff) == 90 && (p(1) & 0xff) == 120 && (p(2) & 0xff) == 200))
+  }
+
+  test("progressive: truncation before the AC scans still renders the DC image") {
+    val jpg = JpegEncode.progressiveFlat(16, 16, Array(77))
+    // find the LAST SOS (the AC scan) and cut just before it
+    val lastSos = jpg.indices.reverse
+      .find(i => i + 1 < jpg.length && (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xda).get
+    val dec = JpegDecode.decode(jpg.take(lastSos)).get
+    assert(dec.samples.forall(b => (b & 0xff) == 77), "flat image is DC-complete")
+    (1 until jpg.length by 3).foreach(n => JpegDecode.decode(jpg.take(n))) // never throws
+  }
+
+  test("progressive: AC refinement correction bits (hand-assembled scans)") {
+    // one 8x8 block: AC first pass at Al=1 places coef k=1 value 1<<1, a
+    // refinement scan at Al=0 adds the correction bit → final coefficient 3
+    val out = new java.io.ByteArrayOutputStream()
+    def m(x: Int): Unit = { out.write(0xff); out.write(x) }
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    m(0xd8); m(0xdb); u16(67); out.write(0); (0 until 64).foreach(_ => out.write(1))
+    m(0xc2); u16(11); out.write(8); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0)); (0 until 12).foreach(out.write)
+    // AC table: all 162 baseline symbols + EOBn at length 8 (canonical code = index)
+    val acSyms = (0x00 +: (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s) :+ 0xF0) ++
+      (1 to 14).map(_ << 4)
+    m(0xc4); u16(2 + 1 + 16 + acSyms.length); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 8) acSyms.length else 0)); acSyms.foreach(out.write)
+    var bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def putBits(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(k => bits += ((v >> k) & 1))
+    def flushScan(): Unit = {
+      while (bits.length % 8 != 0) bits += 1
+      bits.grouped(8).foreach { g =>
+        val byte = g.foldLeft(0)((a, b) => (a << 1) | b)
+        out.write(byte)
+        if (byte == 0xff) out.write(0x00) // entropy-stream byte stuffing
+      }
+      bits.clear()
+    }
+    m(0xda); u16(8); out.write(1); out.write(1); out.write(0x00) // DC first, Al=0
+    out.write(0); out.write(0); out.write(0x00)
+    putBits(0, 4) // category 0: diff 0
+    flushScan()
+    m(0xda); u16(8); out.write(1); out.write(1); out.write(0x00) // AC first, Ss=1 Se=63 Al=1
+    out.write(1); out.write(63); out.write(0x01)
+    putBits(acSyms.indexOf(0x01), 8); putBits(1, 1) // (r=0,s=1), value +1 → coef 1<<1
+    putBits(acSyms.indexOf(0x00), 8)                // EOB0
+    flushScan()
+    m(0xda); u16(8); out.write(1); out.write(1); out.write(0x00) // AC refine, Ah=1 Al=0
+    out.write(1); out.write(63); out.write(0x10)
+    putBits(acSyms.indexOf(0x00), 8) // EOB0 → tail-refine existing coefs
+    putBits(1, 1)                    // correction bit for coef k=1 → +1
+    flushScan()
+    m(0xd9)
+    val dec = JpegDecode.decode(out.toByteArray).get
+    // expected: dequantized F at zigzag index 1 (natural position 1) = 3
+    val coef = new Array[Double](64)
+    coef(1) = 3.0
+    val px = JpegDecode.idct(coef)
+    (0 until 64).foreach { i =>
+      val want = Math.round(px(i) + 128.0).toInt.max(0).min(255)
+      assert((dec.samples(i) & 0xff) == want, s"pixel $i")
     }
   }
 
