@@ -993,6 +993,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // one-pass curation funnel: BOTH per-row rule sets (Gopher + C4) and the
+    // exact-dup collapse counted in ONE scan + aggregation — never a count()
+    // job per stage; q56's construction plus injected exact duplicates makes
+    // every funnel column meaningful
+    "q60_curation_funnel" -> ((s, dir) => {
+      val body = when(col("doc_id") % 11 === 0, lit("exact duplicate body of this document"))
+        .otherwise(col("text"))
+      val txt = concat(
+        lit("First sentence here.\n"),
+        body,
+        when(col("doc_id") % 3 === 0, lit(" ends here!")).otherwise(lit(" ends here")),
+        lit("\ntoo short\n"),
+        when(col("doc_id") % 4 === 0, lit("lorem ipsum inserted\n")).otherwise(lit("")),
+        lit("Question line? Answer line! Final line."))
+      graft.ops.CurationOps.curationFunnel(
+        t(s, dir, "documents").select(txt.as("text")), "text")
+    }),
+
     // hOCR word-span parse (the reference's literal core operator,
     // ocr_combined.py:73-82): hOCR constructed in-query from document tokens
     // with deterministic bboxes, so the oracle states the spans in plain SQL
@@ -1444,6 +1462,53 @@ object SparkEntry {
         |  CAST((doc_id % 200 + 80) % 256 AS DOUBLE) AS mean_cr,
         |  0.0 AS rest
         |FROM documents""".stripMargin,
+    // both rule sets replayed per row, then one aggregation; n_unique via
+    // DISTINCT text (the engine's sha-256 digest is injective on this data)
+    "q60_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'First sentence here.' || chr(10) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'exact duplicate body of this document' ELSE text END) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' ends here!' ELSE ' ends here' END || chr(10) ||
+        |    'too short' || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'lorem ipsum inserted' || chr(10) ELSE '' END ||
+        |    'Question line? Answer line! Final line.' AS txt
+        |  FROM documents
+        |),
+        |w AS (
+        |  SELECT doc_id, txt,
+        |    list_filter(string_split(txt, ' '), x -> len(x) > 0) AS words,
+        |    string_split(txt, chr(10)) AS lines,
+        |    array_to_string(list_filter(string_split(txt, chr(10)), l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(string_split(l, ' ')) >= 3), chr(10)) AS tc
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT txt,
+        |    (len(words) >= 50 AND len(words) <= 100000
+        |     AND (CASE WHEN len(words) = 0 THEN 0.0
+        |          ELSE CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE) / len(words) END)
+        |         BETWEEN 3.0 AND 10.0
+        |     AND (CASE WHEN len(words) = 0 THEN 0.0
+        |          ELSE CAST((len(txt) - len(replace(txt, '#', ''))) +
+        |               ((len(txt) - len(replace(txt, '...', ''))) // 3) AS DOUBLE) / len(words) END) <= 0.1
+        |     AND CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS DOUBLE) / len(lines) <= 0.9
+        |     AND CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) <= 0.3
+        |     AND (CASE WHEN len(words) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words) END) >= 0.8
+        |     AND len(list_intersect(list_distinct(words),
+        |         ['the','be','to','of','and','that','have','with'])) >= 2) AS gk,
+        |    (len(tc) - len(regexp_replace(tc, '[.!?]', '', 'g')) >= 5
+        |     AND NOT (contains(lower(txt), 'lorem ipsum') OR contains(txt, '{'))) AS ck
+        |  FROM w
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+        |  CAST(sum(CASE WHEN ck THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_keep,
+        |  CAST(sum(CASE WHEN gk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+        |  CAST(count(DISTINCT txt) AS BIGINT) AS n_unique_docs
+        |FROM sig""".stripMargin,
     "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a

@@ -165,8 +165,12 @@ object CurationOps {
    * Tokens here are the corpus convention (single-space split), matching the
    * other curation ops.
    */
-  def gopherQualitySignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val txt = col(textCol)
+  def gopherQualitySignals(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol) +: gopherCols(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+
+  /** The Gopher signal columns as named expressions — shared by the
+    * per-document view and the one-pass funnel. */
+  private def gopherCols(txt: Column): Seq[(String, Column)] = {
     val words = filter(split(txt, " "), w => length(w) > 0)
     val lines = split(txt, "\n")
     val wc = size(words)
@@ -186,20 +190,19 @@ object CurationOps {
     val alphaFrac = when(wc === 0, 0.0).otherwise(alphaWords.cast("double") / wc)
     val requiredStops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
     val nStops = size(array_intersect(array_distinct(words), requiredStops))
-    docs.select(
-      col(idCol),
-      wc.as("word_count"),
-      round(meanLen, 4).as("mean_word_len"),
-      round(symbolRatio, 4).as("symbol_word_ratio"),
-      round(bulletFrac, 4).as("bullet_line_frac"),
-      round(ellipsisFrac, 4).as("ellipsis_line_frac"),
-      round(alphaFrac, 4).as("alpha_word_frac"),
-      nStops.as("n_required_stops"),
-      (wc >= 50 && wc <= 100000 &&
+    Seq(
+      "word_count" -> wc,
+      "mean_word_len" -> round(meanLen, 4),
+      "symbol_word_ratio" -> round(symbolRatio, 4),
+      "bullet_line_frac" -> round(bulletFrac, 4),
+      "ellipsis_line_frac" -> round(ellipsisFrac, 4),
+      "alpha_word_frac" -> round(alphaFrac, 4),
+      "n_required_stops" -> nStops,
+      "keep" -> (wc >= 50 && wc <= 100000 &&
         meanLen >= 3.0 && meanLen <= 10.0 &&
         symbolRatio <= 0.1 &&
         bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
-        alphaFrac >= 0.8 && nStops >= 2).as("keep"))
+        alphaFrac >= 0.8 && nStops >= 2))
   }
 
   /**
@@ -212,8 +215,12 @@ object CurationOps {
    * scan, no shuffle.
    */
   def c4Filter(docs: DataFrame, textCol: String, idCol: String,
-               badwords: Seq[String] = Seq("lorem ipsum")): DataFrame = {
-    val txt = col(textCol)
+               badwords: Seq[String] = Seq("lorem ipsum")): DataFrame =
+    docs.select(col(idCol) +: c4Cols(col(textCol), badwords).map { case (n, c) => c.as(n) }: _*)
+
+  /** The C4 rule columns as named expressions — shared by the per-document
+    * view and the one-pass funnel. */
+  private def c4Cols(txt: Column, badwords: Seq[String]): Seq[(String, Column)] = {
     val keptLines = filter(split(txt, "\n"), l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
         size(split(l, " ")) >= 3)
@@ -221,13 +228,36 @@ object CurationOps {
     val nSentences = length(cleaned) - length(regexp_replace(cleaned, "[.!?]", ""))
     val flagged = (badwords.map(b => contains(lower(txt), lit(b))) :+ contains(txt, lit("{")))
       .reduce(_ || _)
-    docs.select(
-      col(idCol),
-      cleaned.as("text_clean"),
-      size(keptLines).as("n_kept_lines"),
-      nSentences.as("n_sentences"),
-      flagged.as("flagged"),
-      (nSentences >= 5 && !flagged).as("keep"))
+    Seq(
+      "text_clean" -> cleaned,
+      "n_kept_lines" -> size(keptLines),
+      "n_sentences" -> nSentences,
+      "flagged" -> flagged,
+      "keep" -> (nSentences >= 5 && !flagged))
+  }
+
+  /**
+   * One-pass corpus triage funnel: every PER-ROW gate (the Gopher rule set,
+   * the C4 rule set) plus the exact-duplicate collapse, counted in a SINGLE
+   * scan + aggregation. This is the shape a 100 TB triage run takes — a
+   * count() action per stage would re-scan the corpus once per number;
+   * here the stage counts are sums of per-row flags and the unique count is
+   * a count-distinct over the 64-byte digest, all in one job. Returns one
+   * row: (n_docs, n_gopher_keep, n_c4_keep, n_both_keep, n_unique_docs).
+   */
+  def curationFunnel(docs: DataFrame, textCol: String,
+                     badwords: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    val txt = col(textCol)
+    val g = gopherCols(txt).toMap.apply("keep")
+    val c = c4Cols(txt, badwords).toMap.apply("keep")
+    docs
+      .select(g.as("_g"), c.as("_c"), sha2(encode(txt, "UTF-8"), 256).as("_d"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_g"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        sum(when(col("_c"), 1L).otherwise(0L)).as("n_c4_keep"),
+        sum(when(col("_g") && col("_c"), 1L).otherwise(0L)).as("n_both_keep"),
+        countDistinct(col("_d")).as("n_unique_docs"))
   }
 
   /**

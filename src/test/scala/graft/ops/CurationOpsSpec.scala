@@ -162,6 +162,28 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again == got)
   }
 
+  test("curationFunnel: one-pass stage counts agree with the per-doc views") {
+    val docs = Seq(
+      (1L, "Good opening line.\n" + (1 to 60).map(i => s"word$i").mkString(" ") +
+        " the of ends here! And then? Plus a closer. Extra one."),
+      (2L, "short doc."),
+      (3L, "contains lorem ipsum. " + (1 to 60).map(i => s"tok$i").mkString(" ") +
+        " the of. More here! Done now? Yes. Final."),
+      (4L, "short doc.") // exact duplicate of doc 2
+    ).toDF("doc_id", "text")
+    val got = CurationOps.curationFunnel(docs, "text").collect().head
+    val gopher = CurationOps.gopherQualitySignals(docs, "text", "doc_id")
+      .filter(col("keep")).count()
+    val c4 = CurationOps.c4Filter(docs, "text", "doc_id").filter(col("keep")).count()
+    assert(got.getLong(0) == 4)
+    assert(got.getLong(1) == gopher, "funnel gopher count = per-doc view count")
+    assert(got.getLong(2) == c4, "funnel c4 count = per-doc view count")
+    assert(got.getLong(4) == 3, "docs 2 and 4 collapse")
+    // the funnel is ONE scan: exactly one FileScan/LocalTableScan, no join
+    val plan = CurationOps.curationFunnel(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
