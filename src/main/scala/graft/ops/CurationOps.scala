@@ -286,8 +286,15 @@ object CurationOps {
     val w1 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val tCounts = target.select(explode(bucketsOf(col(targetTextCol))).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_t"))
+    // the explicit (vacuously true) not-null filters matter: the downstream
+    // joins INFER isnotnull(_b) / isnotnull(id) on ONE consumer branch of
+    // this subtree each, and any inferred-filter asymmetry between the two
+    // consumers defeats exchange reuse — with both present here, the corpus
+    // is scanned and gram-hashed ONCE (plan-audited)
     val pair = docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), explode(bucketsOf(col(textCol))).as("_b"))
+      .filter(col("_b").isNotNull)
       .groupBy(col("_b"), col("_id")).agg(count(lit(1)).as("_c"))
     val rCounts = pair.groupBy(col("_b")).agg(sum(col("_c")).as("_r"))
     val ratios = rCounts.join(tCounts, Seq("_b"), "full_outer")

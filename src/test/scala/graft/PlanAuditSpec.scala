@@ -162,6 +162,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(s.contains("Window"), s.take(3000))
   }
 
+  test("dsir weights: ratio table broadcast, corpus gram exchange built once") {
+    val df = SparkEntry.queries("q57_dsir_weights")(spark, sf)
+    df.collect() // finalize THIS df's adaptive plan
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s.take(3000))
+    // the (bucket, doc) pair aggregate feeds both the per-bucket totals and
+    // the final attach — its exchange must be reused, not rebuilt
+    assert(s.contains("ReusedExchange"), s.take(3000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to
