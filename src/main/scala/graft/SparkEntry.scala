@@ -982,6 +982,25 @@ object SparkEntry {
             element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
     }),
 
+    // REAL FLAC audio decode (FlacDecode: frame walk, Rice residuals, fixed/
+    // LPC predictors, channel decorrelation): constant-subframe fixtures
+    // (multi-frame, signed values) decode to exactly value+128 in the u8
+    // domain — non-PCM audio leaves the declared stub
+    "q61_flac_features" -> ((s, dir) => {
+      val flacHex = (0 until 200).map { m =>
+        graft.media.AvEncode.flacConstant(4500, m - 100).map(b => f"${b & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(flacHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_c0"),
+          round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"),
+          round((element_at(col("f"), 2) + element_at(col("f"), 3) + element_at(col("f"), 4) +
+            element_at(col("f"), 6) + element_at(col("f"), 7) + element_at(col("f"), 8))
+            .cast("double"), 4).as("other_channels"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // profile scored against a target corpus (every 13th doc, the q47
     // pattern); the oracle replays token hashing, gram folding, bucketing,
@@ -1509,6 +1528,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN gk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
         |  CAST(count(DISTINCT txt) AS BIGINT) AS n_unique_docs
         |FROM sig""".stripMargin,
+    // flat FLAC decodes to value+128 exactly: mean = doc_id%200 - 100 + 128
+    "q61_flac_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 + 28 AS DOUBLE) AS mean_c0,
+        |  0.0 AS var_c0,
+        |  0.0 AS other_channels
+        |FROM documents""".stripMargin,
     "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT
     // wrap arithmetic; see USql64) — deterministic functions deserve a

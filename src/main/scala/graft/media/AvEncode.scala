@@ -82,6 +82,34 @@ object AvEncode {
     out
   }
 
+  /** Complete decodable FLAC fixture: STREAMINFO + CONSTANT-subframe frames
+    * (8000 Hz, mono, 8-bit signed `value`, fixed 4096-sample blocks with a
+    * short tail) — a flat signal, so the decoded u8 statistics are
+    * `value + 128` exactly (FlacDecode's normalization). */
+  def flacConstant(totalSamples: Int, value: Int): Array[Byte] = {
+    require(totalSamples > 0 && value >= -128 && value <= 127)
+    val out = new ByteArrayOutputStream()
+    val si = flacStreamInfo(totalSamples.toLong)
+    out.write(si, 0, si.length)
+    var done = 0
+    var frame = 0
+    while (done < totalSamples) {
+      val bs = math.min(4096, totalSamples - done)
+      out.write(0xff); out.write(0xf8)       // sync + fixed blocking
+      out.write(0x70)                        // bsCode 7 (16-bit follows), srCode 0
+      out.write(0x02)                        // mono, 8 bps (ssCode 001), reserved 0
+      out.write(frame & 0x7f)                // UTF-8 frame number (< 128)
+      out.write(be16(bs - 1), 0, 2)
+      out.write(0)                           // CRC-8 (decoder parses past)
+      out.write(0x00)                        // subframe: CONSTANT, no wasted bits
+      out.write(value & 0xff)                // the constant sample
+      out.write(0); out.write(0)             // CRC-16
+      done += bs
+      frame += 1
+    }
+    out.toByteArray
+  }
+
   /** fLaC + STREAMINFO only: 8000 Hz, mono, 8-bit, `totalSamples` frames. */
   def flacStreamInfo(totalSamples: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream()

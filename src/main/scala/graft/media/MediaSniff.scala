@@ -10,11 +10,13 @@ package graft.media
  * PNG (PngDecode: inflate + un-filter), baseline AND progressive JPEG incl.
  * 4:2:0/4:2:2 chroma subsampling (JpegDecode: Huffman + dequant + IDCT, MCU
  * block walk, multi-scan successive approximation), GIF (GifDecode: LZW +
- * palette), and WAV PCM audio (WavDecode); audio/video duration/rate/dims
- * via AvMeta.
+ * palette), WAV PCM audio (WavDecode), and FLAC audio (FlacDecode: Rice
+ * residuals, fixed/LPC predictors, channel decorrelation); audio/video
+ * duration/rate/dims via AvMeta.
  * STUB: feature extraction for formats whose codecs genuinely aren't in this
- * build environment (non-PCM audio, video frames) — those fall back to a
- * deterministic byte-hash sketch with the real schema/batching plumbing.
+ * build environment (lossy-codec audio payloads — MP3/AAC — and video
+ * frames) — those fall back to a deterministic byte-hash sketch with the
+ * real schema/batching plumbing.
  */
 object MediaSniff {
 
@@ -73,9 +75,9 @@ object MediaSniff {
     * accumulators). REAL decode paths: PNG (inflate + un-filter), baseline
     * JPEG baseline AND progressive (Huffman + dequant + IDCT; gray or YCbCr
     * incl. 4:2:0/4:2:2 subsampling), GIF (LZW + palette → RGB), WAV PCM
-    * (8/16-bit, frames as the unit). The deterministic byte-hash sketch
-    * remains ONLY for non-PCM audio and video frames — formats with no JVM
-    * codec here. */
+    * (8/16-bit, frames as the unit), FLAC. The deterministic byte-hash
+    * sketch remains ONLY for lossy-codec audio payloads (MP3/AAC) and video
+    * frames — formats with no JVM codec here. */
   def features(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (b == null) return out
@@ -86,6 +88,7 @@ object MediaSniff {
         .orElse(JpegDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
         .orElse(GifDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
         .orElse(WavDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
+        .orElse(FlacDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
     decoded match {
       case Some((n, channels, samples)) =>
         val sums = new Array[Double](4)
@@ -111,9 +114,9 @@ object MediaSniff {
   }
 
   /** STUB fallback: deterministic 8-dim byte-hash sketch standing in for a
-    * real embedding model (codec libs absent for non-PCM audio and video
-    * frames). The Spark-side schema, partitioning and batch shape are the
-    * real contract. */
+    * real embedding model (codec libs absent for lossy audio payloads and
+    * video frames). The Spark-side schema, partitioning and batch shape are
+    * the real contract. */
   private def hashSketch(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     var i = 0
