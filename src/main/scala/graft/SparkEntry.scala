@@ -1001,6 +1001,16 @@ object SparkEntry {
             .cast("double"), 4).as("other_channels"))
     }),
 
+    // unicode normalization (ftfy/CCNet-style cleanup): typographic noise is
+    // constructed in-query, so the oracle states the normalized form as a
+    // closed-form literal (no regex dialect in the oracle)
+    "q62_normalize_text" -> ((s, dir) => {
+      val messy = concat(col("text"),
+        lit(" “quoted” – dash… a b  c ​d﻿ "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // profile scored against a target corpus (every 13th doc, the q47
     // pattern); the oracle replays token hashing, gram folding, bucketing,
@@ -1534,6 +1544,11 @@ object SparkEntry {
         |  CAST(doc_id % 200 + 28 AS DOUBLE) AS mean_c0,
         |  0.0 AS var_c0,
         |  0.0 AS other_channels
+        |FROM documents""".stripMargin,
+    // the constructed typographic junk collapses to a closed-form literal
+    "q62_normalize_text" ->
+      """SELECT doc_id,
+        |  text || ' "quoted" - dash... a b c d' AS clean
         |FROM documents""".stripMargin,
     "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT

@@ -314,6 +314,19 @@ object CurationOps {
         round(coalesce(col("_s"), lit(0L)) / 1e6, 4).as("dsir_logweight"))
   }
 
+  /** Unicode text normalization (the ftfy/CCNet-style cleanup every published
+    * pipeline runs before tokenization — typographic noise otherwise
+    * fragments the token space): curly quotes → straight, en/em dashes → '-',
+    * ellipsis char → '...', NBSP → space, zero-width characters removed,
+    * space runs collapsed, ends trimmed. Pure codegen'd built-ins
+    * (translate + regexp_replace), no UDF. */
+  def normalizeText(text: Column): Column = {
+    val mapped = translate(text, "‘’“”–— ", "''\"\"-- ")
+    val expanded = regexp_replace(mapped, "…", "...")
+    val zapped = regexp_replace(expanded, "[​‌‍﻿]", "")
+    trim(regexp_replace(zapped, " {2,}", " "))
+  }
+
   /** PII scrubbing to typed placeholders (emails → [EMAIL], IPv4 → [IP],
     * phone-like digit runs → [PHONE]) — patterns restricted to the
     * lookahead-free common subset of Java regex and RE2. Order matters: IP

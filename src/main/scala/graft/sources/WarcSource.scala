@@ -11,14 +11,17 @@ import graft.model.PageRow
 
 /**
  * WARC (ISO 28500) source: the native container of Common-Crawl-style corpora
- * (the north rule's input shape). Reads `*.warc` / `*.warc.gz` files into
- * PageRow-shaped rows: url = WARC-Target-URI, warc_ts = WARC-Date,
- * html = the HTTP response body bytes, text = null, lang = null.
+ * (the north rule's input shape). Reads `*.warc` / `*.warc.gz` — and the WET
+ * (`*.warc.wet[.gz]`) extracted-text variant — into PageRow-shaped rows:
+ * url = WARC-Target-URI, warc_ts = WARC-Date, html = the HTTP response body
+ * bytes (text = null), or for WET conversion records text = the
+ * already-extracted plain text (html = null).
  *
  * Format notes (public spec + Common Crawl layout):
  *  - a record is a CRLF-terminated header block ("WARC/1.x", name: value
  *    lines, blank line), Content-Length payload bytes, then CRLF CRLF;
- *  - only `WARC-Type: response` (and `resource`) records carry page payloads;
+ *  - `WARC-Type: response` (and `resource`) records carry page payloads;
+ *    `conversion` records (WET files) carry pre-extracted text;
  *    request/metadata/warcinfo records are skipped;
  *  - response payloads are HTTP messages — status line + headers are stripped
  *    to the body (the reference consumes file bytes directly; a crawl source
@@ -61,7 +64,8 @@ object WarcSource {
     }
   }
 
-  def pages(spark: SparkSession, dir: String, glob: String = "*.{warc,warc.gz}",
+  def pages(spark: SparkSession, dir: String,
+            glob: String = "*.{warc,warc.gz,warc.wet,warc.wet.gz}",
             recursive: Boolean = true): DataFrame = {
     import spark.implicits._
     val paths = listPaths(spark, dir, glob, recursive)
@@ -95,10 +99,20 @@ object WarcSource {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => closeQuietly(in)))
           closing(in, records(in)
-            .filter(r => r.warcType == "response" || r.warcType == "resource")
+            .filter(r => r.warcType == "response" || r.warcType == "resource" ||
+                         r.warcType == "conversion")
             .map { r =>
-              val body = if (r.warcType == "response") stripHttpHeaders(r.body) else r.body
-              PageRow(r.targetUri, parseWarcDate(r.date), body, null, null)
+              if (r.warcType == "conversion")
+                // WET records (Common Crawl's *.warc.wet): the payload IS the
+                // already-extracted plain text — it lands in `text`, so the
+                // pipeline's skip-already-extracted filter (B2) treats these
+                // rows as done instead of re-extracting nothing
+                PageRow(r.targetUri, parseWarcDate(r.date), null,
+                  new String(r.body, java.nio.charset.StandardCharsets.UTF_8), null)
+              else {
+                val body = if (r.warcType == "response") stripHttpHeaders(r.body) else r.body
+                PageRow(r.targetUri, parseWarcDate(r.date), body, null, null)
+              }
             })
         }
       }

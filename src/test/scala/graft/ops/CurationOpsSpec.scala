@@ -184,6 +184,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
+  test("normalizeText: typographic noise collapses, plain text untouched") {
+    val cases = Seq(
+      "“curly” and ‘single’" -> "\"curly\" and 'single'",
+      "en – dash, em — dash" -> "en - dash, em - dash",
+      "wait… what" -> "wait... what",
+      "a b and c​d﻿" -> "a b and cd",
+      "  padded   and  gappy  " -> "padded and gappy",
+      "already clean text" -> "already clean text")
+    val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), CurationOps.normalizeText(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"input: $in")
+    }
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",

@@ -67,6 +67,29 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(texts("http://x.example/a") == "the quick brown fox jumps over the lazy dog today")
   }
 
+  test("WET conversion records land as pre-extracted TEXT (html null)") {
+    // Common Crawl's *.warc.wet.gz: conversion records whose payload IS the
+    // extracted plain text — the pipeline's B2 filter then skips them
+    val wetText = "the quick brown fox jumps over the lazy dog\nsecond line"
+    val out = new ByteArrayOutputStream()
+    out.write(record("warcinfo", null, "2026-01-02T03:04:05Z", "software: wet".getBytes(US_ASCII)))
+    out.write(record("conversion", "http://x.example/a", "2026-01-02T03:04:05Z",
+      wetText.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    out.write(record("response", "http://x.example/b", "2026-01-02T03:04:06Z", httpResponse(html)))
+    val dir = Files.createTempDirectory("wet").toString
+    val gz = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(gz)
+    g.write(out.toByteArray); g.close()
+    Files.write(Paths.get(dir, "part.warc.wet.gz"), gz.toByteArray)
+    val rows = WarcSource.pages(spark, dir)
+      .select("url", "html", "text").collect().sortBy(_.getString(0))
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "http://x.example/a")
+    assert(rows(0).isNullAt(1) && rows(0).getString(2) == wetText)
+    assert(rows(1).getString(0) == "http://x.example/b")
+    assert(!rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("gzipped WARC with one gzip member PER RECORD (Common Crawl layout)") {
     val out = new ByteArrayOutputStream()
     def member(rec: Array[Byte]): Unit = {
