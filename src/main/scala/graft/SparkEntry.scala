@@ -1011,6 +1011,24 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
     }),
 
+    // REAL BPE tokenization (merge-table loop, not q38's pre-tokenizer):
+    // text constructed from a fixed vocabulary whose per-word token splits
+    // are hand-derived, so counts AND the token sequence are closed-form
+    "q63_bpe_encode" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("an", "d"), ("e", "r"), ("o", "n"), ("on", "e"))
+      // hand-derived splits: the→[the] and→[and] in→[in]
+      // other→[o,the,r] banana→[b,an,an,a] xyz→[x,y,z]
+      val vocab = Seq("the", "and", "in", "other", "banana", "xyz")
+      val word = element_at(array(vocab.map(lit): _*), (col("doc_id") % 6 + 1).cast("int"))
+      val k = (col("doc_id") % 5 + 1).cast("int")
+      val txt = array_join(array_repeat(word, k), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(bpe_tokens(txt, merges)).as("n_bpe"),
+          array_join(bpe_tokens(word, merges), "|").as("word_tokens"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // profile scored against a target corpus (every 13th doc, the q47
     // pattern); the oracle replays token hashing, gram folding, bucketing,
@@ -1549,6 +1567,16 @@ object SparkEntry {
     "q62_normalize_text" ->
       """SELECT doc_id,
         |  text || ' "quoted" - dash... a b c d' AS clean
+        |FROM documents""".stripMargin,
+    // per-word splits are hand-derived literals; the repeated-text count is
+    // repeats × tokens-per-word
+    "q63_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 5 + 1) *
+        |    (CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |                     WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 3 END) AS INT) AS n_bpe,
+        |  CASE doc_id % 6 WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'in'
+        |       WHEN 3 THEN 'o|the|r' WHEN 4 THEN 'b|an|an|a' ELSE 'x|y|z' END AS word_tokens
         |FROM documents""".stripMargin,
     "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT

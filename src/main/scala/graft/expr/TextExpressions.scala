@@ -99,6 +99,21 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Real BPE tokenization against an explicit merge table (graft.text.Bpe):
+  * the merge list rides the plan as a constant; ranks build once per
+  * executor. Returns every token of the whitespace-split text, in order. */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val ranks = graft.text.Bpe.ranksOf(merges)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(graft.text.Bpe.tokenize(input.asInstanceOf[UTF8String].toString, ranks)
+      .map(t => UTF8String.fromString(t): Any))
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 /** splitmix64 finalizer over a long column — the deterministic sampling key
   * (reproducible across runs and partitionings, unlike rand()). */
 case class SplitMix64(child: Expression) extends UnaryExpression {

@@ -118,6 +118,12 @@ object functions {
   def ngram_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(expr(text), n))
 
+  /** Real BPE tokens of whitespace-split text under an explicit merge table
+    * (lowest rank merges first, leftmost on ties) — the token count a
+    * training pipeline budgets by; `bpe_tokens(t, m).size` is that count. */
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokens(expr(text), merges))
+
   /** splitmix64 of a long column — deterministic, partition-invariant
     * sampling key (never rand()). */
   def splitmix64(v: Column): Column =
