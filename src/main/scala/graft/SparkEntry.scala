@@ -1011,6 +1011,22 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
     }),
 
+    // Ogg container metadata (RFC 3533 page walk + Vorbis id header):
+    // duration from the last page's granule position — (m+1)·441 samples at
+    // 44100 Hz is exactly (m+1)·10 ms
+    "q64_ogg_meta" -> ((s, dir) => {
+      val oggHex = (0 until 200).map { m =>
+        graft.media.AvEncode.oggVorbis(44100, m % 2 + 1, (m + 1) * 441L)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      t(s, dir, "documents")
+        .withColumn("a", av_meta(unhex(element_at(array(oggHex.map(lit): _*), m + 1))))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.duration_ms").as("duration_ms"), col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"))
+    }),
+
     // REAL BPE tokenization (merge-table loop, not q38's pre-tokenizer):
     // text constructed from a fixed vocabulary whose per-word token splits
     // are hand-derived, so counts AND the token sequence are closed-form
@@ -1577,6 +1593,12 @@ object SparkEntry {
         |                     WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 3 END) AS INT) AS n_bpe,
         |  CASE doc_id % 6 WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'in'
         |       WHEN 3 THEN 'o|the|r' WHEN 4 THEN 'b|an|an|a' ELSE 'x|y|z' END AS word_tokens
+        |FROM documents""".stripMargin,
+    "q64_ogg_meta" ->
+      """SELECT doc_id, 'ogg' AS format,
+        |  CAST((doc_id % 200 + 1) * 10 AS BIGINT) AS duration_ms,
+        |  CAST(44100 AS INT) AS sample_rate,
+        |  CAST(doc_id % 200 % 2 + 1 AS INT) AS channels
         |FROM documents""".stripMargin,
     "q57_dsir_weights" -> q57OracleSql,
     // the engine's splitmix64 hashing replayed exactly in DuckDB (UBIGINT

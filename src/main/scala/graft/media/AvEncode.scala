@@ -110,6 +110,42 @@ object AvEncode {
     out.toByteArray
   }
 
+  /** Minimal Ogg/Vorbis fixture (RFC 3533 pages): a BOS page carrying the
+    * Vorbis identification header, then an EOS page whose granule position is
+    * `totalSamples` — duration and rate/channels are closed-form. Page CRCs
+    * are zero (the parser walks past them). */
+  def oggVorbis(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    def page(headerType: Int, granule: Long, seq: Int, body: Array[Byte]): Array[Byte] = {
+      require(body.length < 255)
+      val out = new ByteArrayOutputStream()
+      out.write("OggS".getBytes, 0, 4)
+      out.write(0)               // version
+      out.write(headerType)      // 0x02 BOS / 0x04 EOS
+      var g = granule
+      (0 until 8).foreach { _ => out.write((g & 0xff).toInt); g >>= 8 }
+      out.write(Array[Byte](1, 0, 0, 0), 0, 4)  // serial
+      out.write(Array[Byte](seq.toByte, 0, 0, 0), 0, 4)
+      out.write(new Array[Byte](4), 0, 4)       // CRC (unverified)
+      out.write(1)                              // one segment
+      out.write(body.length)
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    val id = new ByteArrayOutputStream()
+    id.write(1); id.write("vorbis".getBytes, 0, 6)
+    id.write(new Array[Byte](4), 0, 4)          // version 0
+    id.write(channels)
+    (0 until 4).foreach(k => id.write((sampleRate >> (8 * k)) & 0xff)) // rate LE
+    id.write(new Array[Byte](12), 0, 12)        // bitrates
+    id.write(0xb8)                              // blocksizes
+    id.write(1)                                 // framing bit
+    val out = new ByteArrayOutputStream()
+    val p0 = page(0x02, 0, 0, id.toByteArray)
+    val p1 = page(0x04, totalSamples, 1, Array[Byte](0))
+    out.write(p0, 0, p0.length); out.write(p1, 0, p1.length)
+    out.toByteArray
+  }
+
   /** fLaC + STREAMINFO only: 8000 Hz, mono, 8-bit, `totalSamples` frames. */
   def flacStreamInfo(totalSamples: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream()

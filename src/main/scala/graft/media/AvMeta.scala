@@ -34,6 +34,7 @@ object AvMeta {
       if (b == null || b.length < 8) unknown
       else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') mp4(b)
       else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') flac(b)
+      else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') ogg(b)
       else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
                b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
       else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
@@ -177,6 +178,54 @@ object AvMeta {
       ((b(p + 6) & 0xffL) << 8) | (b(p + 7) & 0xffL)
     if (sampleRate <= 0) unknown
     else AvInfo("flac", totalSamples * 1000L / sampleRate, sampleRate, channels, -1, -1)
+  }
+
+  // ---------------------------------------------------------------- Ogg
+
+  /** Ogg container (RFC 3533) page walk: sample rate / channels from the
+    * first page's Vorbis identification header (or OpusHead), duration from
+    * the LAST page's granule position (PCM sample count for Vorbis; 48 kHz
+    * units for Opus, per RFC 7845). */
+  private def ogg(b: Array[Byte]): AvInfo = {
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    var pos = 0
+    var sampleRate = -1
+    var channels = -1
+    var granuleRate = -1L // granule units per second
+    var lastGranule = -1L
+    var firstPage = true
+    while (pos + 27 <= b.length &&
+           b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' && b(pos + 3) == 'S') {
+      var granule = 0L
+      var k = 7
+      while (k >= 0) { granule = (granule << 8) | (b(pos + 6 + k) & 0xffL); k -= 1 }
+      val nSegs = b(pos + 26) & 0xff
+      if (pos + 27 + nSegs > b.length) return AvInfo("ogg", -1, sampleRate, channels, -1, -1)
+      var bodyLen = 0
+      var s = 0
+      while (s < nSegs) { bodyLen += b(pos + 27 + s) & 0xff; s += 1 }
+      val body = pos + 27 + nSegs
+      if (firstPage && body + 30 <= b.length) {
+        if ((b(body) & 0xff) == 1 && fourcc(b, body + 1) == "vorb") {
+          // 0x01 "vorbis" version(4) channels(1) rate(4 LE) ...
+          channels = b(body + 11) & 0xff
+          sampleRate = u32le(body + 12).toInt
+          granuleRate = sampleRate.toLong
+        } else if (body + 19 <= b.length && fourcc(b, body) == "Opus") {
+          // "OpusHead" version(1) channels(1) preskip(2) input-rate(4 LE)
+          channels = b(body + 9) & 0xff
+          sampleRate = u32le(body + 12).toInt
+          granuleRate = 48000L // Opus granules are 48 kHz regardless of rate
+        }
+        firstPage = false
+      }
+      if (granule >= 0) lastGranule = granule
+      pos = body + bodyLen
+    }
+    val durationMs =
+      if (lastGranule >= 0 && granuleRate > 0) lastGranule * 1000L / granuleRate else -1L
+    AvInfo("ogg", durationMs, sampleRate, channels, -1, -1)
   }
 
   // ---------------------------------------------------------------- WAV

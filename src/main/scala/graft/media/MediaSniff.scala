@@ -62,6 +62,8 @@ object MediaSniff {
       Info("mp4", -1, -1)
     } else if (u(0) == 'f' && u(1) == 'L' && u(2) == 'a' && u(3) == 'C') {
       Info("flac", -1, -1)
+    } else if (u(0) == 'O' && u(1) == 'g' && u(2) == 'g' && u(3) == 'S') {
+      Info("ogg", -1, -1)
     } else if ((u(0) == 'I' && u(1) == 'D' && u(2) == '3') ||
                (u(0) == 0xff && (u(1) & 0xe0) == 0xe0)) {
       Info("mp3", -1, -1)

@@ -104,6 +104,41 @@ class AvMetaSpec extends AnyFunSuite {
     assert(i.durationMs == (4000 / 4) * 1000L / 8000) // 1000 frames at 8 kHz = 125 ms
   }
 
+  test("ogg: Vorbis id header + last-page granule position give rate/channels/duration") {
+    val i = AvMeta.parse(AvEncode.oggVorbis(44100, 2, 88200L))
+    assert(i.format == "ogg" && i.sampleRate == 44100 && i.channels == 2)
+    assert(i.durationMs == 2000L)
+    // truncation after the first page: rate known, duration unknown
+    val full = AvEncode.oggVorbis(8000, 1, 8000L)
+    val firstPageLen = full.indexOfSlice("OggS".getBytes, 4)
+    val cut = AvMeta.parse(full.take(firstPageLen))
+    assert(cut.format == "ogg" && cut.sampleRate == 8000)
+    assert(cut.durationMs == 0L) // BOS granule 0 is all we saw
+    for (n <- 0 until full.length) AvMeta.parse(full.take(n)) // never throws
+  }
+
+  test("ogg: OpusHead uses 48 kHz granule units regardless of input rate") {
+    // hand-build: BOS page with OpusHead, EOS page at granule 96000 → 2000 ms
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OpusHead".getBytes); head.write(1); head.write(2) // version, channels
+    head.write(new Array[Byte](2), 0, 2)                          // pre-skip
+    Seq(0, 1, 2, 3).foreach(k => head.write((16000 >> (8 * k)) & 0xff)) // input rate LE
+    head.write(new Array[Byte](3), 0, 3)                          // gain + mapping
+    def page(ht: Int, granule: Long, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("OggS".getBytes); o.write(0); o.write(ht)
+      var g = granule
+      (0 until 8).foreach { _ => o.write((g & 0xff).toInt); g >>= 8 }
+      o.write(new Array[Byte](8), 0, 8) // serial + seq
+      o.write(new Array[Byte](4), 0, 4) // crc
+      o.write(1); o.write(body.length); o.write(body, 0, body.length)
+      o.toByteArray
+    }
+    val i = AvMeta.parse(page(2, 0, head.toByteArray) ++ page(4, 96000L, Array[Byte](0)))
+    assert(i.format == "ogg" && i.sampleRate == 16000 && i.channels == 2)
+    assert(i.durationMs == 2000L)
+  }
+
   test("totality: truncations and garbage → unknown or best-effort, never a throw") {
     val fixtures = Seq(AvEncode.mp4Video(64, 64, 1000L, 1000L),
       AvEncode.mp3Silent(3), AvEncode.flacStreamInfo(100L))
