@@ -151,10 +151,19 @@ object SimilarityOps {
     val perTable = withB.select(col("_id"),
         posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
     val w = Window.partitionBy(col("_t"), col("_bucket"))
-    val capped = perTable
+    // checkpoint partition count ∝ data (≈500k narrow rows per partition):
+    // the window stage inherits shuffle.partitions, and a small corpus would
+    // otherwise materialize 32 near-empty blocks that every downstream job
+    // re-pays as scheduling floor; at 10^10 rows the cap leaves partitioning
+    // untouched. coalesce, not repartition — no extra shuffle.
+    val ckptParts = math.max(1L, math.min(1 << 14,
+      (if (approxRows > 0) approxRows else 1000000L) * nTables / 500000L)).toInt
+    val capped0 = perTable
       .withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
+    val capped = capped0
+      .coalesce(math.max(1, math.min(ckptParts, capped0.rdd.getNumPartitions)))
       // the build and probe branches below are DIFFERENT projections of this
       // subtree (no exchange reuse possible): materialize it once
       // (localCheckpoint — eager, lineage-truncated, blocks freed on GC) so
