@@ -169,8 +169,8 @@ object CurationOps {
     docs.select(col(idCol) +: gopherCols(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
   /** The Gopher signal columns as named expressions — shared by the
-    * per-document view and the one-pass funnel. */
-  private def gopherCols(txt: Column): Seq[(String, Column)] = {
+    * per-document view, the one-pass funnel, and CurationPipeline's gates. */
+  private[graft] def gopherCols(txt: Column): Seq[(String, Column)] = {
     val words = filter(split(txt, " "), w => length(w) > 0)
     val lines = split(txt, "\n")
     val wc = size(words)
@@ -219,8 +219,8 @@ object CurationOps {
     docs.select(col(idCol) +: c4Cols(col(textCol), badwords).map { case (n, c) => c.as(n) }: _*)
 
   /** The C4 rule columns as named expressions — shared by the per-document
-    * view and the one-pass funnel. */
-  private def c4Cols(txt: Column, badwords: Seq[String]): Seq[(String, Column)] = {
+    * view, the one-pass funnel, and CurationPipeline's gates. */
+  private[graft] def c4Cols(txt: Column, badwords: Seq[String]): Seq[(String, Column)] = {
     val keptLines = filter(split(txt, "\n"), l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
         size(split(l, " ")) >= 3)

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // passes every gate: 60 words over 6 terminal-punctuated ≥3-word lines,
+  // required stop words present, all-alpha, sane word lengths
+  private def goodText(tag: String): String =
+    (1 to 6).map(i => s"the quick brown fox of host $tag jumps over dog$i.").mkString("\n")
+
+  test("funnel stages compose conditionally; curated output survives all gates") {
+    val docs = Seq(
+      (1L, "http://a.example/x?utm_source=t", goodText("a1")),
+      (2L, "http://a.example/x", goodText("a2")),              // url-dup of 1 → dropped at stage 2
+      (3L, "http://b.example/y", goodText("a1")),              // exact text dup of 1 → dropped at stage 3
+      (4L, "http://c.example/z", "too short to pass"),         // quality drop
+      (5L, "http://d.example/w", goodText("d5")),
+      (6L, "http://d.example/v", goodText("d6"))               // host cap 1 → dropped at stage 5
+    ).toDF("id", "url", "text")
+    val r = CurationPipeline.run(docs, "text", "id", "url", hostCapK = 1)
+    val f = r.funnel.collect().head
+    assert(f.getLong(0) == 6)
+    assert(f.getLong(1) == 5, "one canonical-url dup dropped")
+    assert(f.getLong(2) == 4, "one exact dup dropped among url survivors")
+    assert(f.getLong(3) == 3, "low-quality doc dropped")
+    assert(f.getLong(4) == 2, "host d capped at 1")
+    assert(f.getLong(5) == 2, "samplePct=100 keeps all host survivors")
+    val kept = r.curated.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("url-dup loser must not shadow the digest keeper (conditional windows)") {
+    // doc 2 is a url-dup of doc 1 AND has the same text as doc 3: doc 3 must
+    // survive exact dedup (the dup check runs among URL SURVIVORS only)
+    val docs = Seq(
+      (1L, "http://a.example/x", goodText("one")),
+      (2L, "http://a.example/x?utm_source=t", goodText("three")),
+      (3L, "http://b.example/y", goodText("three"))
+    ).toDF("id", "url", "text")
+    val f = CurationPipeline.run(docs, "text", "id", "url").funnel.collect().head
+    assert(f.getLong(1) == 2 && f.getLong(2) == 2, "doc 3 survives: its dup lost at the url stage")
+  }
+
+  test("line dedup rewrites only the final survivors' text") {
+    val shared = "the quick brown fox of shared line jumps over it." // survives quality in both docs
+    val docs = Seq(
+      (1L, "http://a.example/1", shared + "\n" + goodText("p1")),
+      (2L, "http://b.example/2", shared + "\n" + goodText("p2"))
+    ).toDF("id", "url", "text")
+    val r = CurationPipeline.run(docs, "text", "id", "url")
+    val byId = r.curated.collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(byId(1L).startsWith(shared), "first occurrence keeps the shared line")
+    assert(!byId(2L).contains(shared), "second occurrence loses it")
+    assert(byId(2L).nonEmpty, "the rest of doc 2 survives")
+  }
+
+  test("funnel is ONE aggregation job over one flagged frame (no count per stage)") {
+    val docs = (1L to 40L).map(i => (i, s"http://h${i % 4}.example/$i", goodText(s"t$i")))
+      .toDF("id", "url", "text")
+    val plan = CurationPipeline.run(docs, "text", "id", "url").funnel
+      .queryExecution.executedPlan.toString
+    // one scan of the input feeding window stages — no self-joins, no unions
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("Union"), plan.take(2000))
+  }
+}
