@@ -1011,6 +1011,28 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
     }),
 
+    // sniff-level dims for the REST of the web image family (BMP LE header,
+    // endian-aware TIFF IFD walk, WebP VP8X/VP8/VP8L bit layouts) — the
+    // q29 pattern with builder-made payloads
+    "q65_image_sniff" -> ((s, dir) => {
+      def hexArr(f: Int => Array[Byte]) =
+        (0 until 200).map(m => f(m).map(b => f"${b & 0xff}%02X").mkString)
+      val bmpHex = hexArr(m => graft.media.ImageEncode.bmp(m + 100, m % 50 + 60))
+      val tifHex = hexArr(m => graft.media.ImageEncode.tiff(m + 100, m % 50 + 60, littleEndian = false))
+      val v8xHex = hexArr(m => graft.media.ImageEncode.webpVp8x(m + 100, m % 50 + 60))
+      val v8lHex = hexArr(m => graft.media.ImageEncode.webpVp8l(m + 100, m % 50 + 60))
+      val m = (col("doc_id") % 200).cast("int")
+      val payload = unhex(
+        when(col("doc_id") % 4 === 0, element_at(array(bmpHex.map(lit): _*), m + 1))
+          .when(col("doc_id") % 4 === 1, element_at(array(tifHex.map(lit): _*), m + 1))
+          .when(col("doc_id") % 4 === 2, element_at(array(v8xHex.map(lit): _*), m + 1))
+          .otherwise(element_at(array(v8lHex.map(lit): _*), m + 1)))
+      t(s, dir, "documents")
+        .withColumn("i", media_sniff(payload))
+        .select(col("doc_id"), col("i.format").as("format"),
+          col("i.width").as("width"), col("i.height").as("height"))
+    }),
+
     // Ogg container metadata (RFC 3533 page walk + Vorbis id header):
     // duration from the last page's granule position — (m+1)·441 samples at
     // 44100 Hz is exactly (m+1)·10 ms
@@ -1593,6 +1615,12 @@ object SparkEntry {
         |                     WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 3 END) AS INT) AS n_bpe,
         |  CASE doc_id % 6 WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'in'
         |       WHEN 3 THEN 'o|the|r' WHEN 4 THEN 'b|an|an|a' ELSE 'x|y|z' END AS word_tokens
+        |FROM documents""".stripMargin,
+    "q65_image_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'tiff' ELSE 'webp' END AS format,
+        |  CAST(doc_id % 200 + 100 AS INT) AS width,
+        |  CAST(doc_id % 200 % 50 + 60 AS INT) AS height
         |FROM documents""".stripMargin,
     "q64_ogg_meta" ->
       """SELECT doc_id, 'ogg' AS format,

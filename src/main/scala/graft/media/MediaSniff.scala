@@ -54,6 +54,17 @@ object MediaSniff {
     } else if (b.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
         u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E') {
       Info("wav", -1, -1)
+    } else if (b.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'E' && u(10) == 'B' && u(11) == 'P') {
+      webpDims(b)
+    } else if (b.length >= 26 && u(0) == 'B' && u(1) == 'M') {
+      // BITMAPINFOHEADER: i32 LE width at 18, height at 22 (negative = top-down)
+      def i32le(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+      Info("bmp", i32le(18), math.abs(i32le(22)))
+    } else if (b.length >= 8 &&
+        ((u(0) == 'I' && u(1) == 'I' && u(2) == 0x2a && u(3) == 0) ||
+         (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 0x2a))) {
+      tiffDims(b)
     } else if (u(0) == '%' && u(1) == 'P' && u(2) == 'D' && u(3) == 'F') {
       Info("pdf", -1, -1)
     } else if (b.length >= 8 && u(4) == 'f' && u(5) == 't' && u(6) == 'y' && u(7) == 'p') {
@@ -70,6 +81,58 @@ object MediaSniff {
     } else if (u(0) == '<') {
       Info("html", -1, -1)
     } else Info("unknown", -1, -1)
+  }
+
+  /** WebP dimensions from the first chunk: VP8X canvas (24-bit LE minus-one
+    * fields), VP8 lossy key frame (start code 9D 01 2A, 14-bit dims), or VP8L
+    * lossless (0x2F signature, packed 14-bit minus-one dims). */
+  private def webpDims(b: Array[Byte]): Info = {
+    def u(i: Int): Int = b(i) & 0xff
+    if (b.length < 20) return Info("webp", -1, -1)
+    val tag = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val p = 20 // chunk payload
+    tag match {
+      case "VP8X" if b.length >= p + 10 =>
+        val w = 1 + (u(p + 4) | (u(p + 5) << 8) | (u(p + 6) << 16))
+        val h = 1 + (u(p + 7) | (u(p + 8) << 8) | (u(p + 9) << 16))
+        Info("webp", w, h)
+      case "VP8 " if b.length >= p + 10 &&
+          u(p + 3) == 0x9d && u(p + 4) == 0x01 && u(p + 5) == 0x2a =>
+        Info("webp", (u(p + 6) | (u(p + 7) << 8)) & 0x3fff, (u(p + 8) | (u(p + 9) << 8)) & 0x3fff)
+      case "VP8L" if b.length >= p + 5 && u(p) == 0x2f =>
+        val w = 1 + (u(p + 1) | ((u(p + 2) & 0x3f) << 8))
+        val h = 1 + ((u(p + 2) >> 6) | (u(p + 3) << 2) | ((u(p + 4) & 0x0f) << 10))
+        Info("webp", w, h)
+      case _ => Info("webp", -1, -1)
+    }
+  }
+
+  /** TIFF dimensions: endian-aware IFD walk for ImageWidth (256) and
+    * ImageLength (257); SHORT values sit in the value field's FIRST two bytes
+    * in the file's byte order. */
+  private def tiffDims(b: Array[Byte]): Info = {
+    def u(i: Int): Int = b(i) & 0xff
+    val le = b(0) == 'I'
+    def u16(i: Int): Int = if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+    def u32(i: Int): Long =
+      if (le) u16(i).toLong | (u16(i + 2).toLong << 16) else (u16(i).toLong << 16) | u16(i + 2)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return Info("tiff", -1, -1)
+    val n = u16(ifd.toInt)
+    var w = -1
+    var h = -1
+    var e = 0
+    while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+      val off = ifd.toInt + 2 + e * 12
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      if (tag == 256 || tag == 257) {
+        val v = if (typ == 3) u16(off + 8) else u32(off + 8).toInt
+        if (tag == 256) w = v else h = v
+      }
+      e += 1
+    }
+    Info("tiff", w, h)
   }
 
   /** 8-dim feature vector: [mean(ch0..ch3), variance(ch0..ch3)], absent
