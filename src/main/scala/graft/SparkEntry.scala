@@ -1011,6 +1011,24 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
     }),
 
+    // REAL BMP decode (BmpDecode: stride/padding, bottom-up flip, BGR→RGB):
+    // flat 17×9 fixtures (odd width exercises row padding) decode exactly
+    "q66_bmp_features" -> ((s, dir) => {
+      val bmpHex = (0 until 200).map { m =>
+        graft.media.ImageEncode.bmpFlat(17, 9, m, (m + 60) % 256, (m + 120) % 256)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(bmpHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_r"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_g"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_b"),
+          round((element_at(col("f"), 4) + element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
+    }),
+
     // sniff-level dims for the REST of the web image family (BMP LE header,
     // endian-aware TIFF IFD walk, WebP VP8X/VP8/VP8L bit layouts) — the
     // q29 pattern with builder-made payloads
@@ -1615,6 +1633,13 @@ object SparkEntry {
         |                     WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 3 END) AS INT) AS n_bpe,
         |  CASE doc_id % 6 WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'in'
         |       WHEN 3 THEN 'o|the|r' WHEN 4 THEN 'b|an|an|a' ELSE 'x|y|z' END AS word_tokens
+        |FROM documents""".stripMargin,
+    "q66_bmp_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id % 200 + 60) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id % 200 + 120) % 256 AS DOUBLE) AS mean_b,
+        |  0.0 AS rest
         |FROM documents""".stripMargin,
     "q65_image_sniff" ->
       """SELECT doc_id,

@@ -25,6 +25,20 @@ object ImageEncode {
     o.toByteArray
   }
 
+  /** Complete flat-color 24-bit BMP (BI_RGB, bottom-up, 4-byte row padding):
+    * every pixel decodes to exactly (r, g, b). */
+  def bmpFlat(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    val header = bmp(w, h)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val o = new ByteArrayOutputStream(header.length + stride * h)
+    o.write(header, 0, header.length)
+    val row = new Array[Byte](stride)
+    var x = 0
+    while (x < w) { row(x * 3) = bl.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte; x += 1 }
+    (0 until h).foreach(_ => o.write(row, 0, stride))
+    o.toByteArray
+  }
+
   /** TIFF header + one IFD: ImageWidth (SHORT) + ImageLength (LONG). */
   def tiff(w: Int, h: Int, littleEndian: Boolean): Array[Byte] = {
     val o = new ByteArrayOutputStream()

@@ -154,6 +154,7 @@ object MediaSniff {
         .orElse(GifDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
         .orElse(WavDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
         .orElse(FlacDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
+        .orElse(BmpDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
     decoded match {
       case Some((n, channels, samples)) =>
         val sums = new Array[Double](4)
