@@ -200,6 +200,38 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("normalizeText and canonical_url are idempotent (generated samples, one pass)") {
+    val gen = new scala.util.Random(11)
+    val specials = "‘’“”–—…  ​﻿#.!?-\"'"
+    val texts = (0 until 300).map { _ =>
+      (0 until gen.nextInt(40)).map { _ =>
+        if (gen.nextBoolean()) ('a' + gen.nextInt(26)).toChar
+        else specials(gen.nextInt(specials.length))
+      }.mkString
+    }
+    val urls = (0 until 300).map { i =>
+      val scheme = if (i % 2 == 0) "http" else "HTTPS"
+      val port = Seq("", ":80", ":443", ":8080")(i % 4)
+      val q = Seq("", "?b=2&a=1", "?utm_source=x&a=1", "?utm_campaign=y")(i % 4)
+      val frag = if (i % 3 == 0) "#frag" else ""
+      s"$scheme://Host${i % 7}.Example.com$port/p$i$q$frag"
+    }
+    val df = texts.zip(urls).zipWithIndex
+      .map { case ((t, u), i) => (i.toLong, t, u) }.toDF("id", "t", "u")
+    val once = df.select(col("id"),
+      CurationOps.normalizeText(col("t")).as("t1"),
+      graft.functions.canonical_url(col("u")).as("u1"))
+    val twice = once.select(col("id"),
+      CurationOps.normalizeText(col("t1")).as("t2"),
+      graft.functions.canonical_url(col("u1")).as("u2"))
+    val joined = once.join(twice, "id").collect()
+    joined.foreach { r =>
+      assert(r.getString(1) == r.getString(3), s"normalize not idempotent: '${r.getString(1)}'")
+      assert(r.getString(2) == null && r.getString(4) == null ||
+        r.getString(2) == r.getString(4), s"canonical_url not idempotent: '${r.getString(2)}'")
+    }
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",

@@ -42,6 +42,39 @@ class StreamingExtractSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("per-row curation gates compose onto streams: normalize + quality parity with batch") {
+    // the curation ops are plain selects, so the SAME code runs over a stream
+    // — this pins that no op silently requires a batch-only feature
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val docs = (1L to 40L).map(i => (i,
+      if (i % 3 == 0) "short"
+      else (1 to 60).map(k => s"the word of item$k").mkString(" ") + "  padded… and done"))
+    val streamed = graft.ops.CurationOps.gopherQualitySignals(
+      source.toDF().toDF("doc_id", "text")
+        .withColumn("text", graft.ops.CurationOps.normalizeText(org.apache.spark.sql.functions.col("text"))),
+      "text", "doc_id")
+    val q = streamed.writeStream.format("memory").queryName("stream_gates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(docs.take(20))
+      q.processAllAvailable()
+      source.addData(docs.drop(20))
+      q.processAllAvailable()
+      val got = s.table("stream_gates")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(8))).toMap
+      val batch = graft.ops.CurationOps.gopherQualitySignals(
+        docs.toDF("doc_id", "text")
+          .withColumn("text", graft.ops.CurationOps.normalizeText(org.apache.spark.sql.functions.col("text"))),
+        "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(8))).toMap
+      assert(got == batch, "stream/batch gate divergence")
+      assert(got.values.exists(_._2) && got.values.exists(!_._2), "both verdicts present")
+    } finally q.stop()
+  }
+
   test("streaming dedup by content digest: duplicates across micro-batches dropped, state watermark-bounded") {
     val s = spark
     import s.implicits._
