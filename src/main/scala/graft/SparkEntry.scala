@@ -1011,6 +1011,32 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
     }),
 
+    // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
+    // gray little-endian fixtures alternate with RGB big-endian ones — the
+    // multi-strip and offset-indirected-array paths are spec-covered
+    "q67_tiff_features" -> ((s, dir) => {
+      val grayHex = (0 until 200).map { m =>
+        graft.media.ImageEncode.tiffFlat(16, 8, Seq(m), littleEndian = true)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      val rgbHex = (0 until 200).map { m =>
+        graft.media.ImageEncode.tiffFlat(16, 8, Seq(m, (m + 60) % 256, (m + 120) % 256),
+          littleEndian = false).map(b => f"${b & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, element_at(array(grayHex.map(lit): _*), m + 1))
+          .otherwise(element_at(array(rgbHex.map(lit): _*), m + 1)))
+      t(s, dir, "documents")
+        .withColumn("f", media_features(payload))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_1"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_2"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_3"),
+          round((element_at(col("f"), 4) + element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
+    }),
+
     // REAL BMP decode (BmpDecode: stride/padding, bottom-up flip, BGR→RGB):
     // flat 17×9 fixtures (odd width exercises row padding) decode exactly
     "q66_bmp_features" -> ((s, dir) => {
@@ -1633,6 +1659,13 @@ object SparkEntry {
         |                     WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 3 END) AS INT) AS n_bpe,
         |  CASE doc_id % 6 WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'in'
         |       WHEN 3 THEN 'o|the|r' WHEN 4 THEN 'b|an|an|a' ELSE 'x|y|z' END AS word_tokens
+        |FROM documents""".stripMargin,
+    "q67_tiff_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 200 AS DOUBLE) AS mean_1,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (doc_id % 200 + 60) % 256 END AS DOUBLE) AS mean_2,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (doc_id % 200 + 120) % 256 END AS DOUBLE) AS mean_3,
+        |  0.0 AS rest
         |FROM documents""".stripMargin,
     "q66_bmp_features" ->
       """SELECT doc_id,

@@ -54,6 +54,57 @@ object ImageEncode {
     o.toByteArray
   }
 
+  /** Complete uncompressed TIFF: 8-bit gray (1 value) or RGB (3 values),
+    * every pixel = `sample`, either byte order, optional WhiteIsZero
+    * photometric and multi-strip layout (offset-indirected value arrays). */
+  def tiffFlat(w: Int, h: Int, sample: Seq[Int], littleEndian: Boolean,
+               whiteIsZero: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+    val spp = sample.length
+    require(spp == 1 || spp == 3)
+    val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
+    val strips = (h + rps - 1) / rps
+    val rowBytes = w * spp
+    val nEntries = 9
+    val ifdStart = 8
+    var aux = ifdStart + 2 + nEntries * 12 + 4
+    val bpsOff = if (spp == 3) { val o = aux; aux += 6; o } else -1
+    val soOff = if (strips > 1) { val o = aux; aux += strips * 4; o } else -1
+    val scOff = if (strips > 1) { val o = aux; aux += strips * 4; o } else -1
+    val dataOff = aux
+    def stripRows(i: Int): Int = math.min(rps, h - i * rps)
+    def stripOff(i: Int): Int = dataOff + i * rps * rowBytes
+
+    val o = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = if (littleEndian) le16(o, v) else be16(o, v)
+    def u32(v: Int): Unit = if (littleEndian) le32(o, v) else be32(o, v)
+    if (littleEndian) { o.write('I'); o.write('I'); o.write(0x2a); o.write(0) }
+    else { o.write('M'); o.write('M'); o.write(0); o.write(0x2a) }
+    u32(ifdStart)
+    u16(nEntries)
+    def short1(tag: Int, v: Int): Unit = { u16(tag); u16(3); u32(1); u16(v); u16(0) }
+    def long1(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+    short1(256, w)
+    short1(257, h)
+    if (spp == 1) short1(258, 8) else { u16(258); u16(3); u32(3); u32(bpsOff) }
+    short1(259, 1)                                 // uncompressed
+    short1(262, if (whiteIsZero) 0 else if (spp == 3) 2 else 1)
+    if (strips == 1) long1(273, dataOff) else { u16(273); u16(4); u32(strips); u32(soOff) }
+    short1(277, spp)
+    long1(278, rps)
+    if (strips == 1) long1(279, h * rowBytes) else { u16(279); u16(4); u32(strips); u32(scOff) }
+    u32(0)                                         // next IFD
+    if (spp == 3) { u16(8); u16(8); u16(8) }
+    if (strips > 1) {
+      (0 until strips).foreach(i => u32(stripOff(i)))
+      (0 until strips).foreach(i => u32(stripRows(i) * rowBytes))
+    }
+    val row = new Array[Byte](rowBytes)
+    var x = 0
+    while (x < w) { sample.indices.foreach(c => row(x * spp + c) = sample(c).toByte); x += 1 }
+    (0 until h).foreach(_ => o.write(row, 0, rowBytes))
+    o.toByteArray
+  }
+
   private def webpContainer(tag: String, payload: Array[Byte]): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write("RIFF".getBytes, 0, 4)

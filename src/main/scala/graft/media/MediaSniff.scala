@@ -155,6 +155,7 @@ object MediaSniff {
         .orElse(WavDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
         .orElse(FlacDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
         .orElse(BmpDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
+        .orElse(TiffDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
     decoded match {
       case Some((n, channels, samples)) =>
         val sums = new Array[Double](4)
