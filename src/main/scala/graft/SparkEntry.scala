@@ -1011,6 +1011,21 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.CurationOps.normalizeText(messy).as("clean"))
     }),
 
+    // RefinedWeb-style URL blocklist gate: urls constructed in-query (blocked
+    // domain, blocked subdomain, blocked path fragment, clean) so the
+    // surviving set is closed-form
+    "q68_url_blocklist" -> ((s, dir) => {
+      val url = when(col("doc_id") % 5 === 0, lit("http://spam.example/page"))
+        .when(col("doc_id") % 5 === 1, lit("http://sub.spam.example/other"))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://ok.example/tag/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("http://ok.example/article/"), col("doc_id").cast("string")))
+      graft.ops.CurationOps.urlBlocklistFilter(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", blockedDomains = Seq("spam.example"), blockedSubstrings = Seq("/tag/"))
+        .select(col("doc_id"), col("url")).orderBy(col("doc_id"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -1660,6 +1675,12 @@ object SparkEntry {
         |  CASE doc_id % 6 WHEN 0 THEN 'the' WHEN 1 THEN 'and' WHEN 2 THEN 'in'
         |       WHEN 3 THEN 'o|the|r' WHEN 4 THEN 'b|an|an|a' ELSE 'x|y|z' END AS word_tokens
         |FROM documents""".stripMargin,
+    "q68_url_blocklist" ->
+      """SELECT doc_id,
+        |  'http://ok.example/article/' || CAST(doc_id AS VARCHAR) AS url
+        |FROM documents
+        |WHERE doc_id % 5 IN (3, 4)
+        |ORDER BY doc_id""".stripMargin,
     "q67_tiff_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_1,

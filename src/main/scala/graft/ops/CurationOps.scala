@@ -76,6 +76,27 @@ object CurationOps {
           .as("top_bigram_frac"))
   }
 
+  /**
+   * URL blocklist filtering (the RefinedWeb §3.1 pre-content gate — cheaper
+   * than any text inspection, so it runs first): drop documents whose host
+   * matches a blocked domain (exact or any-subdomain suffix) or whose url
+   * matches a blocked substring (the published lists are adult/fraud domains
+   * plus path fragments like "/tag/", "?replytocom="). The domain list is a
+   * plan constant (these lists are 10^4-10^6 entries — broadcastable
+   * always); matching is pure per-row column math, no shuffle, no UDF.
+   * Returns the surviving rows unchanged.
+   */
+  def urlBlocklistFilter(docs: DataFrame, urlCol: String,
+                         blockedDomains: Seq[String],
+                         blockedSubstrings: Seq[String] = Nil): DataFrame = {
+    val host = lower(coalesce(url_host(col(urlCol)), lit("")))
+    val domainHit = blockedDomains.map(_.toLowerCase).map(d =>
+      host === d || host.endsWith("." + d)).reduceOption(_ || _).getOrElse(lit(false))
+    val substrHit = blockedSubstrings.map(s =>
+      contains(lower(col(urlCol)), lit(s.toLowerCase))).reduceOption(_ || _).getOrElse(lit(false))
+    docs.filter(!domainHit && !substrHit)
+  }
+
   /** Per-host document cap (crawl balancing: no single host may dominate the
     * corpus): keep the first `k` documents per host in `orderCol` order. One
     * shuffle on host — the same key the extraction pipeline already salts. */

@@ -232,6 +232,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("urlBlocklistFilter: domain boundary, subdomains, substrings, null urls") {
+    val docs = Seq(
+      (1L, "http://spam.example/x"),          // exact blocked domain
+      (2L, "http://a.b.spam.example/x"),      // nested subdomain
+      (3L, "http://notspam.example/x"),       // suffix WITHOUT dot boundary: survives
+      (4L, "http://ok.example/tag/9"),        // blocked path fragment
+      (5L, "http://ok.example/TAG/9"),        // case-insensitive substring
+      (6L, "http://ok.example/article/9"),    // clean
+      (7L, "not a url at all")                // null host: survives (quarantine is B8's job)
+    ).toDF("id", "url")
+    val kept = CurationOps.urlBlocklistFilter(docs, "url",
+      blockedDomains = Seq("SPAM.example"), blockedSubstrings = Seq("/tag/"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 6L, 7L))
+  }
+
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {
     val cases = Seq(
       "write to john.doe+x@sub.example.org today" -> "write to [EMAIL] today",
