@@ -239,7 +239,8 @@ object AvMeta {
     var channels = -1
     var bytesPerFrame = 0
     var dataLen = -1L
-    while (pos + 8 <= b.length && (sampleRate < 0 || dataLen < 0)) {
+    var walking = true
+    while (walking && pos + 8 <= b.length && (sampleRate < 0 || dataLen < 0)) {
       val id = fourcc(b, pos)
       val len = u32le(pos + 4)
       val body = pos + 8
@@ -250,7 +251,13 @@ object AvMeta {
       } else if (id == "data") {
         dataLen = math.min(len, (b.length - body).toLong)
       }
-      pos = body + len.toInt + (len.toInt & 1)
+      // next offset in LONG arithmetic: a crafted 32-bit length like
+      // 0xFFFFFFF8 would wrap `body + len.toInt` back to pos (no exception,
+      // so the NonFatal wrapper never fires) and spin this walk forever —
+      // hostile crawl bytes must never hang an executor task
+      val next = body.toLong + len + (len & 1L)
+      if (next <= pos || next > Int.MaxValue) walking = false
+      else pos = next.toInt
     }
     if (sampleRate <= 0 || bytesPerFrame <= 0 || dataLen < 0) unknown
     else AvInfo("wav", (dataLen / bytesPerFrame) * 1000L / sampleRate, sampleRate, channels, -1, -1)

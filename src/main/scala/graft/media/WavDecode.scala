@@ -27,8 +27,9 @@ object WavDecode {
       var channels = 0
       var bits = 0
       var fmtOk = false
+      var walking = true
       var data: (Int, Int) = null // (offset, length)
-      while (pos + 8 <= b.length && (data == null || !fmtOk)) {
+      while (walking && pos + 8 <= b.length && (data == null || !fmtOk)) {
         val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val len = u32(pos + 4)
         if (len < 0 || len > Int.MaxValue) return None
@@ -45,7 +46,12 @@ object WavDecode {
             data = (body, avail)
           case _ => ()
         }
-        pos = body + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        // word-aligned next chunk, computed in Long arithmetic: an Int sum
+        // near 2^31 would wrap negative-or-backwards and spin the walk (the
+        // AvMeta.wav hostile-length pattern) — stop instead of looping
+        val next = body.toLong + len + (len & 1L)
+        if (next <= pos || next > Int.MaxValue) walking = false
+        else pos = next.toInt
       }
       if (!fmtOk || data == null) return None
       val (off, dlen) = data

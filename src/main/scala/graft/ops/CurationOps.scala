@@ -89,11 +89,15 @@ object CurationOps {
   def urlBlocklistFilter(docs: DataFrame, urlCol: String,
                          blockedDomains: Seq[String],
                          blockedSubstrings: Seq[String] = Nil): DataFrame = {
+    // NULL url must SURVIVE (the quarantine-downstream stance every other
+    // gate takes): contains(lower(NULL), …) is NULL, and a NULL predicate
+    // filters the row — so both match sides run over a ""-coalesced url
+    val u = lower(coalesce(col(urlCol), lit("")))
     val host = lower(coalesce(url_host(col(urlCol)), lit("")))
     val domainHit = blockedDomains.map(_.toLowerCase).map(d =>
       host === d || host.endsWith("." + d)).reduceOption(_ || _).getOrElse(lit(false))
     val substrHit = blockedSubstrings.map(s =>
-      contains(lower(col(urlCol)), lit(s.toLowerCase))).reduceOption(_ || _).getOrElse(lit(false))
+      contains(u, lit(s.toLowerCase))).reduceOption(_ || _).getOrElse(lit(false))
     docs.filter(!domainHit && !substrHit)
   }
 

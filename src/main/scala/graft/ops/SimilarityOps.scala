@@ -79,6 +79,16 @@ object SimilarityOps {
     math.min(24, math.max(minPlanes,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
+  /** Partition count for the narrow (id, table, bucket) checkpoint in
+    * embeddingNearDupPairs: ≈500k rows per block, never below the session's
+    * parallelism (the coalesce runs BEFORE the checkpoint materializes, so a
+    * lower floor would serialize the bucket-hash + cap-window pipeline onto
+    * fewer cores than the host has — the round-4 q34/q41 regression), capped
+    * at 2^14 blocks. Exposed for the spec that pins all three regimes. */
+  private[graft] def checkpointPartitions(rows: Long, nTables: Int, parallelism: Int): Int =
+    math.min(1L << 14,
+      math.max(math.max(1, parallelism).toLong, rows * nTables / 500000L)).toInt
+
   /** Buckets larger than maxBucketSize across the (table, bucket) keys —
     * the skew diagnostic for the cap applied in embeddingNearDupPairs. */
   def oversizedBuckets(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
@@ -131,7 +141,7 @@ object SimilarityOps {
             else planesFor(if (approxRows > 0) approxRows else df.count(), targetBucketSize)
     val emb = df.select(col(idCol).as("_id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"))
-    // ALL tables ride one composite "<table>:<bucket>" key: a single L×n-row
+    // ALL tables ride one composite (table, bucket) key: a single L×n-row
     // shuffle + self-join instead of L separate full shuffles (at 10^10 rows
     // the union-of-joins shape pays the corpus shuffle L times over).
     // The per-table buckets are materialized as ONE array column first: any
@@ -141,8 +151,6 @@ object SimilarityOps {
       lshBucket(col("_v"), lshPlanes(k, dim, seed = t.toLong * 0x9e37L))
     }: _*)
     val withB = emb.select(col("_id"), buckets.as("_buckets"))
-    def tableKey(t: Column, bucket: Column): Column =
-      concat(t.cast("string"), lit(":"), bucket.cast("string"))
     // one NARROW (id, table:int, bucket:int) row per (vector, table); the
     // bucket-size cap (window over the (table, bucket) key — same shuffle)
     // removes oversized-bucket rows from BOTH sides: a row in a degenerate
@@ -151,19 +159,25 @@ object SimilarityOps {
     val perTable = withB.select(col("_id"),
         posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
     val w = Window.partitionBy(col("_t"), col("_bucket"))
-    // checkpoint partition count ∝ data (≈500k narrow rows per partition):
-    // the window stage inherits shuffle.partitions, and a small corpus would
-    // otherwise materialize 32 near-empty blocks that every downstream job
-    // re-pays as scheduling floor; at 10^10 rows the cap leaves partitioning
-    // untouched. coalesce, not repartition — no extra shuffle.
-    val ckptParts = math.max(1L, math.min(1 << 14,
-      (if (approxRows > 0) approxRows else 1000000L) * nTables / 500000L)).toInt
-    val capped0 = perTable
+    // checkpoint partition count ∝ data (≈500k narrow rows per partition),
+    // FLOORED at the session's parallelism: coalesce happens BEFORE the
+    // checkpoint materializes, so a floor below the core count would run the
+    // whole explode+window+checkpoint pipeline at that width — the round-4
+    // regression coalesced a 40k-row corpus to ONE task (43% on q34). At
+    // 10^10 rows the size term dominates and the 2^14 cap bounds block count.
+    // coalesce, not repartition — no extra shuffle; coalesce above the actual
+    // partition count is a no-op, so no partition-count probe is needed (an
+    // rdd.getNumPartitions probe under AQE finalizes the adaptive plan and
+    // EXECUTES the explode+window stages once before the checkpoint runs them
+    // again — the exact double-run the checkpoint exists to avoid).
+    val ckptParts = checkpointPartitions(
+      if (approxRows > 0) approxRows else 1000000L, nTables,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val capped = perTable
       .withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
-    val capped = capped0
-      .coalesce(math.max(1, math.min(ckptParts, capped0.rdd.getNumPartitions)))
+      .coalesce(ckptParts)
       // the build and probe branches below are DIFFERENT projections of this
       // subtree (no exchange reuse possible): materialize it once
       // (localCheckpoint — eager, lineage-truncated, blocks freed on GC) so
@@ -172,20 +186,42 @@ object SimilarityOps {
       // is checkpointed — the k+1 probe-key STRINGS per row (~25× wider) are
       // derived from the 4-byte bucket AFTER the checkpoint, not stored in it
       .localCheckpoint(true)
-    // the explosive stage is NARROW (id, key) only — vectors (16× wider) are
-    // attached AFTER candidate pairs are deduped, the same shape as
-    // nearDupPairs' band join
-    val keyed = capped.select(col("_id"), tableKey(col("_t"), col("_bucket")).as("_tb"))
-    val probed = capped.select(col("_id"), col("_t"),
-        explode(probeBuckets(col("_bucket"), k)).as("_pb"))
-      .select(col("_id"), tableKey(col("_t"), col("_pb")).as("_tb"))
+    // the explosive stage is NARROW (id, key) only, and the join key is a
+    // PACKED LONG (table in the high bits, bucket in the low 24) — a long
+    // hashes/compares in one codegen'd op where the former "t:bucket" string
+    // key paid two casts + a concat + bytewise hashing per probe row
+    def packKey(t: Column, bucket: Column): Column =
+      shiftleft(t.cast("long"), 24).bitwiseOR(bucket.cast("long"))
+    // ASCENDING-ONLY multi-probe: flip only ZERO bits to one. A Hamming-1
+    // pair lands in buckets differing in exactly one bit, and the row in the
+    // LOWER bucket probes up into the other — flipping set bits too would
+    // only rediscover every cross-bucket pair from the second direction
+    // (2× join input for an identical candidate-pair set; set-equality is
+    // asserted by AnnSpec). Same-bucket pairs come from the radius-0 own-key
+    // probe. Nulls mark skipped set bits and are filtered after the explode
+    // (a plain codegen'd filter — an array-level lambda would be interpreted).
+    val keyed = capped.select(col("_id"), packKey(col("_t"), col("_bucket")).as("_tb"))
+    val ascProbes = array(col("_bucket") +: (0 until k).map(i =>
+      when(col("_bucket").bitwiseAND(lit(1 << i)) === 0,
+        col("_bucket").bitwiseOR(lit(1 << i)))): _*)
+    val probed = capped.select(col("_id"), col("_t"), explode(ascProbes).as("_pb"))
+      .filter(col("_pb").isNotNull)
+      .select(col("_id"), packKey(col("_t"), col("_pb")).as("_tb"))
+    // probe direction no longer implies id order, so orientation is by
+    // least/greatest and self-pairs are excluded with =!=
     val candidates = probed.as("x").join(keyed.as("y"),
-        col("x._tb") === col("y._tb") && col("x._id") < col("y._id"))
-      .select(col("x._id").as("a"), col("y._id").as("b"))
-      .distinct()
+        col("x._tb") === col("y._tb") && col("x._id") =!= col("y._id"))
+      .select(least(col("x._id"), col("y._id")).as("a"),
+        greatest(col("x._id"), col("y._id")).as("b"))
     // the verify uses the NATIVE CosineSim expression (one fused loop): the
     // interpreted aggregate+zip_with form cost 17 CPU-s for 2k vectors'
-    // candidates at sf0.1 — higher-order functions never enter codegen
+    // candidates at sf0.1 — higher-order functions never enter codegen.
+    // Dedup runs AFTER the verify, not before: pre-verify distinct is a full
+    // exchange + hash-agg of the ENTIRE candidate stream to remove only the
+    // ≤(L + 1)-fold duplication the table/probe overlap produces, while the
+    // cosine filter typically keeps a tiny fraction — re-verifying a few
+    // duplicates costs codegen'd flops, the up-front exchange costs a full
+    // shuffle of the widest intermediate (measured 1.0s of q34's 2.5s).
     val vecs = emb.select(col("_id"), col("_v"))
     candidates
       .join(vecs.select(col("_id"), col("_v").as("_va")), col("a") === col("_id")).drop("_id")
@@ -193,5 +229,6 @@ object SimilarityOps {
       .withColumn("cosine", cosine_sim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+      .dropDuplicates("a", "b")
   }
 }

@@ -15,9 +15,23 @@ import scala.collection.mutable
  */
 object Bpe {
 
-  /** BPE split of one word. */
+  /** BPE split of one word. Initial symbols are CODE POINTS, not UTF-16
+    * chars: a char split would seed non-BMP text (emoji, rare CJK — routine
+    * in crawl data) as unpaired surrogate halves, and any unmerged half is an
+    * invalid string that mangles to U+FFFD through UTF8String — breaking the
+    * concatenation-conserves-content property. */
   def tokenizeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var parts = word.map(_.toString).toVector
+    var parts = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += word.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
     var done = parts.length <= 1
     while (!done) {
       var best = -1

@@ -22,6 +22,59 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == brute, "radius = nPlanes probes every bucket — results must be exact")
   }
 
+  test("LSH checkpoint partition count: floored at parallelism, scales with rows") {
+    import ops.SimilarityOps.checkpointPartitions
+    // small/mid corpora must KEEP the session's parallelism: the coalesce
+    // runs before the checkpoint materializes, so any lower value would
+    // execute the bucket-hash + cap-window pipeline on fewer cores than the
+    // host has (the round-4 q34/q41 regression coalesced 40k rows to 1 task)
+    assert(checkpointPartitions(40000L, 4, 32) == 32)
+    assert(checkpointPartitions(0L, 4, 32) == 32)
+    // the size term takes over at ≈500k rows/block and keeps growing
+    assert(checkpointPartitions(100000000L, 4, 32) == 800)
+    assert(checkpointPartitions(1000000000L, 4, 32) > checkpointPartitions(100000000L, 4, 32))
+    // bounded block count at extreme scale; degenerate parallelism never 0
+    assert(checkpointPartitions(Long.MaxValue / 8, 4, 32) == (1 << 14))
+    assert(checkpointPartitions(10L, 1, 0) == 1)
+  }
+
+  test("ascending-only probes find the same pair set as bidirectional Hamming-1") {
+    import org.apache.spark.sql.functions._
+    import ops.SimilarityOps
+    // reference: bidirectional radius-1 probing (probeBuckets) + exact verify,
+    // built here from the public pieces — the implementation's asc-only probe
+    // (flip zero bits only) plus least/greatest orientation must yield the
+    // IDENTICAL pair set: for a Hamming-1 pair the lower bucket probes up,
+    // for a same-bucket pair the radius-0 key joins both ways
+    val embT = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val perturbed = embT.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, x * 1.2f + 0.1f, x))").as("embedding"))
+    val df = embT.unionByName(perturbed)
+    val n = df.count()
+    val k = SimilarityOps.planesFor(n, 64)
+    val dim = SimilarityOps.embeddingDim(df, "embedding")
+    val nTables = 4
+    val emb = df.select(col("vec_id").as("_id"),
+      transform(col("embedding"), x => x.cast("double")).as("_v"))
+    val reference = (0 until nTables).map { t =>
+      val planes = SimilarityOps.lshPlanes(k, dim, seed = t.toLong * 0x9e37L)
+      val b = emb.withColumn("_bucket", SimilarityOps.lshBucket(col("_v"), planes))
+      val probed = b.select(col("_id"), col("_v"),
+        explode(SimilarityOps.probeBuckets(col("_bucket"), k)).as("_pb"))
+      probed.as("x").join(b.as("y"), col("x._pb") === col("y._bucket") &&
+          col("x._id") < col("y._id"))
+        .withColumn("cosine", graft.functions.cosine_sim(col("x._v"), col("y._v")))
+        .filter(col("cosine") >= 0.95)
+        .select(col("x._id").as("a"), col("y._id").as("b"))
+    }.reduce(_ unionByName _).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityOps.embeddingNearDupPairs(df, "embedding", "vec_id",
+        threshold = 0.95, approxRows = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == reference)
+  }
+
   test("production single-probe LSH (radius=1) recall@5 vs brute force") {
     import org.apache.spark.sql.functions._
     import ops.SimilarityOps

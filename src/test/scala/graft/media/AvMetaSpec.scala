@@ -151,6 +151,17 @@ class AvMetaSpec extends AnyFunSuite {
     AvMeta.parse(bad)
   }
 
+  test("wav: hostile chunk length 0xFFFFFFF8 terminates the walk (no hang)") {
+    // len.toInt = -8 makes the Int-arithmetic next offset equal the old pos
+    // with NO exception — the walk must detect the non-advance and stop
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(Array[Byte](36, 0, 0, 0), 0, 4); out.write("WAVE".getBytes)
+    out.write("junk".getBytes); out.write(Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte), 0, 4)
+    out.write(new Array[Byte](64), 0, 64)
+    val i = AvMeta.parse(out.toByteArray) // must return, not spin
+    assert(i.format == "unknown" || i.format == "wav")
+  }
+
   test("MediaSniff.sniff detects the new container formats") {
     assert(MediaSniff.sniff(AvEncode.mp4Video(64, 64, 1L, 1L)).format == "mp4")
     assert(MediaSniff.sniff(AvEncode.mp3Silent(1)).format == "mp3")

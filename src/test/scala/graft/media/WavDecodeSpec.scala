@@ -60,6 +60,16 @@ class WavDecodeSpec extends AnyFunSuite {
     (1 until good.length).foreach(n => WavDecode.decode(good.take(n)))
   }
 
+  test("hostile chunk length near 2^32 terminates the walk (no hang, no throw)") {
+    // unknown chunk with length 0xFFFFFFF8: guarded Int arithmetic would
+    // either spin in place or wrap pos negative — the Long-guard must stop
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(Array[Byte](36, 0, 0, 0), 0, 4); out.write("WAVE".getBytes)
+    out.write("junk".getBytes); out.write(Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte), 0, 4)
+    out.write(new Array[Byte](64), 0, 64)
+    assert(WavDecode.decode(out.toByteArray).isEmpty)
+  }
+
   test("MediaSniff.features: flat 8-bit PCM yields exact mean, zero variance") {
     val f = MediaSniff.features(wav(1, 1, 8, Array.fill(256)(123.toByte)))
     assert(f(0) == 123f && f(4) == 0f)

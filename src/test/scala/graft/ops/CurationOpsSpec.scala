@@ -240,12 +240,14 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
       (4L, "http://ok.example/tag/9"),        // blocked path fragment
       (5L, "http://ok.example/TAG/9"),        // case-insensitive substring
       (6L, "http://ok.example/article/9"),    // clean
-      (7L, "not a url at all")                // null host: survives (quarantine is B8's job)
+      (7L, "not a url at all"),               // null host: survives (quarantine is B8's job)
+      (8L, null.asInstanceOf[String])         // NULL url: contains(NULL,…) is NULL — a
+                                              // non-null-safe predicate would silently drop it
     ).toDF("id", "url")
     val kept = CurationOps.urlBlocklistFilter(docs, "url",
       blockedDomains = Seq("SPAM.example"), blockedSubstrings = Seq("/tag/"))
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(3L, 6L, 7L))
+    assert(kept == Set(3L, 6L, 7L, 8L))
   }
 
   test("redactPii: emails, IPv4, phone runs → placeholders; clean text untouched") {

@@ -39,4 +39,17 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenizeWord("x", r) == Vector("x"))
     assert(Bpe.tokenizeWord("xyz", r) == Vector("x", "y", "z"))
   }
+
+  test("non-BMP code points stay whole: no unpaired surrogate halves") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀: one code point, two chars
+    assert(Bpe.tokenizeWord(s"a${emoji}b", rk()) == Vector("a", emoji, "b"))
+    // every emitted token must be a VALID string (round-trips through UTF-8)
+    for (t <- Bpe.tokenize(s"$emoji$emoji ok", rk())) {
+      assert(new String(t.getBytes("UTF-8"), "UTF-8") == t)
+      assert(!t.contains('�'))
+    }
+    // merges apply across code-point symbols like any other pair
+    val r = rk(("a", emoji))
+    assert(Bpe.tokenizeWord(s"a${emoji}", r) == Vector(s"a$emoji"))
+  }
 }
