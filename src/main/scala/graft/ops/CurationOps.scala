@@ -101,13 +101,49 @@ object CurationOps {
     docs.filter(!domainHit && !substrHit)
   }
 
-  /** Per-host document cap (crawl balancing: no single host may dominate the
-    * corpus): keep the first `k` documents per host in `orderCol` order. One
-    * shuffle on host — the same key the extraction pipeline already salts. */
-  def hostCap(docs: DataFrame, hostCol: String, orderCol: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  /**
+   * Per-host document cap (crawl balancing: no single host may dominate the
+   * corpus): keep the first `k` documents per host in `orderCol` order
+   * (`orderCol` is assumed unique within a host — ids, timestamps).
+   *
+   * Skew-safe two-phase shape (the host key is EXACTLY the one the extraction
+   * pipeline salts — head hosts are 10^7-10^8 docs at design scale, and a
+   * single `row_number` window would sort every one of them in ONE task):
+   *   1. per-host counts (map-side combine) → the HEAVY host list (count > k,
+   *      at most n/k hosts — broadcastable always) tags rows via a broadcast
+   *      join; LIGHT hosts cannot exceed the cap, so their rows pass through
+   *      with no window at all.
+   *   2. the heavy slice alone runs a two-level top-k: a salted window over
+   *      (host, hash(orderCol) % saltBuckets) keeps each salted group's first
+   *      k (a superset of the global first-k, ≤ saltBuckets·k rows per host),
+   *      then the final ordered window ranks only that bounded remnant — no
+   *      task ever sorts more than max(c/saltBuckets, saltBuckets·k) rows.
+   * Result set is IDENTICAL to the naive single-window form (asserted by
+   * PlanAuditSpec against a zipf-head fixture).
+   */
+  def hostCap(docs: DataFrame, hostCol: String, orderCol: String, k: Int,
+              saltBuckets: Int = 64): DataFrame = {
+    require(k >= 0 && saltBuckets >= 1)
+    val counts = docs.groupBy(col(hostCol)).agg(count(lit(1)).as("_hc"))
+    val heavy = counts.filter(col("_hc") > k)
+      .select(col(hostCol).as("_hchost")).withColumn("_heavy", lit(true))
+    // null-safe equality: a null host is a host like any other here (the
+    // naive window groups nulls together and caps them; a plain join key
+    // would silently exempt them from the cap)
+    val tagged = docs.join(broadcast(heavy), col(hostCol) <=> col("_hchost"), "left")
+      .drop("_hchost")
+    val original = docs.columns.map(col)
+    val light = tagged.filter(col("_heavy").isNull).select(original: _*)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol), col("_hcsalt")).orderBy(col(orderCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(hostCol)).orderBy(col(orderCol).asc)
-    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+    val heavyKept = tagged.filter(col("_heavy") === true)
+      .withColumn("_hcsalt", pmod(xxhash64(col(orderCol)), lit(saltBuckets.toLong)))
+      .withColumn("_rn1", row_number().over(w1)).filter(col("_rn1") <= k)
+      .withColumn("_rn2", row_number().over(w2)).filter(col("_rn2") <= k)
+      .select(original: _*)
+    light.unionByName(heavyKept)
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,69 +20,105 @@ import graft.ops.CurationOps
  *   6. deterministic splitmix sampling
  *   7. CCNet line-level dedup applied to the final survivors' text
  *
- * Scale shape: stages 1-6 are FLAG COLUMNS over one frame — conditional
- * membership composes through windows (`min(when(prev_keep, id))` over the
- * stage key gives the stage's keeper among prior survivors; a conditional
- * running count gives the host cap) — so the whole funnel is computed in one
- * plan: per-stage counts are ONE aggregation job (never a count() action per
- * stage), and the curated output is a filter on the same frame. Only the
- * line-dedup rewrite (stage 7, a text transform, not a row filter) runs as
- * its own shuffling pass over the already-curated subset.
+ * Scale shape: stages 1-6 are computed over ONE NARROW flag frame —
+ * (id, host, stage-keep booleans), ~40 bytes/row — materialized once with a
+ * localCheckpoint after the url/digest windows run. Everything downstream
+ * (the per-host survivor counts, the heavy-host cap, the funnel counts, the
+ * curated keep-set) reads that materialization instead of re-running the
+ * text scan + windows per action (the funnel and the curated write are
+ * separate actions — without the checkpoint the whole wide plan executed
+ * once per action). Conditional stage membership composes through windows:
+ * `min(when(prev_keep, id))` over the stage key gives the stage's keeper
+ * among prior survivors.
+ *
+ * The host cap is the SKEW-SAFE two-phase shape (the extraction pipeline
+ * salts exactly this key — a head host is 10^7-10^8 docs at design scale):
+ * per-host quality-survivor counts → broadcast heavy-host list → rows of
+ * LIGHT hosts keep unconditionally (they cannot exceed the cap) → only the
+ * heavy slice runs the ordered windows, salted first (bounded partitions),
+ * final rank on the ≤ saltBuckets·k remnant. Funnel counts come from two
+ * small aggregations over the checkpoint (all rows; cap survivors) joined
+ * into one row — never a count() action per stage, never a corpus rescan.
  */
 object CurationPipeline {
 
   final case class Result(curated: DataFrame, funnel: DataFrame)
 
-  /** `docs` must carry (idCol: long-castable, urlCol, textCol). `gates`
-    * picks the quality rule sets ("gopher", "c4", both, or empty) — the
-    * published pipelines differ exactly here (C4's terminal-punctuation line
-    * rule deletes punctuation-free corpora outright; Gopher's doesn't). */
+  /** `docs` must carry (idCol: unique long-castable, urlCol, textCol).
+    * `gates` picks the quality rule sets ("gopher", "c4", both, or empty) —
+    * the published pipelines differ exactly here (C4's terminal-punctuation
+    * line rule deletes punctuation-free corpora outright; Gopher's doesn't). */
   def run(docs: DataFrame, textCol: String, idCol: String, urlCol: String,
           hostCapK: Int = 100000, samplePct: Int = 100,
-          gates: Set[String] = Set("gopher", "c4")): Result = {
+          gates: Set[String] = Set("gopher", "c4"),
+          saltBuckets: Int = 64): Result = {
     val norm = CurationOps.normalizeText(col(textCol))
-    val base = docs.select(
-      col(idCol).as("_id"),
-      col(urlCol).as("_url"),
-      norm.as("_text"),
-      coalesce(canonical_url(col(urlCol)), col(urlCol)).as("_curl"),
-      url_host(col(urlCol)).as("_host"))
-      .withColumn("_digest", text_digest(col("_text")))
+    val quality = Seq(
+      if (gates.contains("gopher")) Some(gopherKeep(norm)) else None,
+      if (gates.contains("c4")) Some(c4Keep(norm)) else None)
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
 
     val urlW = Window.partitionBy(col("_curl"))
     val digW = Window.partitionBy(col("_digest"))
-    val quality = Seq(
-      if (gates.contains("gopher")) Some(gopherKeep(col("_text"))) else None,
-      if (gates.contains("c4")) Some(c4Keep(col("_text"))) else None)
-      .flatten.reduceOption(_ && _).getOrElse(lit(true))
-    val hostW = Window.partitionBy(col("_host")).orderBy(col("_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val flagged = base
+    // the narrow flag frame: text/url are scanned ONCE here and not carried —
+    // only ids, the window keys, and per-row verdicts flow into the windows,
+    // and only (id, host, flags) survives into the checkpoint
+    val flagged = docs.select(
+        col(idCol).as("_id"),
+        url_host(col(urlCol)).as("_host"),
+        coalesce(canonical_url(col(urlCol)), col(urlCol)).as("_curl"),
+        text_digest(norm).as("_digest"),
+        quality.as("_q"))
       .withColumn("_url_keep", col("_id") === min(col("_id")).over(urlW))
       // exact-dup keeper AMONG url survivors: min id with _url_keep per digest
       .withColumn("_dig_keep", col("_url_keep") &&
         col("_id") === min(when(col("_url_keep"), col("_id"))).over(digW))
-      .withColumn("_q_keep", col("_dig_keep") && quality)
-      // conditional running count of quality survivors per host ⇒ cap without
-      // a row_number that would miscount dropped rows
-      .withColumn("_host_keep", col("_q_keep") &&
-        sum(when(col("_q_keep"), 1L).otherwise(0L)).over(hostW) <= hostCapK)
-      .withColumn("_keep", col("_host_keep") &&
-        pmod(splitmix64(col("_id").cast("long").bitwiseXOR(lit(0x5eedL))), lit(100)) < samplePct)
+      .withColumn("_q_keep", col("_dig_keep") && col("_q"))
+      .select(col("_id"), col("_host"), col("_url_keep"), col("_dig_keep"), col("_q_keep"))
+      .localCheckpoint(true)
 
-    val funnel = flagged.agg(
+    // ---- stage 5: two-phase host cap among quality survivors -------------
+    val survivors = flagged.filter(col("_q_keep")).select(col("_id"), col("_host"))
+    val heavy = survivors.groupBy(col("_host")).agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") > hostCapK)
+      .select(col("_host").as("_hhost")).withColumn("_heavy", lit(true))
+    val tagged = survivors
+      .join(broadcast(heavy), col("_host") <=> col("_hhost"), "left")
+    // light hosts (≤ hostCapK survivors) keep every row — no window; only the
+    // heavy slice ranks: salted window first (each task sees ≤ c/saltBuckets
+    // rows of a head host), then the final rank over the ≤ saltBuckets·k
+    // remnant the salted filter left (the filter sits BETWEEN the windows, so
+    // the second sorts only the bounded remnant)
+    val w1 = Window.partitionBy(col("_host"), col("_salt")).orderBy(col("_id").asc)
+    val w2 = Window.partitionBy(col("_host")).orderBy(col("_id").asc)
+    val lightIds = tagged.filter(col("_heavy").isNull).select(col("_id"))
+    val heavyKeptIds = tagged.filter(col("_heavy") === true)
+      .withColumn("_salt", pmod(splitmix64(col("_id").cast("long")), lit(saltBuckets.toLong)))
+      .withColumn("_rn1", row_number().over(w1)).filter(col("_rn1") <= hostCapK)
+      .withColumn("_rn2", row_number().over(w2)).filter(col("_rn2") <= hostCapK)
+      .select(col("_id"))
+    val afterCapIds = lightIds.unionByName(heavyKeptIds)
+
+    // ---- stage 6 + funnel -------------------------------------------------
+    val smp = pmod(splitmix64(col("_id").cast("long").bitwiseXOR(lit(0x5eedL))), lit(100)) < samplePct
+    val aggAll = flagged.agg(
       count(lit(1)).as("n_docs"),
-      sum(when(col("_url_keep"), 1L).otherwise(0L)).as("n_after_url_dedup"),
-      sum(when(col("_dig_keep"), 1L).otherwise(0L)).as("n_after_exact_dedup"),
-      sum(when(col("_q_keep"), 1L).otherwise(0L)).as("n_after_quality"),
-      sum(when(col("_host_keep"), 1L).otherwise(0L)).as("n_after_host_cap"),
-      sum(when(col("_keep"), 1L).otherwise(0L)).as("n_curated"))
+      coalesce(sum(when(col("_url_keep"), 1L)), lit(0L)).as("n_after_url_dedup"),
+      coalesce(sum(when(col("_dig_keep"), 1L)), lit(0L)).as("n_after_exact_dedup"),
+      coalesce(sum(when(col("_q_keep"), 1L)), lit(0L)).as("n_after_quality"))
+    val aggCap = afterCapIds.agg(
+      count(lit(1)).as("n_after_host_cap"),
+      coalesce(sum(when(smp, 1L)), lit(0L)).as("n_curated"))
+    val funnel = aggAll.crossJoin(aggCap).select(
+      col("n_docs"), col("n_after_url_dedup"), col("n_after_exact_dedup"),
+      col("n_after_quality"), col("n_after_host_cap"), col("n_curated"))
 
-    val survivors = flagged.filter(col("_keep"))
-      .select(col("_id"), col("_url"), col("_text"))
-    val curated = CurationOps.dropDuplicatedLines(survivors, "_text", "_id")
-      .join(survivors.select(col("_id"), col("_url")), Seq("_id"))
+    // ---- curated output: keep-set ids → one per-row rescan of the corpus --
+    val keepIds = afterCapIds.filter(smp)
+    val base = docs.select(col(idCol).as("_id"), col(urlCol).as("_url"), norm.as("_text"))
+    val kept = base.join(keepIds, Seq("_id"), "left_semi")
+    val curated = CurationOps.dropDuplicatedLines(kept, "_text", "_id")
+      .join(kept.select(col("_id"), col("_url")), Seq("_id"))
       .select(col("_id").as(idCol), col("_url").as(urlCol),
         col("text_deduped").as(textCol))
     Result(curated, funnel)
@@ -90,9 +126,9 @@ object CurationPipeline {
 
   // the exact rule expressions the q55/q56 oracles pin — shared builders in
   // CurationOps, so the job's gates can never drift from the audited views
-  private def gopherKeep(txt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def gopherKeep(txt: Column): Column =
     CurationOps.gopherCols(txt).toMap.apply("keep")
 
-  private def c4Keep(txt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def c4Keep(txt: Column): Column =
     CurationOps.c4Cols(txt, Seq("lorem ipsum")).toMap.apply("keep")
 }

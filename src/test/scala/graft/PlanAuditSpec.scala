@@ -173,6 +173,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 
+  test("hostCap: zipf-head host routes through the salted two-level windows, not one task") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // zipf-ish fixture: one head host with 3000 docs, a tail of small hosts —
+    // the shape where a single row_number window puts the whole head host
+    // into ONE task's sort (the extraction pipeline salts exactly this key)
+    val docs = ((1L to 3000L).map(i => (i, "head.example")) ++
+      (3001L to 3300L).map(i => (i, s"tail${i % 30}.example"))).toDF("doc_id", "host")
+    val k = 25
+    val capped = ops.CurationOps.hostCap(docs, "host", "doc_id", k, saltBuckets = 8)
+    // result set identical to the naive single-window form
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    val naive = docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = capped.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == naive)
+    // plan shape: the heavy branch windows over (host, salt) BEFORE the final
+    // host-only rank, and the light branch reaches the union with NO window
+    val s = planString(capped)
+    assert(s.contains("_hcsalt"), s.take(3000))
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    // exactly TWO window nodes in the whole plan — both on the heavy branch
+    // (salted rank, then final rank over the salted remnant); the light
+    // branch contributes none, so tail-host rows never enter any sort
+    val nWindows = "(?m)^\\s*[+:]?-* ?Window ".r.findAllIn(s).size
+    assert(nWindows == 2, s"expected 2 Window nodes, saw $nWindows:\n${s.take(3000)}")
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to

@@ -60,13 +60,35 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(byId(2L).nonEmpty, "the rest of doc 2 survives")
   }
 
-  test("funnel is ONE aggregation job over one flagged frame (no count per stage)") {
+  test("funnel reads the checkpointed narrow flags — no corpus rescan, no per-stage count") {
     val docs = (1L to 40L).map(i => (i, s"http://h${i % 4}.example/$i", goodText(s"t$i")))
       .toDF("id", "url", "text")
-    val plan = CurationPipeline.run(docs, "text", "id", "url").funnel
-      .queryExecution.executedPlan.toString
-    // one scan of the input feeding window stages — no self-joins, no unions
-    assert(!plan.contains("Join"), plan.take(2000))
-    assert(!plan.contains("Union"), plan.take(2000))
+    val funnel = CurationPipeline.run(docs, "text", "id", "url").funnel
+    val plan = funnel.queryExecution.executedPlan.toString
+    // every stage count derives from the eager narrow checkpoint: the funnel
+    // plan scans the materialized RDD, never the input table (no text/url
+    // recompute — digest/quality/window flags were computed exactly once)
+    assert(plan.contains("ExistingRDD"), plan.take(3000))
+    assert(!plan.contains("LocalTableScan"), plan.take(3000))
+    assert(!plan.contains("sha2"), plan.take(3000))
+    // stage counts are flag sums + the cap-survivor count joined into one
+    // row — still no count() action per stage (a single collect yields all 6)
+    assert(funnel.columns.toSeq == Seq("n_docs", "n_after_url_dedup",
+      "n_after_exact_dedup", "n_after_quality", "n_after_host_cap", "n_curated"))
+  }
+
+  test("host cap routes heavy hosts through the salted two-level rank (pipeline)") {
+    // one heavy host (30 quality survivors, cap 5) + light hosts: counts and
+    // curated ids must equal the naive first-k-per-host semantics
+    val docs = ((1L to 30L).map(i => (i, s"http://heavy.example/$i", goodText(s"h$i"))) ++
+      (31L to 40L).map(i => (i, s"http://light${i % 3}.example/$i", goodText(s"l$i"))))
+      .toDF("id", "url", "text")
+    val r = CurationPipeline.run(docs, "text", "id", "url", hostCapK = 5)
+    val f = r.funnel.collect().head
+    assert(f.getLong(3) == 40, "all pass quality")
+    assert(f.getLong(4) == 5 + 10, "heavy capped at 5, light hosts uncapped")
+    assert(f.getLong(5) == 15)
+    val kept = r.curated.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == ((1L to 5L) ++ (31L to 40L)).toSet, "first 5 by id on the heavy host")
   }
 }
