@@ -28,8 +28,13 @@ import org.apache.spark.sql.SparkSession
  *    effective cores and the pipeline is at parity; Spark ≪ raw-parallel
  *    would be a genuine pipeline regression;
  *  - an in-artifact scaling pair: the same extraction job on the same corpus
- *    at parallelism 2 and 8 (coalesce-capped tasks — the sandbox stand-in for
- *    N vs 4N executors), with scaling_eff_2_to_8 = T8 / (4 × T2);
+ *    in fresh child JVMs pinned to 2 and 8 cores (the sandbox stand-in for
+ *    N vs 4N executors), scaling_eff_2_to_8 = rate8 / (4 × rate2). Each
+ *    child carries its OWN raw-parallel sentinel; a child whose Spark rate
+ *    sits below half its sentinel was starved by host tenants and re-runs
+ *    (cap 3), and the JSON labels the final pair scaling_pair_status
+ *    "ok"/"starved" — a pair with eff outside [0.5, 1.1] is never published
+ *    unannotated;
  *  - input split size tuned to ≥4 splits per core.
  *
  * The full measured ladder (separate JVMs at local[2..32]) is produced by
@@ -141,56 +146,18 @@ object Bench {
       }
       (ts.min, ts.toSeq)
     }
-    // contention sentinels: raw extractor docs/s with NO Spark in the loop,
-    // measured ADJACENT to the headline trials so they describe the same host
-    // window. 1-thread (~40-55k/s/thread quiet) detects a generally-slow
-    // host; cpus-thread detects CORE STARVATION, which a 1-thread sentinel
-    // cannot see (one free core keeps it fast — round-3 verdict). Read the
-    // headline against raw-parallel: Spark ≈ raw-parallel ⇒ the gap to
-    // BASELINE.md is the host's free-core count, not a pipeline regression;
-    // Spark ≪ raw-parallel ⇒ genuine pipeline fault.
-    val sentinelDocs = (0 until 4000).map(i => graft.fixtures.CorpusGen.page(i.toLong).html).toArray
-    def rawLoop(n: Int, offset: Int): Long = {
-      var i = 0
-      var acc = 0L
-      while (i < n) {
-        val d = sentinelDocs((i + offset) % sentinelDocs.length)
-        acc += (if (graft.pdf.PdfExtract.isPdfMagic(d)) graft.pdf.PdfExtract.text(d)
-                else graft.html.HtmlExtract.extract(d)).length
-        i += 1
-      }
-      acc
-    }
-    def oneThreadSentinel(): Double = {
-      def pass(n: Int): Double = {
-        val t0 = System.nanoTime()
-        if (rawLoop(n, 0) == -1) println("impossible")
-        n / ((System.nanoTime() - t0) / 1e9)
-      }
-      pass(8000) // C2 warmup (already warm from Spark passes, but cheap)
-      // best-of-3: a single pass can eat one descheduling blip or a GC pause
-      // left over from the Spark passes and understate the host 10×
-      (0 until 3).map(_ => pass(30000)).max
-    }
-    def parallelSentinel(passes: Int): Double = {
-      val nThreads = cpus.toInt
-      val perThread = 20000
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-      try {
-        def pass(): Double = {
-          val t0 = System.nanoTime()
-          val tasks = (0 until nThreads).map { t =>
-            pool.submit(new java.util.concurrent.Callable[Long] {
-              def call(): Long = rawLoop(perThread, t * 37)
-            })
-          }
-          if (tasks.map(_.get()).sum == -1) println("impossible")
-          nThreads.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
-        }
-        pass() // warm the pool
-        (0 until passes).map(_ => pass()).max // one blip shouldn't understate the host
-      } finally pool.shutdown()
-    }
+    // contention sentinels: raw extractor docs/s with NO Spark in the loop
+    // (graft.tools.RawSentinel — shared with ScalingBench children), measured
+    // ADJACENT to the headline trials so they describe the same host window.
+    // 1-thread (~40-55k/s/thread quiet) detects a generally-slow host;
+    // cpus-thread detects CORE STARVATION, which a 1-thread sentinel cannot
+    // see (one free core keeps it fast — round-3 verdict). Read the headline
+    // against raw-parallel: Spark ≈ raw-parallel ⇒ the gap to BASELINE.md is
+    // the host's free-core count, not a pipeline regression; Spark ≪
+    // raw-parallel ⇒ genuine pipeline fault.
+    import graft.tools.RawSentinel
+    def oneThreadSentinel(): Double = RawSentinel.oneThread()
+    def parallelSentinel(passes: Int): Double = RawSentinel.parallel(cpus.toInt, passes)
 
     val (_, trials0) = stableMin(3, 8)(time(extractPass()))
     val trials = scala.collection.mutable.ArrayBuffer(trials0: _*)
@@ -218,7 +185,7 @@ object Bench {
     // variant was tried first and under-reads: capping tasks to p removes
     // multi-wave balancing from the wide level only, charging the tail to
     // scaling. Children inherit this JVM's exact flags (add-opens, ParallelGC).
-    def childRate(cores: Int): Double = {
+    def childRun(cores: Int): (Double, Double) = {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
       val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
@@ -232,18 +199,43 @@ object Bench {
       val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
       val out = new String(proc.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       proc.waitFor()
-      """"docs_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
-        .map(_.group(1).toDouble).getOrElse(-1.0)
+      def grab(key: String): Double =
+        ("\"" + key + "\":([0-9.]+)").r.findAllMatchIn(out).toSeq.lastOption
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      (grab("docs_per_sec"), grab("sentinel_parallel_docs_per_sec"))
     }
-    val p2Rate = childRate(2)
-    val p8Rate = childRate(8)
+    // a child level is STARVED when its Spark rate sits far below what its
+    // OWN in-process raw sentinel proves those cores could deliver in the
+    // same window — the r04 failure mode (a starved local[2] child against a
+    // healthy local[8] published efficiency 2.39). Starved levels re-run
+    // (fresh JVM, fresh window, cap 3); whatever remains is labeled in the
+    // artifact instead of silently certified.
+    def healthyChild(cores: Int): (Double, Double, Boolean) = {
+      var attempt = 0
+      var best: (Double, Double) = (-1.0, -1.0)
+      var ok = false
+      while (!ok && attempt < 3) {
+        val (rate, sent) = childRun(cores)
+        if (rate > best._1) best = (rate, math.max(sent, best._2))
+        ok = rate > 0 && sent > 0 && rate >= 0.5 * sent
+        attempt += 1
+      }
+      (best._1, best._2, ok)
+    }
+    val (p2Rate, p2Sent, p2Ok) = healthyChild(2)
+    val (p8Rate, p8Sent, p8Ok) = healthyChild(8)
     val scalingEff = if (p2Rate > 0 && p8Rate > 0) p8Rate / (4.0 * p2Rate) else -1.0
+    // the artifact judges its own pair: "ok" requires both children at raw
+    // parity AND an efficiency inside the physically meaningful band — an
+    // eff above 1.1 cannot come from scaling, only from a starved narrow level
+    val pairStatus =
+      if (p2Ok && p8Ok && scalingEff >= 0.5 && scalingEff <= 1.1) "ok" else "starved"
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val trialsJson = trials.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_trials_sec":$trialsJson,"extract_docs_per_sec":$docsPerSec%.1f,"extract_p2_docs_per_sec":$p2Rate%.1f,"extract_p8_docs_per_sec":$p8Rate%.1f,"scaling_eff_2_to_8":$scalingEff%.3f,"sentinel_1thr_docs_per_sec":$sentinel%.1f,"sentinel_parallel_docs_per_sec":$sentinelParallel%.1f,"cpus":"$cpus"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$extractionDocs,"extract_sec":$extractSec%.3f,"extract_trials_sec":$trialsJson,"extract_docs_per_sec":$docsPerSec%.1f,"extract_p2_docs_per_sec":$p2Rate%.1f,"extract_p8_docs_per_sec":$p8Rate%.1f,"extract_p2_sentinel_docs_per_sec":$p2Sent%.1f,"extract_p8_sentinel_docs_per_sec":$p8Sent%.1f,"scaling_eff_2_to_8":$scalingEff%.3f,"scaling_pair_status":"$pairStatus","sentinel_1thr_docs_per_sec":$sentinel%.1f,"sentinel_parallel_docs_per_sec":$sentinelParallel%.1f,"cpus":"$cpus"}"""
     // file mirror first (driver fallback), then the bare line LAST on stdout
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     catch { case _: Throwable => }

@@ -95,10 +95,26 @@ object ScalingBench {
           stable = best(1) <= best(0) * 1.15
         }
       }
+      // per-JVM raw-parallel sentinel, measured ADJACENT to the trials in the
+      // SAME (ActiveProcessorCount-pinned) process: this JVM's deliverable
+      // extraction rate at `cores` threads right now. A Spark rate far below
+      // it means the trial windows were starved by host tenants — keep timing
+      // within the cap (the headline's adaptive trick); whatever remains is
+      // printed so the parent artifact can condemn a still-bad level instead
+      // of certifying it (the round-4 failure: a starved local[2] child read
+      // 19.5k against a healthy local[8] and published efficiency 2.39).
+      var sentinel = RawSentinel.parallel(cores, 2)
+      def bestRate = trials.map(t => t._1 / t._2).max
+      while (trials.length < maxTrials + 4 && bestRate < 0.5 * sentinel) {
+        val t0 = System.nanoTime()
+        val counted = pass()
+        trials += ((counted, (System.nanoTime() - t0) / 1e9))
+        sentinel = math.max(sentinel, RawSentinel.parallel(cores, 1))
+      }
       val (counted, sec) = trials.minBy(_._2)
       val all = trials.map(t => f"${t._2}%.2f").mkString("[", ",", "]")
       println(
-        f"""{"cores":$cores,"master":"${s.sparkContext.master}","n_docs":$counted,"sec":$sec%.2f,"trials_sec":$all,"docs_per_sec":${counted / sec}%.1f}""")
+        f"""{"cores":$cores,"master":"${s.sparkContext.master}","n_docs":$counted,"sec":$sec%.2f,"trials_sec":$all,"docs_per_sec":${counted / sec}%.1f,"sentinel_parallel_docs_per_sec":$sentinel%.1f}""")
       s.stop()
   }
 }
