@@ -1030,13 +1030,26 @@ object SparkEntry {
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
     "q67_tiff_features" -> ((s, dir) => {
+      // four encodings of the SAME flat pixels, so the closed-form oracle is
+      // invariant to which one a doc gets: uncompressed, LZW (TIFF 6.0 §13 —
+      // the shared MSB-first early-change core), LZW + horizontal predictor
+      // (§14), PackBits (§9). A decoder fault on any variant drops that doc
+      // to the hash-sketch fallback and breaks the hash compare.
       val grayHex = (0 until 200).map { m =>
-        graft.media.ImageEncode.tiffFlat(16, 8, Seq(m), littleEndian = true)
+        val (comp, pred) = (m % 4) match {
+          case 0 => (1, 1); case 1 => (5, 1); case 2 => (5, 2); case _ => (32773, 1)
+        }
+        graft.media.ImageEncode.tiffFlat(16, 8, Seq(m), littleEndian = true,
+            compression = comp, predictor = pred)
           .map(b => f"${b & 0xff}%02X").mkString
       }
       val rgbHex = (0 until 200).map { m =>
+        val (comp, pred) = (m % 4) match {
+          case 0 => (1, 1); case 1 => (5, 1); case 2 => (5, 2); case _ => (32773, 1)
+        }
         graft.media.ImageEncode.tiffFlat(16, 8, Seq(m, (m + 60) % 256, (m + 120) % 256),
-          littleEndian = false).map(b => f"${b & 0xff}%02X").mkString
+            littleEndian = false, compression = comp, predictor = pred)
+          .map(b => f"${b & 0xff}%02X").mkString
       }
       val m = (col("doc_id") % 200).cast("int")
       val payload = unhex(
@@ -1052,12 +1065,21 @@ object SparkEntry {
             element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("rest"))
     }),
 
-    // REAL BMP decode (BmpDecode: stride/padding, bottom-up flip, BGR→RGB):
-    // flat 17×9 fixtures (odd width exercises row padding) decode exactly
+    // REAL BMP decode (BmpDecode: stride/padding, bottom-up flip, BGR→RGB,
+    // paletted index resolution, RLE escape codes): four encodings of the
+    // SAME flat 17×9 pixels (odd width exercises row/nibble padding), so the
+    // closed-form oracle is invariant to which one a doc gets — 24-bit,
+    // 8-bit paletted, RLE8 (incl. an absolute-mode segment), RLE4
     "q66_bmp_features" -> ((s, dir) => {
       val bmpHex = (0 until 200).map { m =>
-        graft.media.ImageEncode.bmpFlat(17, 9, m, (m + 60) % 256, (m + 120) % 256)
-          .map(b => f"${b & 0xff}%02X").mkString
+        val e = graft.media.ImageEncode
+        val (r, g, b) = (m, (m + 60) % 256, (m + 120) % 256)
+        ((m % 4) match {
+          case 0 => e.bmpFlat(17, 9, r, g, b)
+          case 1 => e.bmpPalettedFlat(17, 9, 8, idx = m % 256, r, g, b)
+          case 2 => e.bmpRle8Flat(17, 9, idx = m % 256, r, g, b)
+          case _ => e.bmpRle4Flat(17, 9, idx = m % 16, r, g, b)
+        }).map(x => f"${x & 0xff}%02X").mkString
       }
       t(s, dir, "documents")
         .withColumn("f", media_features(unhex(

@@ -39,6 +39,146 @@ object ImageEncode {
     o.toByteArray
   }
 
+  /** BMP file header + BITMAPINFOHEADER + palette for the indexed layouts.
+    * `idx` fills the image; the palette maps it (and only it) to (r, g, b). */
+  private def bmpIndexedHeader(w: Int, h: Int, bpp: Int, compression: Int,
+                               idx: Int, r: Int, g: Int, bl: Int,
+                               imageBytes: Int): ByteArrayOutputStream = {
+    val palEntries = 1 << bpp
+    val dataOff = 54 + palEntries * 4
+    val o = new ByteArrayOutputStream(dataOff + imageBytes)
+    o.write('B'); o.write('M')
+    le32(o, dataOff + imageBytes); le32(o, 0); le32(o, dataOff)
+    le32(o, 40); le32(o, w); le32(o, h)
+    le16(o, 1); le16(o, bpp)
+    le32(o, compression); le32(o, imageBytes)
+    le32(o, 0); le32(o, 0); le32(o, palEntries); le32(o, 0)
+    (0 until palEntries).foreach { k =>
+      if (k == idx) { o.write(bl); o.write(g); o.write(r); o.write(0) } // BGRA quad
+      else { o.write((k * 3) & 0xff); o.write((k * 5) & 0xff); o.write((k * 7) & 0xff); o.write(0) }
+    }
+    o
+  }
+
+  /** Flat paletted BI_RGB BMP (1/4/8-bit): every pixel is palette index
+    * `idx` → decodes to exactly (r, g, b). Odd widths exercise both the
+    * nibble packing and the 4-byte row padding. */
+  def bmpPalettedFlat(w: Int, h: Int, bpp: Int, idx: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    require(bpp == 1 || bpp == 4 || bpp == 8)
+    require(idx >= 0 && idx < (1 << bpp))
+    val stride = ((w * bpp + 31) / 32) * 4
+    val o = bmpIndexedHeader(w, h, bpp, 0, idx, r, g, bl, stride * h)
+    val row = new Array[Byte](stride)
+    val pixPerByte = 8 / bpp
+    var x = 0
+    while (x < w) {
+      val shift = (pixPerByte - 1 - x % pixPerByte) * bpp
+      row(x / pixPerByte) = (row(x / pixPerByte) | (idx << shift)).toByte
+      x += 1
+    }
+    (0 until h).foreach(_ => o.write(row, 0, stride))
+    o.toByteArray
+  }
+
+  /** Flat BI_RLE8 BMP: each row as encoded runs (max 255 per run) with one
+    * word-aligned ABSOLUTE segment on the first row to exercise that mode,
+    * EOL after each row, EOF at the end. Decodes to exactly (r, g, b). */
+  def bmpRle8Flat(w: Int, h: Int, idx: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    val o = bmpIndexedHeader(w, h, 8, 1, idx, r, g, bl, 0)
+    val body = new ByteArrayOutputStream()
+    var y = 0
+    while (y < h) {
+      var left = w
+      if (y == 0 && w >= 3) { // absolute run of 3 (word-aligned to 4 bytes)
+        body.write(0); body.write(3)
+        body.write(idx); body.write(idx); body.write(idx); body.write(0)
+        left -= 3
+      }
+      while (left > 0) {
+        val n = math.min(255, left)
+        body.write(n); body.write(idx)
+        left -= n
+      }
+      body.write(0); body.write(0) // EOL
+      y += 1
+    }
+    body.write(0); body.write(1) // EOF
+    // patch biSizeImage (offset 34) now the RLE stream length is known
+    val bytes = o.toByteArray ++ body.toByteArray
+    val sz = body.size()
+    bytes(34) = (sz & 0xff).toByte; bytes(35) = ((sz >> 8) & 0xff).toByte
+    bytes(36) = ((sz >> 16) & 0xff).toByte; bytes(37) = ((sz >> 24) & 0xff).toByte
+    bytes
+  }
+
+  /** Flat BI_RLE4 BMP: encoded runs of the doubled nibble. */
+  def bmpRle4Flat(w: Int, h: Int, idx: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    require(idx >= 0 && idx < 16)
+    val o = bmpIndexedHeader(w, h, 4, 2, idx, r, g, bl, 0)
+    val body = new ByteArrayOutputStream()
+    val packed = (idx << 4) | idx
+    var y = 0
+    while (y < h) {
+      var left = w
+      while (left > 0) {
+        val n = math.min(254, left)
+        body.write(n); body.write(packed)
+        left -= n
+      }
+      body.write(0); body.write(0) // EOL
+      y += 1
+    }
+    body.write(0); body.write(1) // EOF
+    o.write(body.toByteArray, 0, body.size())
+    o.toByteArray
+  }
+
+  /** TIFF/PDF LZW encoder (MSB-first variable-width codes, 256=Clear,
+    * 257=EOD, greedy longest-match): the exact inverse of
+    * graft.pdf.PdfExtract.lzwDecode — the encoder widens when its dict
+    * reaches 2^bits, which lands one code EARLIER than table-full on the
+    * decoder side (TIFF 6.0 §13 "early change"; round-trip is spec-locked
+    * by TiffDecodeSpec). */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    var acc = 0L
+    var nBits = 0
+    var codeBits = 9
+    var dictSize = 258
+    val dict = new java.util.HashMap[Integer, Integer]()
+    def emit(code: Int): Unit = {
+      acc = (acc << codeBits) | code
+      nBits += codeBits
+      while (nBits >= 8) { out.write(((acc >>> (nBits - 8)) & 0xff).toInt); nBits -= 8 }
+    }
+    emit(256) // ClearTable
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val cur = data(i) & 0xff
+      if (prev < 0) prev = cur
+      else {
+        val key = (prev << 8) | cur
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          emit(prev)
+          if (dictSize < 4096) {
+            dict.put(key, dictSize)
+            dictSize += 1
+            if (dictSize >= (1 << codeBits) && codeBits < 12) codeBits += 1
+          }
+          prev = cur
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) emit(prev)
+    emit(257) // EOD
+    if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** TIFF header + one IFD: ImageWidth (SHORT) + ImageLength (LONG). */
   def tiff(w: Int, h: Int, littleEndian: Boolean): Array[Byte] = {
     val o = new ByteArrayOutputStream()
@@ -54,25 +194,53 @@ object ImageEncode {
     o.toByteArray
   }
 
-  /** Complete uncompressed TIFF: 8-bit gray (1 value) or RGB (3 values),
-    * every pixel = `sample`, either byte order, optional WhiteIsZero
-    * photometric and multi-strip layout (offset-indirected value arrays). */
+  /** Complete TIFF: 8-bit gray (1 value) or RGB (3 values), every pixel =
+    * `sample`, either byte order, optional WhiteIsZero photometric,
+    * multi-strip layout (offset-indirected value arrays), and compression
+    * 1 (none) / 5 (LZW, optional horizontal-differencing predictor 2) /
+    * 32773 (PackBits) — each strip compressed independently per TIFF 6.0. */
   def tiffFlat(w: Int, h: Int, sample: Seq[Int], littleEndian: Boolean,
-               whiteIsZero: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+               whiteIsZero: Boolean = false, rowsPerStrip: Int = 0,
+               compression: Int = 1, predictor: Int = 1): Array[Byte] = {
     val spp = sample.length
     require(spp == 1 || spp == 3)
+    require(compression == 1 || compression == 5 || compression == 32773)
+    require(predictor == 1 || (predictor == 2 && compression == 5))
     val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
     val strips = (h + rps - 1) / rps
     val rowBytes = w * spp
-    val nEntries = 9
+    val row = new Array[Byte](rowBytes)
+    var x = 0
+    while (x < w) { sample.indices.foreach(c => row(x * spp + c) = sample(c).toByte); x += 1 }
+    def stripRows(i: Int): Int = math.min(rps, h - i * rps)
+    // per-strip payloads first — compressed sizes decide the offsets
+    val payloads: Array[Array[Byte]] = Array.tabulate(strips) { i =>
+      val raw = new Array[Byte](stripRows(i) * rowBytes)
+      (0 until stripRows(i)).foreach(r => System.arraycopy(row, 0, raw, r * rowBytes, rowBytes))
+      if (predictor == 2) { // delta each row right-to-left against the prior pixel
+        var r = 0
+        while (r < stripRows(i)) {
+          var k = rowBytes - 1
+          while (k >= spp) { raw(r * rowBytes + k) = (raw(r * rowBytes + k) - raw(r * rowBytes + k - spp)).toByte; k -= 1 }
+          r += 1
+        }
+      }
+      compression match {
+        case 1 => raw
+        case 5 => lzwEncode(raw)
+        case _ => packBitsEncode(raw)
+      }
+    }
+
+    val hasPredictorTag = predictor == 2
+    val nEntries = 9 + (if (hasPredictorTag) 1 else 0)
     val ifdStart = 8
     var aux = ifdStart + 2 + nEntries * 12 + 4
     val bpsOff = if (spp == 3) { val o = aux; aux += 6; o } else -1
     val soOff = if (strips > 1) { val o = aux; aux += strips * 4; o } else -1
     val scOff = if (strips > 1) { val o = aux; aux += strips * 4; o } else -1
     val dataOff = aux
-    def stripRows(i: Int): Int = math.min(rps, h - i * rps)
-    def stripOff(i: Int): Int = dataOff + i * rps * rowBytes
+    val stripOffs = payloads.scanLeft(dataOff)((acc, p) => acc + p.length)
 
     val o = new ByteArrayOutputStream()
     def u16(v: Int): Unit = if (littleEndian) le16(o, v) else be16(o, v)
@@ -86,23 +254,41 @@ object ImageEncode {
     short1(256, w)
     short1(257, h)
     if (spp == 1) short1(258, 8) else { u16(258); u16(3); u32(3); u32(bpsOff) }
-    short1(259, 1)                                 // uncompressed
+    short1(259, compression)
     short1(262, if (whiteIsZero) 0 else if (spp == 3) 2 else 1)
     if (strips == 1) long1(273, dataOff) else { u16(273); u16(4); u32(strips); u32(soOff) }
     short1(277, spp)
     long1(278, rps)
-    if (strips == 1) long1(279, h * rowBytes) else { u16(279); u16(4); u32(strips); u32(scOff) }
+    if (strips == 1) long1(279, payloads(0).length) else { u16(279); u16(4); u32(strips); u32(scOff) }
+    if (hasPredictorTag) short1(317, 2)            // tags in ascending order
     u32(0)                                         // next IFD
     if (spp == 3) { u16(8); u16(8); u16(8) }
     if (strips > 1) {
-      (0 until strips).foreach(i => u32(stripOff(i)))
-      (0 until strips).foreach(i => u32(stripRows(i) * rowBytes))
+      (0 until strips).foreach(i => u32(stripOffs(i)))
+      (0 until strips).foreach(i => u32(payloads(i).length))
     }
-    val row = new Array[Byte](rowBytes)
-    var x = 0
-    while (x < w) { sample.indices.foreach(c => row(x * spp + c) = sample(c).toByte); x += 1 }
-    (0 until h).foreach(_ => o.write(row, 0, rowBytes))
+    payloads.foreach(p => o.write(p, 0, p.length))
     o.toByteArray
+  }
+
+  /** PackBits (TIFF 6.0 §9) encoder: maximal repeat runs (2-128) as
+    * (1-n, byte), leftover literals (1-128) as (n-1, bytes). */
+  def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (run < 128 && i + run < data.length && data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(data(i)); i += run
+      } else {
+        var lit = 1
+        while (lit < 128 && i + lit < data.length &&
+               !(i + lit + 1 < data.length && data(i + lit) == data(i + lit + 1))) lit += 1
+        out.write(lit - 1); out.write(data, i, lit); i += lit
+      }
+    }
+    out.toByteArray
   }
 
   private def webpContainer(tag: String, payload: Array[Byte]): Array[Byte] = {

@@ -3,12 +3,15 @@ package graft.media
 import scala.util.control.NonFatal
 
 /**
- * Uncompressed-TIFF decoder for the feature path: endian-aware IFD walk
- * (multi-value entries followed through their offset indirection),
- * Compression=1, 8 bits per sample, 1 or 3 samples per pixel, strip layout
- * (RowsPerStrip defaulting to the full image), PhotometricInterpretation
- * 0 (WhiteIsZero → inverted), 1 (BlackIsZero), or 2 (RGB). LZW/JPEG/packbits
- * compression and other bit depths return None — the sketch fallback.
+ * TIFF decoder for the feature path: endian-aware IFD walk (multi-value
+ * entries followed through their offset indirection), 8 bits per sample,
+ * 1 or 3 samples per pixel, strip layout (RowsPerStrip defaulting to the
+ * full image), PhotometricInterpretation 0 (WhiteIsZero → inverted),
+ * 1 (BlackIsZero), or 2 (RGB). Compression: 1 (none), 5 (LZW — TIFF 6.0 §13,
+ * the identical MSB-first early-change variant PDF's /LZWDecode names after
+ * it, shared via graft.pdf.PdfExtract.lzwDecode) with Predictor 1 or 2
+ * (horizontal differencing, §14), and 32773 (PackBits, §9). JPEG-in-TIFF and
+ * other bit depths return None — the sketch fallback.
  */
 object TiffDecode {
 
@@ -53,7 +56,11 @@ object TiffDecode {
       val w = one(256).toInt
       val h = one(257).toInt
       if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
-      if (one(259, 1L) != 1L) return None // compression: uncompressed only
+      val compression = one(259, 1L).toInt
+      if (compression != 1 && compression != 5 && compression != 32773) return None
+      val predictor = one(317, 1L).toInt
+      if (predictor != 1 && predictor != 2) return None
+      if (predictor == 2 && compression != 5) return None // §14: predictor rides LZW
       val photometric = one(262, 1L).toInt
       if (photometric != 0 && photometric != 1 && photometric != 2) return None
       val spp = one(277, 1L).toInt
@@ -73,21 +80,71 @@ object TiffDecode {
         if (rows > 0) {
           val src = offsets(strip)
           val avail = math.min(counts(strip), b.length - src)
-          var r = 0
-          while (r < rows && (r + 1).toLong * rowBytes <= avail) {
-            var x = 0
-            while (x < rowBytes) {
-              val v = u8((src + r.toLong * rowBytes + x).toInt)
-              out((y0 + r) * rowBytes + x) = (if (photometric == 0) 255 - v else v).toByte
-              x += 1
+          if (avail > 0 && src >= 0 && src < b.length) {
+            // strip bytes → decoded rows (each strip compresses independently)
+            val raw: Array[Byte] = compression match {
+              case 1 =>
+                val len = math.min(avail, rows.toLong * rowBytes).toInt
+                java.util.Arrays.copyOfRange(b, src.toInt, src.toInt + len)
+              case 5 =>
+                graft.pdf.PdfExtract.lzwDecode(
+                  java.util.Arrays.copyOfRange(b, src.toInt, (src + avail).toInt))
+              case _ =>
+                packBits(b, src.toInt, avail.toInt, rows * rowBytes)
             }
-            any = true
-            r += 1
+            // horizontal differencing predictor: each sample is a delta
+            // against the previous PIXEL's same sample, reset per row (§14)
+            if (predictor == 2) {
+              var r = 0
+              while ((r + 1) * rowBytes <= raw.length) {
+                var x = spp
+                while (x < rowBytes) {
+                  raw(r * rowBytes + x) = (raw(r * rowBytes + x) + raw(r * rowBytes + x - spp)).toByte
+                  x += 1
+                }
+                r += 1
+              }
+            }
+            var r = 0
+            while (r < rows && (r + 1) * rowBytes <= raw.length) {
+              var x = 0
+              while (x < rowBytes) {
+                val v = raw(r * rowBytes + x) & 0xff
+                out((y0 + r) * rowBytes + x) = (if (photometric == 0) 255 - v else v).toByte
+                x += 1
+              }
+              any = true
+              r += 1
+            }
           }
         }
         strip += 1
       }
       if (!any) None else Some(Pixels(w, h, spp, out))
     } catch { case NonFatal(_) => None }
+  }
+
+  /** PackBits (TIFF 6.0 §9, the Apple RLE): control byte n in [0,127] copies
+    * n+1 literals; n in [-127,-1] repeats the next byte 1-n times; -128 is a
+    * no-op. Total decoder: bounds-checked, output capped at `maxOut`. */
+  private def packBits(b: Array[Byte], off: Int, len: Int, maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 20))
+    var i = off
+    val end = off + len
+    while (i < end && out.size < maxOut) {
+      val c = b(i)
+      i += 1
+      if (c >= 0) {
+        val k = math.min(c + 1, end - i)
+        out.write(b, i, math.max(0, k))
+        i += k
+      } else if (c != -128 && i < end) {
+        val v = b(i)
+        i += 1
+        var r = 1 - c
+        while (r > 0 && out.size < maxOut) { out.write(v); r -= 1 }
+      }
+    }
+    out.toByteArray
   }
 }

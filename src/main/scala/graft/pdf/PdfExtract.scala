@@ -690,9 +690,11 @@ object PdfExtract {
 
   /** §7.4.4: PDF/TIFF LZW — 8-bit symbols, 256 = ClearTable, 257 = EOD, codes
     * widen at 511/1023/2047 entries ("early change" default 1, i.e. one code
-    * early). Predictors are not applied (content/ToUnicode/ObjStm streams in
-    * the wild don't use them; image data — which does — is never decoded here). */
-  private def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    * early). Predictors are not applied here (content/ToUnicode/ObjStm streams
+    * in the wild don't use them; TiffDecode applies its own predictor tag on
+    * top of this shared core — TIFF 6.0 §13 specifies the identical variant,
+    * which is why PDF names the filter after it). */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val dict = new Array[Array[Byte]](4096)
     var dictSize = 258

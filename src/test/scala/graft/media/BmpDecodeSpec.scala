@@ -25,12 +25,46 @@ class BmpDecodeSpec extends AnyFunSuite {
     assert((p.samples(3) & 0xff) == 0 && (p.samples(5) & 0xff) == 255, "bottom = blue")
   }
 
-  test("out-of-scope variants fall back: RLE, 8-bit palette, core header") {
+  test("paletted 1/4/8-bit: index resolves through the BGRA palette quads") {
+    for (bpp <- Seq(1, 4, 8); (w, h) <- Seq((16, 8), (17, 9), (3, 1))) {
+      val idx = if (bpp == 1) 1 else (1 << bpp) - 3
+      val p = BmpDecode.decode(ImageEncode.bmpPalettedFlat(w, h, bpp, idx, 10, 200, 77)).get
+      assert(p.width == w && p.height == h && p.channels == 3, s"bpp=$bpp $w x $h")
+      assert(p.samples.grouped(3).forall(px =>
+        (px(0) & 0xff) == 10 && (px(1) & 0xff) == 200 && (px(2) & 0xff) == 77),
+        s"bpp=$bpp $w x $h")
+    }
+  }
+
+  test("RLE8/RLE4: encoded runs, absolute mode, EOL/EOF escapes") {
+    for ((w, h) <- Seq((16, 8), (300, 3), (17, 9))) { // >255 exercises run splitting
+      val p8 = BmpDecode.decode(ImageEncode.bmpRle8Flat(w, h, 42, 10, 200, 77)).get
+      assert(p8.width == w && p8.height == h)
+      assert(p8.samples.grouped(3).forall(px =>
+        (px(0) & 0xff) == 10 && (px(1) & 0xff) == 200 && (px(2) & 0xff) == 77), s"rle8 $w x $h")
+      val p4 = BmpDecode.decode(ImageEncode.bmpRle4Flat(w, h, 7, 1, 2, 3)).get
+      assert(p4.samples.grouped(3).forall(px =>
+        (px(0) & 0xff) == 1 && (px(1) & 0xff) == 2 && (px(2) & 0xff) == 3), s"rle4 $w x $h")
+    }
+  }
+
+  test("RLE delta escape skips pixels (left as zero), never loops") {
+    // 4x2: delta (2, 1) from bottom-left jumps to top row x=2, then a run of 2
+    val o = new java.io.ByteArrayOutputStream()
+    val header = ImageEncode.bmpRle8Flat(4, 2, 5, 9, 9, 9).take(54 + 256 * 4)
+    o.write(header.toArray, 0, header.length)
+    o.write(Array[Byte](0, 2, 2, 1, 2, 5, 0, 1), 0, 8) // delta(2,1), run 2 of idx5, EOF
+    val p = BmpDecode.decode(o.toByteArray).get
+    assert((p.samples((0 * 4 + 2) * 3) & 0xff) == 9, "pixel after delta written")
+    assert((p.samples(0) & 0xff) == 0, "skipped pixels stay zero")
+  }
+
+  test("out-of-scope variants fall back: RLE on wrong depth, 16-bit, core header") {
     val good = ImageEncode.bmpFlat(8, 8, 1, 2, 3)
-    val rle = good.clone(); rle(30) = 1 // compression = BI_RLE8
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8 with bpp 24: invalid combo
     assert(BmpDecode.decode(rle).isEmpty)
-    val pal = good.clone(); pal(28) = 8 // bpp = 8
-    assert(BmpDecode.decode(pal).isEmpty)
+    val sixteen = good.clone(); sixteen(28) = 16
+    assert(BmpDecode.decode(sixteen).isEmpty)
   }
 
   test("totality: truncation never throws; header-only yields None") {

@@ -32,12 +32,61 @@ class TiffDecodeSpec extends AnyFunSuite {
     assert(p.samples.forall(b => (b & 0xff) == 42))
   }
 
-  test("out-of-scope variants fall to None (compression, 16-bit)") {
+  test("LZW strips round-trip, gray and RGB, both byte orders") {
+    for (le <- Seq(true, false); s <- Seq(Seq(42), Seq(10, 200, 77))) {
+      val p = TiffDecode.decode(
+        ImageEncode.tiffFlat(17, 9, s, littleEndian = le, compression = 5)).get
+      assert(p.width == 17 && p.height == 9 && p.channels == s.length, s"le=$le spp=${s.length}")
+      assert(p.samples.grouped(s.length).forall(px =>
+        px.zip(s).forall { case (b, v) => (b & 0xff) == v }), s"le=$le spp=${s.length}")
+    }
+  }
+
+  test("LZW + horizontal-differencing predictor (tag 317 = 2) round-trips") {
+    for (s <- Seq(Seq(42), Seq(10, 200, 77))) {
+      val p = TiffDecode.decode(ImageEncode.tiffFlat(16, 8, s, littleEndian = true,
+        compression = 5, predictor = 2)).get
+      assert(p.samples.grouped(s.length).forall(px =>
+        px.zip(s).forall { case (b, v) => (b & 0xff) == v }), s"spp=${s.length}")
+    }
+  }
+
+  test("multi-strip LZW: each strip decompresses independently") {
+    val p = TiffDecode.decode(ImageEncode.tiffFlat(16, 10, Seq(7, 8, 9),
+      littleEndian = false, rowsPerStrip = 3, compression = 5, predictor = 2)).get
+    assert(p.width == 16 && p.height == 10)
+    assert(p.samples.grouped(3).forall(px =>
+      (px(0) & 0xff) == 7 && (px(1) & 0xff) == 8 && (px(2) & 0xff) == 9))
+  }
+
+  test("LZW codec is the spec inverse across dict-growth boundaries") {
+    // non-flat data: enough distinct pairs to push the dict past the 511
+    // early-change boundary, locking encoder/decoder width agreement
+    val data = Array.tabulate(40000)(i => ((i * 31 + i / 7) % 251).toByte)
+    val round = graft.pdf.PdfExtract.lzwDecode(ImageEncode.lzwEncode(data))
+    assert(java.util.Arrays.equals(round, data))
+    val rle = Array.fill(10000)(9.toByte) // degenerate repeat data (KwKwK path)
+    assert(java.util.Arrays.equals(graft.pdf.PdfExtract.lzwDecode(ImageEncode.lzwEncode(rle)), rle))
+  }
+
+  test("PackBits strips round-trip; encoder emits repeat and literal runs") {
+    val p = TiffDecode.decode(ImageEncode.tiffFlat(17, 9, Seq(10, 200, 77),
+      littleEndian = true, compression = 32773)).get
+    assert(p.samples.grouped(3).forall(px =>
+      (px(0) & 0xff) == 10 && (px(1) & 0xff) == 200 && (px(2) & 0xff) == 77))
+    // the encoder must emit BOTH modes: literal segments for mixed bytes,
+    // repeat runs (with 128-length splitting) for the long tail
+    val mixed = Array[Byte](1, 2, 3, 3, 3, 3, 4, 5) ++ Array.fill(300)(6.toByte)
+    val enc = ImageEncode.packBitsEncode(mixed)
+    assert(enc.length < mixed.length / 4, "run coding must compress the repeat tail")
+  }
+
+  test("out-of-scope variants fall to None (JPEG compression, 16-bit)") {
     val good = ImageEncode.tiffFlat(8, 8, Seq(1), littleEndian = true)
     // compression tag (259) is the 4th entry: value field at 8 + 2 + 3*12 + 8
     val compOff = 8 + 2 + 3 * 12 + 8
-    val lzw = good.clone(); lzw(compOff) = 5 // LZW
-    assert(TiffDecode.decode(lzw).isEmpty)
+    val jpegC = good.clone(); jpegC(compOff) = 7 // JPEG-in-TIFF
+    assert(TiffDecode.decode(jpegC).isEmpty)
     val deep = good.clone()
     val bpsOff = 8 + 2 + 2 * 12 + 8
     deep(bpsOff) = 16 // 16 bits/sample
