@@ -536,16 +536,44 @@ object SparkEntry {
     // corpus curation staple: exact token-count distribution (min/max + EXACT
     // interpolated percentiles — percentile(), not approx_percentile, so the
     // oracle can state the same linear-interpolation quantiles)
-    "q42_token_quantiles" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(size(split(col("text"), " ")).as("n_tok"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          min(col("n_tok")).as("min_tok"),
-          max(col("n_tok")).as("max_tok"),
-          round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
-          round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
-          round(expr("percentile(n_tok, 0.99)"), 4).as("p99"))),
+    // exact quantiles via the HISTOGRAM shape, not percentile(): token counts
+    // are small integers, so groupBy(n_tok) map-side-combines 10^10 rows down
+    // to #distinct values BEFORE the shuffle, where exact percentile() buffers
+    // every raw value in one ObjectHashAggregate reducer. The cumulative
+    // window then reads off quantile_cont semantics (v_lo + frac·(v_hi−v_lo)
+    // at rank p·(n−1)) in closed form — bit-compatible with DuckDB's.
+    "q42_token_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      // one window spec for both the running and the total sum — a second
+      // partitioning (e.g. partitionBy(1) vs global orderBy) would add an
+      // exchange; with one spec both sums ride a single Window node. The
+      // remaining ~0.3s at sf0.1 is the text scan+split plus 4 stages of
+      // scheduling floor — the histogram itself is #distinct-token-count rows.
+      val wSpec = Window.partitionBy(lit(1)).orderBy(col("v"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          wSpec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      def quant(p: Double) = {
+        // rank is needed per-row (inside the aggregate filters) AND as an
+        // aggregate (the interpolation term); n is constant per row, so the
+        // per-row form and max(n) agree by construction
+        val rRow = lit(p) * (col("n") - 1)
+        val lo = min(when(col("cum") >= floor(rRow) + 1, col("v")))
+        val hi = min(when(col("cum") >= ceil(rRow) + 1, col("v")))
+        val rAgg = lit(p) * (max(col("n")) - 1)
+        round(lo + (rAgg - floor(rAgg)) * (hi - lo), 4)
+      }
+      cum.agg(
+        max(col("n")).as("n_docs"),
+        min(col("v")).as("min_tok"),
+        max(col("v")).as("max_tok"),
+        quant(0.5).as("p50"), quant(0.9).as("p90"), quant(0.99).as("p99"))
+    }),
 
     // ---------------- corpus curation (named LLM-data-pipeline stages) ----------------
     // benchmark decontamination (GPT-3 appendix A shape): flag documents

@@ -498,7 +498,7 @@ object ExtractPipeline {
         col("lineage_rows"), col("docs_per_sec"), col("status"))
   }
 
-  private def fsExists(spark: SparkSession, path: String): Boolean = {
+  private[pipeline] def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

@@ -52,14 +52,17 @@ object RunCurate {
             coalesce(col("text"), extract_any_text(col("html"))).as("text"))
 
     val t0 = System.nanoTime()
-    val r = CurationPipeline.run(docs, "text", "id", "url",
-      hostCapK = hostCapK, samplePct = samplePct, gates = gates)
-    r.curated.write.mode("overwrite").parquet(s"$outDir/curated")
-    val f = r.funnel.collect().head
+    // resumable surface: bucketed curated output + per-group lineage commits,
+    // so a preempted run rerun over the same outDir skips committed buckets
+    val r = CurationPipeline.runJob(spark, docs, outDir, "text", "id", "url",
+      hostCapK = hostCapK, samplePct = samplePct, gates = gates,
+      commitGroups = 4)
+    val f = r.funnel
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"n_docs":${f.getLong(0)},"n_after_url_dedup":${f.getLong(1)},""" +
-      f""""n_after_exact_dedup":${f.getLong(2)},"n_after_quality":${f.getLong(3)},""" +
-      f""""n_after_host_cap":${f.getLong(4)},"n_curated":${f.getLong(5)},"wall_sec":$sec%.2f}""")
+    println(f"""{"n_docs":${f(0)},"n_after_url_dedup":${f(1)},""" +
+      f""""n_after_exact_dedup":${f(2)},"n_after_quality":${f(3)},""" +
+      f""""n_after_host_cap":${f(4)},"n_curated":${f(5)},""" +
+      f""""resumed_buckets":${r.resumedBuckets},"wall_sec":$sec%.2f}""")
     spark.stop()
   }
 }

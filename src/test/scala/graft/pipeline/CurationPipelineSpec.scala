@@ -77,6 +77,36 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       "n_after_exact_dedup", "n_after_quality", "n_after_host_cap", "n_curated"))
   }
 
+  test("crash between commit groups resumes to byte-identical curated output (§5.3)") {
+    val docs = (1L to 120L).map(i =>
+      (i, s"http://h${i % 9}.example/$i", goodText(s"c$i"))).toDF("id", "url", "text")
+    def digests(outDir: String): Map[Int, Seq[(Long, String)]] =
+      spark.read.parquet(s"$outDir/curated")
+        .select(col("bucket"), col("id"), sha2(encode(col("text"), "UTF-8"), 256).as("d"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+
+    val clean = java.nio.file.Files.createTempDirectory("curate-clean").toString
+    CurationPipeline.runJob(spark, docs, clean, "text", "id", "url",
+      nBuckets = 8, commitGroups = 4)
+
+    val crashed = java.nio.file.Files.createTempDirectory("curate-crash").toString
+    intercept[IllegalStateException] {
+      CurationPipeline.runJob(spark, docs, crashed, "text", "id", "url",
+        nBuckets = 8, commitGroups = 4, failAfterGroups = Some(2))
+    }
+    val partial = spark.read.parquet(s"$crashed/curated")
+      .select(col("bucket")).distinct().count()
+    assert(partial >= 2 && partial < 8, "crash left a strict subset of buckets")
+
+    val resumed = CurationPipeline.runJob(spark, docs, crashed, "text", "id", "url",
+      nBuckets = 8, commitGroups = 4, runId = "curate-1")
+    assert(resumed.resumedBuckets >= 2 && resumed.resumedBuckets < 8,
+      "second run skipped the committed buckets")
+    assert(digests(crashed) == digests(clean),
+      "resumed output must be byte-identical to the uninterrupted run")
+  }
+
   test("host cap routes heavy hosts through the salted two-level rank (pipeline)") {
     // one heavy host (30 quality survivors, cap 5) + light hosts: counts and
     // curated ids must equal the naive first-k-per-host semantics
