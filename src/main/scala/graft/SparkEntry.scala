@@ -1054,6 +1054,31 @@ object SparkEntry {
         .select(col("doc_id"), col("url")).orderBy(col("doc_id"))
     }),
 
+    // REAL companded-audio payload decode (ITU-T G.711 μ-law and A-law — WAV
+    // format tags 7/6): the q46 flat-WAV pattern, every sample the same
+    // companded byte k, expanded by WavDecode's closed-form segment
+    // arithmetic to 16-bit PCM then normalized like PCM16. The oracle
+    // REPLAYS the G.711 expansion in DuckDB integer arithmetic — mean is
+    // exact, variance 0. (Lossy transform codecs — MP3/AAC spectral payloads
+    // — stay in q30's declared sketch: a conformant Layer III decoder needs
+    // the ISO 11172-3 Huffman code tables and the 512-tap synthesis window,
+    // which are pure table data with no defining formula; see README.)
+    "q69_g711_features" -> ((s, dir) => {
+      val dataLen = 256
+      def le32(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+      def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+      def headerHex(fmtTag: Int) = "52494646" + le32(36 + dataLen) + "57415645" +
+        "666D7420" + le32(16) + le16(fmtTag) + le16(1) + le32(8000) + le32(8000) + le16(1) + le16(8) +
+        "64617461" + le32(dataLen)
+      val hdr = when(col("doc_id") % 2 === 0, lit(headerHex(7))).otherwise(lit(headerHex(6)))
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(concat(hdr,
+          repeat(lpad(hex((col("doc_id") % 200).cast("int")), 2, "0"), dataLen)))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_c0"),
+          round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -1731,6 +1756,30 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 5 IN (3, 4)
         |ORDER BY doc_id""".stripMargin,
+    // G.711 expansion replayed in integer arithmetic: μ-law (even doc_id)
+    // complements the byte then expands segment exp/mantissa with bias 132;
+    // A-law (odd) XORs 0x55 and shifts segments; both are then normalized
+    // exactly like the engine's PCM16 path (floor(pcm/256) + 128)
+    "q69_g711_features" ->
+      """SELECT doc_id,
+        |  CAST(CAST(floor(pcm / 256.0) AS INT) + 128 AS DOUBLE) AS mean_c0,
+        |  CAST(0.0 AS DOUBLE) AS var_c0
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN u >= 128 THEN -umag ELSE umag END
+        |    ELSE
+        |      CASE WHEN a >= 128 THEN amag ELSE -amag END
+        |    END AS pcm
+        |  FROM (
+        |    SELECT doc_id, u, a,
+        |      (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132 AS umag,
+        |      CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+        |           ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END AS amag
+        |    FROM (SELECT doc_id, 255 - (doc_id % 200) AS u,
+        |                 xor(doc_id % 200, 85) AS a FROM documents)
+        |  )
+        |)""".stripMargin,
     "q67_tiff_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_1,

@@ -3,14 +3,38 @@ package graft.media
 import scala.util.control.NonFatal
 
 /**
- * Pure-JVM WAV (RIFF/WAVE) PCM decoder for the feature-extraction path:
- * chunk walk → fmt (PCM only, 1-4 channels, 8 or 16 bits/sample) → data.
- * Samples are normalized to unsigned 8-bit (16-bit PCM: (s >> 8) + 128) so
- * audio shares the image features' per-channel mean/variance layout — 8-bit
- * PCM passes through exactly, which is what the closed-form oracle uses.
- * Compressed codecs (MP3/AAC/float PCM) return None — the declared stub.
+ * Pure-JVM WAV (RIFF/WAVE) decoder for the feature-extraction path:
+ * chunk walk → fmt → data. Formats: 1 (integer PCM, 8 or 16 bits), 6
+ * (G.711 A-law) and 7 (G.711 μ-law) — the companded telephony codings whose
+ * expansion is pure closed-form segment arithmetic (ITU-T G.711: μ-law
+ * magnitude ((2·mant + 33) « exp − 33)·4, A-law even-bit inversion and
+ * segment shifts), decoded to 16-bit PCM then normalized like PCM16.
+ * 1-4 channels. Samples are normalized to unsigned 8-bit (16-bit paths:
+ * (s >> 8) + 128) so audio shares the image features' per-channel
+ * mean/variance layout — 8-bit PCM passes through exactly, which is what
+ * the closed-form oracles use. Other codecs (float PCM, ADPCM, MP3/AAC —
+ * the latter needing ISO Huffman/window tables that are pure table data)
+ * return None — the declared sketch fallback.
  */
 object WavDecode {
+
+  /** G.711 μ-law byte → linear 16-bit PCM (±32124 full scale). */
+  def mulawToPcm(b0: Int): Int = {
+    val u = ~b0 & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag // MSB of the COMPLEMENTED byte = negative
+  }
+
+  /** G.711 A-law byte → linear 16-bit PCM (±32256 full scale). */
+  def alawToPcm(b0: Int): Int = {
+    val a = (b0 ^ 0x55) & 0xff
+    val exp = (a >> 4) & 7
+    val mant = a & 0xf
+    val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
 
   /** Per-channel interleaved unsigned-8-bit samples (n frames × channels). */
   final case class Samples(frames: Int, channels: Int, data: Array[Byte])
@@ -26,6 +50,7 @@ object WavDecode {
       var pos = 12
       var channels = 0
       var bits = 0
+      var format = 0
       var fmtOk = false
       var walking = true
       var data: (Int, Int) = null // (offset, length)
@@ -36,11 +61,13 @@ object WavDecode {
         val body = pos + 8
         id match {
           case "fmt " if len >= 16 && body + 16 <= b.length =>
-            val audioFormat = u16(body)
+            format = u16(body)
             channels = u16(body + 2)
             bits = u16(body + 14)
-            fmtOk = audioFormat == 1 && channels >= 1 && channels <= 4 && (bits == 8 || bits == 16)
-            if (!fmtOk) return None // non-PCM / exotic layout: stub fallback
+            fmtOk = channels >= 1 && channels <= 4 &&
+              ((format == 1 && (bits == 8 || bits == 16)) ||
+               ((format == 6 || format == 7) && bits == 8)) // G.711 A-law / μ-law
+            if (!fmtOk) return None // float/ADPCM/exotic layout: stub fallback
           case "data" =>
             val avail = math.min(len, (b.length - body).toLong).toInt // tolerate truncation
             data = (body, avail)
@@ -62,7 +89,9 @@ object WavDecode {
       var i = 0
       while (i < frames * channels) {
         out(i) =
-          if (bits == 8) b(off + i)
+          if (format == 7) (((mulawToPcm(u8(off + i)) >> 8) + 128)).toByte
+          else if (format == 6) (((alawToPcm(u8(off + i)) >> 8) + 128)).toByte
+          else if (bits == 8) b(off + i)
           else { // 16-bit signed LE → unsigned 8-bit
             val s = (u8(off + i * 2) | (u8(off + i * 2 + 1) << 8)).toShort
             ((s >> 8) + 128).toByte

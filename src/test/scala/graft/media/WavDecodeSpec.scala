@@ -60,6 +60,31 @@ class WavDecodeSpec extends AnyFunSuite {
     (1 until good.length).foreach(n => WavDecode.decode(good.take(n)))
   }
 
+  test("G.711 μ-law/A-law: canonical anchors, full-scale symmetry, WAV integration") {
+    // canonical G.711 anchor points (ITU-T tables): μ-law 0x00/0x80 are the
+    // negative/positive full-scale codes, 0xFF is zero; A-law 0x55/0xD5 are
+    // ∓8 (the smallest magnitudes), 0x2A/0xAA the full scales
+    assert(WavDecode.mulawToPcm(0x00) == -32124)
+    assert(WavDecode.mulawToPcm(0x80) == 32124)
+    assert(WavDecode.mulawToPcm(0xff) == 0)
+    assert(WavDecode.alawToPcm(0x55) == -8)
+    assert(WavDecode.alawToPcm(0xd5) == 8)
+    assert(WavDecode.alawToPcm(0x2a) == -32256)
+    assert(WavDecode.alawToPcm(0xaa) == 32256)
+    // byte b and b^0x80 decode to exact negatives of each other in both laws
+    for (b <- 0 until 128) {
+      assert(WavDecode.mulawToPcm(b) == -WavDecode.mulawToPcm(b | 0x80), s"mu $b")
+      assert(WavDecode.alawToPcm(b) == -WavDecode.alawToPcm(b | 0x80), s"a $b")
+    }
+    // WAV integration: format tags 7/6 expand then normalize like PCM16
+    val mu = WavDecode.decode(wav(7, 1, 8, Array.fill(64)(0.toByte))).get
+    assert(mu.frames == 64 && mu.data.forall(b => (b & 0xff) == (-32124 >> 8) + 128))
+    val al = WavDecode.decode(wav(6, 2, 8, Array.fill(64)(0x55.toByte))).get
+    assert(al.frames == 32 && al.data.forall(b => (b & 0xff) == (-8 >> 8) + 128))
+    // ADPCM (format 2) still falls to the sketch
+    assert(WavDecode.decode(wav(2, 1, 8, Array.fill(16)(1.toByte))).isEmpty)
+  }
+
   test("hostile chunk length near 2^32 terminates the walk (no hang, no throw)") {
     // unknown chunk with length 0xFFFFFFF8: guarded Int arithmetic would
     // either spin in place or wrap pos negative — the Long-guard must stop
