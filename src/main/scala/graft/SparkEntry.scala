@@ -876,15 +876,30 @@ object SparkEntry {
     // 256 times), so the oracle states mean = value, variance = 0 in plain
     // SQL — audio's q40/q44 analog
     "q46_wav_features" -> ((s, dir) => {
-      val dataLen = 256
+      val nSamples = 256
       def le32(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
       def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
-      val headerHex = "52494646" + le32(36 + dataLen) + "57415645" + // RIFF size WAVE
-        "666D7420" + le32(16) + le16(1) + le16(1) + le32(8000) + le32(8000) + le16(1) + le16(8) +
-        "64617461" + le32(dataLen)
+      def headerHex(fmtTag: Int, bits: Int) = {
+        val dataLen = nSamples * bits / 8
+        "52494646" + le32(36 + dataLen) + "57415645" + // RIFF size WAVE
+          "666D7420" + le32(16) + le16(fmtTag) + le16(1) + le32(8000) +
+          le32(8000 * bits / 8) + le16(bits / 8) + le16(bits) +
+          "64617461" + le32(dataLen)
+      }
+      // two encodings with the SAME oracle: u8 PCM passes k through exactly,
+      // and float32 of (k−128)/128 — exactly representable, so
+      // round(f·32768) = (k−128)·256 and the normalization returns k
+      val floatHex = (0 until 200).map { k =>
+        le32(java.lang.Float.floatToIntBits((k - 128) / 128.0f))
+      }
+      val payload = when(col("doc_id") % 2 === 0,
+        concat(lit(headerHex(1, 8)),
+          repeat(lpad(hex((col("doc_id") % 200).cast("int")), 2, "0"), nSamples)))
+        .otherwise(concat(lit(headerHex(3, 32)),
+          repeat(element_at(array(floatHex.map(lit): _*),
+            (col("doc_id") % 200 + 1).cast("int")), nSamples)))
       t(s, dir, "documents")
-        .withColumn("f", media_features(unhex(concat(lit(headerHex),
-          repeat(lpad(hex((col("doc_id") % 200).cast("int")), 2, "0"), dataLen)))))
+        .withColumn("f", media_features(unhex(payload)))
         .select(col("doc_id"),
           round(element_at(col("f"), 1).cast("double"), 4).as("mean_c0"),
           round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"),

@@ -4,17 +4,17 @@ import scala.util.control.NonFatal
 
 /**
  * Pure-JVM WAV (RIFF/WAVE) decoder for the feature-extraction path:
- * chunk walk → fmt → data. Formats: 1 (integer PCM, 8 or 16 bits), 6
- * (G.711 A-law) and 7 (G.711 μ-law) — the companded telephony codings whose
- * expansion is pure closed-form segment arithmetic (ITU-T G.711: μ-law
- * magnitude ((2·mant + 33) « exp − 33)·4, A-law even-bit inversion and
- * segment shifts), decoded to 16-bit PCM then normalized like PCM16.
- * 1-4 channels. Samples are normalized to unsigned 8-bit (16-bit paths:
- * (s >> 8) + 128) so audio shares the image features' per-channel
- * mean/variance layout — 8-bit PCM passes through exactly, which is what
- * the closed-form oracles use. Other codecs (float PCM, ADPCM, MP3/AAC —
- * the latter needing ISO Huffman/window tables that are pure table data)
- * return None — the declared sketch fallback.
+ * chunk walk → fmt → data. Formats: 1 (integer PCM, 8 or 16 bits), 3
+ * (IEEE float32 in [-1,1], mapped round(f·32768) with clamp), and 6/7
+ * (G.711 A-law/μ-law — the companded telephony codings whose expansion is
+ * pure closed-form segment arithmetic: μ-law magnitude ((2·mant + 33) « exp
+ * − 33)·4, A-law even-bit inversion and segment shifts), all decoded to
+ * 16-bit PCM then normalized. 1-4 channels. Samples are normalized to
+ * unsigned 8-bit (16-bit paths: (s >> 8) + 128) so audio shares the image
+ * features' per-channel mean/variance layout — 8-bit PCM passes through
+ * exactly, which is what the closed-form oracles use. Other codecs (ADPCM —
+ * step tables are table data — and MP3/AAC, needing ISO Huffman/window
+ * tables) return None — the declared sketch fallback.
  */
 object WavDecode {
 
@@ -66,8 +66,9 @@ object WavDecode {
             bits = u16(body + 14)
             fmtOk = channels >= 1 && channels <= 4 &&
               ((format == 1 && (bits == 8 || bits == 16)) ||
-               ((format == 6 || format == 7) && bits == 8)) // G.711 A-law / μ-law
-            if (!fmtOk) return None // float/ADPCM/exotic layout: stub fallback
+               ((format == 6 || format == 7) && bits == 8) || // G.711 A-law / μ-law
+               (format == 3 && bits == 32))                   // IEEE float PCM
+            if (!fmtOk) return None // ADPCM/exotic layout: stub fallback
           case "data" =>
             val avail = math.min(len, (b.length - body).toLong).toInt // tolerate truncation
             data = (body, avail)
@@ -91,6 +92,14 @@ object WavDecode {
         out(i) =
           if (format == 7) (((mulawToPcm(u8(off + i)) >> 8) + 128)).toByte
           else if (format == 6) (((alawToPcm(u8(off + i)) >> 8) + 128)).toByte
+          else if (format == 3) { // IEEE float32 LE in [-1,1] → s16 → unsigned 8
+            val bits32 = u8(off + i * 4) | (u8(off + i * 4 + 1) << 8) |
+              (u8(off + i * 4 + 2) << 16) | (u8(off + i * 4 + 3) << 24)
+            val f = java.lang.Float.intBitsToFloat(bits32)
+            val s = math.max(-32768, math.min(32767,
+              math.round((if (f.isNaN) 0f else f) * 32768f))).toInt
+            ((s >> 8) + 128).toByte
+          }
           else if (bits == 8) b(off + i)
           else { // 16-bit signed LE → unsigned 8-bit
             val s = (u8(off + i * 2) | (u8(off + i * 2 + 1) << 8)).toShort

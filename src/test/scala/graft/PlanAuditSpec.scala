@@ -173,6 +173,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 
+  test("embedding-LSH build phase runs its bucket/window pipeline exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit-lsh").toString
+    spark.range(300).select(col("id").as("vec_id"),
+        array((0 until 16).map(i => (rand(i) * 2 - 1).cast("float")): _*).as("embedding"))
+      .write.parquet(s"$dir/emb")
+    val emb = spark.read.parquet(s"$dir/emb")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val pairs =
+      try {
+        // approxRows passed ⇒ no sizing count. Construction jobs: the dim
+        // probe (1) + the eager narrow localCheckpoint, which under AQE
+        // decomposes into the cap-window shuffle map stage and the result
+        // job (2). A FOURTH job is a regression — the round-4 failure was an
+        // rdd.getNumPartitions probe under AQE that EXECUTED the
+        // posexplode+cap-window stages once more before the checkpoint ran
+        // them again.
+        val p = ops.SimilarityOps.embeddingNearDupPairs(
+          emb, "embedding", "vec_id", threshold = 0.9, approxRows = 300)
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+        Thread.sleep(200) // allow any EXTRA construction-time jobs to surface
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 3,
+      s"expected ≤3 construction jobs (dim probe + AQE-staged checkpoint), got ${jobs.get()}")
+    // the candidate join hangs off the checkpointed RDD, never the file
+    val s = planString(pairs)
+    assert(s.contains("ExistingRDD") || s.contains("Scan ExistingRDD"), s.take(2000))
+    pairs.count() // and it still computes
+  }
+
   test("hostCap: zipf-head host routes through the salted two-level windows, not one task") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -85,6 +85,21 @@ class WavDecodeSpec extends AnyFunSuite {
     assert(WavDecode.decode(wav(2, 1, 8, Array.fill(16)(1.toByte))).isEmpty)
   }
 
+  test("IEEE float32 PCM (format 3): round(f*32768) clamp, NaN to silence") {
+    def fbytes(f: Float): Array[Byte] = {
+      val v = java.lang.Float.floatToIntBits(f)
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    }
+    val fs = Seq(0f, 1f, -1f, 0.5f, (71 / 128.0f), Float.NaN, 2f) // 2f clamps
+    val data = fs.flatMap(fbytes).toArray
+    val s = WavDecode.decode(wav(3, 1, 32, data)).get
+    assert(s.frames == fs.length)
+    val got = s.data.map(_ & 0xff).toSeq
+    // round(f*32768) >> 8 then +128: 0→128, 1→clamp 32767→255, -1→0,
+    // 0.5→16384→192, 71/128→199, NaN→128, 2→clamp→255
+    assert(got == Seq(128, 255, 0, 192, 199, 128, 255))
+  }
+
   test("hostile chunk length near 2^32 terminates the walk (no hang, no throw)") {
     // unknown chunk with length 0xFFFFFFF8: guarded Int arithmetic would
     // either spin in place or wrap pos negative — the Long-guard must stop
