@@ -150,6 +150,22 @@ object AvMeta {
             if (frames == 0) {
               sampleRate = sr
               channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+              // VBR: a "Xing"/"Info" tag rides the FIRST frame after the side
+              // info (offset by version/channel-mode); its frame count beats
+              // walking — the walk undercounts whenever a crawl pipeline has
+              // truncated the payload, and VBR frame lengths vary anyway
+              val side = if (mpeg1) { if (channels == 1) 17 else 32 }
+                         else { if (channels == 1) 9 else 17 }
+              val x = pos + 4 + side
+              if (x + 12 <= b.length &&
+                  ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
+                   (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o')) &&
+                  (b(x + 7) & 1) == 1) { // flags bit 0: frame count present
+                val nFrames = u32(b, x + 8)
+                if (nFrames > 0)
+                  return AvInfo("mp3",
+                    nFrames * (if (mpeg1) 1152L else 576L) * 1000L / sr, sr, channels, -1, -1)
+              }
             }
             totalSamples += (if (mpeg1) 1152 else 576)
             frames += 1

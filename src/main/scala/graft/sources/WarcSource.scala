@@ -249,28 +249,85 @@ object WarcSource {
     buf
   }
 
-  /** Strip the HTTP status line + headers from a response payload; the body
-    * starts after the first blank line. Payloads that don't look like HTTP
-    * pass through unchanged (resource records, weird crawlers). */
+  /** Strip the HTTP status line + headers from a response payload — and when
+    * the headers declare `Transfer-Encoding: chunked`, decode the chunked
+    * body (RFC 9112 §7.1: hex size line [; extensions] CRLF, data, CRLF,
+    * until a 0-size chunk; trailer headers dropped). Common Crawl stores the
+    * RAW HTTP bytes, so without this the extracted "HTML" of a chunked
+    * response is interleaved with hex size lines. Truncated bodies keep the
+    * decoded prefix; payloads that don't look like HTTP pass through
+    * unchanged (resource records, weird crawlers). */
   private[sources] def stripHttpHeaders(payload: Array[Byte]): Array[Byte] = {
     if (payload.length < 5 ||
         !(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' && payload(3) == 'P'))
       return payload
-    var i = 0
     val n = payload.length
-    while (i + 3 < n) {
+    var bodyAt = -1
+    var i = 0
+    while (bodyAt < 0 && i + 3 < n) {
       if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-          payload(i + 2) == '\r' && payload(i + 3) == '\n')
-        return java.util.Arrays.copyOfRange(payload, i + 4, n)
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') bodyAt = i + 4
       i += 1
     }
-    // LF LF fallback
-    i = 0
-    while (i + 1 < n) {
-      if (payload(i) == '\n' && payload(i + 1) == '\n')
-        return java.util.Arrays.copyOfRange(payload, i + 2, n)
-      i += 1
+    if (bodyAt < 0) { // LF LF fallback
+      i = 0
+      while (bodyAt < 0 && i + 1 < n) {
+        if (payload(i) == '\n' && payload(i + 1) == '\n') bodyAt = i + 2
+        i += 1
+      }
     }
-    payload
+    if (bodyAt < 0) return payload
+    // ISO-8859-1 view of the header block only (headers are ASCII-ish; the
+    // body may be any bytes and is never decoded here)
+    val headerText = new String(payload, 0, bodyAt, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase
+    val chunked = headerText.linesIterator.exists { l =>
+      val c = l.indexOf(':')
+      c > 0 && l.substring(0, c).trim == "transfer-encoding" &&
+        l.substring(c + 1).contains("chunked")
+    }
+    val body = java.util.Arrays.copyOfRange(payload, bodyAt, n)
+    if (chunked) dechunk(body) else body
+  }
+
+  /** RFC 9112 chunked-body decoder, total on hostile bytes: a malformed size
+    * line or truncation ends the walk and keeps whatever decoded so far. */
+  private[sources] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    val n = body.length
+    var done = false
+    while (!done && pos < n) {
+      // size line: hex digits, optional ";ext", ends CRLF (or bare LF)
+      var size = 0L
+      var k = pos
+      var sawDigit = false
+      while (k < n && size <= (1L << 31) && {
+        val c = body(k)
+        val d = if (c >= '0' && c <= '9') c - '0'
+                else if (c >= 'a' && c <= 'f') c - 'a' + 10
+                else if (c >= 'A' && c <= 'F') c - 'A' + 10
+                else -1
+        if (d >= 0) { size = size * 16 + d; sawDigit = true; true } else false
+      }) k += 1
+      while (k < n && body(k) != '\n') k += 1 // skip extensions to line end
+      if (!sawDigit || k >= n) done = true    // malformed/truncated size line
+      else {
+        k += 1 // past LF
+        if (size == 0L) done = true           // final chunk; trailers dropped
+        else {
+          val take = math.min(size, (n - k).toLong).toInt
+          out.write(body, k, take)
+          pos = k + take
+          if (take < size) done = true        // truncated data
+          else {
+            if (pos + 1 < n && body(pos) == '\r' && body(pos + 1) == '\n') pos += 2
+            else if (pos < n && body(pos) == '\n') pos += 1
+          }
+          // pos advanced strictly past the size line's LF — no in-place spin
+        }
+      }
+    }
+    out.toByteArray
   }
 }

@@ -73,6 +73,24 @@ class AvMetaSpec extends AnyFunSuite {
     assert(i.format == "mp3" && i.durationMs == 4L * 1152 * 1000 / 44100)
   }
 
+  test("mp3: Xing VBR frame count beats the walk (truncated payload still exact)") {
+    // one MPEG1 mono frame carrying a Xing tag declaring 100 frames, then
+    // nothing — the walk would report 1 frame, the tag knows the truth
+    val base = AvEncode.mp3Silent(1)
+    val b = base.clone()
+    val x = 4 + 17 // MPEG1 mono side info
+    b(x) = 'X'; b(x + 1) = 'i'; b(x + 2) = 'n'; b(x + 3) = 'g'
+    b(x + 4) = 0; b(x + 5) = 0; b(x + 6) = 0; b(x + 7) = 1 // flags: frames
+    b(x + 8) = 0; b(x + 9) = 0; b(x + 10) = 0; b(x + 11) = 100 // 100 frames BE
+    val i = AvMeta.parse(b)
+    assert(i.format == "mp3" && i.durationMs == 100L * 1152 * 1000 / 44100)
+    // an "Info" tag (CBR encoders) works the same; absent flags bit → walk
+    val c = b.clone(); c(x) = 'I'; c(x + 1) = 'n'; c(x + 2) = 'f'; c(x + 3) = 'o'
+    assert(AvMeta.parse(c).durationMs == 100L * 1152 * 1000 / 44100)
+    val noFlag = b.clone(); noFlag(x + 7) = 0
+    assert(AvMeta.parse(noFlag).durationMs == 1L * 1152 * 1000 / 44100)
+  }
+
   test("mp3: padding bit extends the frame length by one byte") {
     // two padded frames: header 0xFF 0xFB 0x92 0xC0 (brIdx 9, srIdx 0, pad 1)
     val frameLen = 144 * 128000 / 44100 + 1

@@ -73,6 +73,24 @@ class BmpDecodeSpec extends AnyFunSuite {
     assert(BmpDecode.decode(ImageEncode.bmp(16, 8)).isEmpty)
   }
 
+  test("totality: paletted/RLE variants survive truncation and byte mutation") {
+    val fixtures = Seq(
+      ImageEncode.bmpPalettedFlat(16, 8, 8, 5, 1, 2, 3),
+      ImageEncode.bmpPalettedFlat(17, 9, 4, 5, 1, 2, 3),
+      ImageEncode.bmpRle8Flat(16, 8, 5, 1, 2, 3),
+      ImageEncode.bmpRle4Flat(17, 9, 5, 1, 2, 3))
+    for (f <- fixtures) {
+      (0 until f.length by 2).foreach(n => BmpDecode.decode(f.take(n))) // never throws/hangs
+      var seed = 0x9e3779b97f4a7c15L
+      for (_ <- 0 until 200) { // deterministic byte-flip fuzz
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val m = f.clone()
+        m((((seed >>> 33) % f.length).toInt + f.length) % f.length) = (seed & 0xff).toByte
+        BmpDecode.decode(m)
+      }
+    }
+  }
+
   test("MediaSniff.features: flat BMP yields exact channel means, zero variance") {
     val f = MediaSniff.features(ImageEncode.bmpFlat(16, 8, 10, 200, 77))
     assert(f(0) == 10f && f(1) == 200f && f(2) == 77f)

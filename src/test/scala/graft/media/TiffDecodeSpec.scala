@@ -99,6 +99,24 @@ class TiffDecodeSpec extends AnyFunSuite {
     assert(MediaSniff.sniff(good) == MediaSniff.Info("tiff", 16, 10))
   }
 
+  test("totality: LZW/predictor/PackBits variants survive truncation and mutation") {
+    val fixtures = Seq(
+      ImageEncode.tiffFlat(16, 8, Seq(42), littleEndian = true, compression = 5),
+      ImageEncode.tiffFlat(16, 8, Seq(1, 2, 3), littleEndian = false,
+        compression = 5, predictor = 2, rowsPerStrip = 3),
+      ImageEncode.tiffFlat(17, 9, Seq(7), littleEndian = true, compression = 32773))
+    for (f <- fixtures) {
+      (0 until f.length by 2).foreach(n => TiffDecode.decode(f.take(n))) // never throws/hangs
+      var seed = 0x2545f4914f6cdd1dL
+      for (_ <- 0 until 200) { // deterministic byte-flip fuzz
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val m = f.clone()
+        m((((seed >>> 33) % f.length).toInt + f.length) % f.length) = (seed & 0xff).toByte
+        TiffDecode.decode(m)
+      }
+    }
+  }
+
   test("MediaSniff.features: flat TIFF yields exact means, zero variance") {
     val f = MediaSniff.features(ImageEncode.tiffFlat(16, 8, Seq(10, 200, 77), littleEndian = false))
     assert(f(0) == 10f && f(1) == 200f && f(2) == 77f)

@@ -67,6 +67,41 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(texts("http://x.example/a") == "the quick brown fox jumps over the lazy dog today")
   }
 
+  test("Transfer-Encoding: chunked bodies are de-chunked (CC stores raw HTTP)") {
+    def chunkedResponse(parts: Seq[Array[Byte]], trailer: Boolean = false): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n").getBytes(US_ASCII))
+      parts.foreach { p =>
+        out.write(f"${p.length}%x;ext=1\r\n".getBytes(US_ASCII)) // chunk extension ignored
+        out.write(p); out.write("\r\n".getBytes(US_ASCII))
+      }
+      out.write("0\r\n".getBytes(US_ASCII))
+      if (trailer) out.write("X-Trailer: t\r\n".getBytes(US_ASCII))
+      out.write("\r\n".getBytes(US_ASCII))
+      out.toByteArray
+    }
+    // body split at an awkward boundary — the hex size lines must NOT leak
+    val split = Seq(html.take(13), html.drop(13))
+    val got = WarcSource.stripHttpHeaders(chunkedResponse(split, trailer = true))
+    assert(got.toSeq == html.toSeq)
+    // end-to-end through a WARC record
+    val out = new ByteArrayOutputStream()
+    out.write(record("response", "http://x.example/c", "2026-01-02T03:04:07Z",
+      chunkedResponse(split)))
+    val dir = Files.createTempDirectory("graft-warc-chunked")
+    Files.write(dir.resolve("c.warc"), out.toByteArray)
+    val rows = WarcSource.pages(spark, dir.toString).collect()
+    assert(rows.length == 1 && rows(0).getAs[Array[Byte]]("html").toSeq == html.toSeq)
+    // truncated chunk data keeps the decoded prefix; garbage size line → empty
+    val trunc = chunkedResponse(split).dropRight(12)
+    assert(new String(WarcSource.stripHttpHeaders(trunc), US_ASCII).startsWith("<html>"))
+    val bad = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nnope".getBytes(US_ASCII)
+    assert(WarcSource.stripHttpHeaders(bad).isEmpty)
+    // non-chunked responses are untouched by the new path
+    assert(WarcSource.stripHttpHeaders(httpResponse(html)).toSeq == html.toSeq)
+  }
+
   test("WET conversion records land as pre-extracted TEXT (html null)") {
     // Common Crawl's *.warc.wet.gz: conversion records whose payload IS the
     // extracted plain text — the pipeline's B2 filter then skips them
