@@ -249,6 +249,55 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q70: the hashed-bigram LM cross-entropy replayed exactly — token hashes
+    * (ngram_hashes seed), unigram-gram splitmix fold → B buckets, packed
+    * consecutive-bucket keys, add-one-smoothed target counts, per-key costs
+    * ln(c1+B) − ln(c2+1) quantized to integer micro-nats BEFORE the per-doc
+    * Long sum (summation-order independent), mean per bigram at the end. */
+  private def q70OracleSql: String = {
+    val B = 10000
+    val g1 = USql64.sm("xor(11400714819323198485::UBIGINT, h)")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS tok, i
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |               unnest(range(len(string_split(text,' ')))) AS i FROM documents)
+       |  WHERE len(t) > 0
+       |),
+       |utok AS (SELECT DISTINCT tok FROM tok),
+       |uth AS (SELECT tok, ${USql64.htok("tok", 0x7a7aL)} AS h FROM utok),
+       |ubk AS (SELECT tok, ((${USql64.toI64(g1)} % $B) + $B) % $B AS b FROM uth),
+       |tb AS (SELECT t.doc_id, t.i, u.b FROM tok t JOIN ubk u USING (tok)),
+       |bls AS (SELECT doc_id, list(b ORDER BY i) AS bl FROM tb GROUP BY doc_id),
+       |keys AS (
+       |  SELECT doc_id, bl[ti+1] * $B + bl[ti+2] AS k
+       |  FROM bls CROSS JOIN LATERAL unnest(range(len(bl) - 1)) u(ti)
+       |),
+       |pair AS (SELECT doc_id, k, count(*) AS c FROM keys GROUP BY doc_id, k),
+       |ln2 AS (
+       |  SELECT k, CAST(round(ln(CAST(sum(c) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS l2
+       |  FROM pair WHERE doc_id % 13 = 0 GROUP BY k
+       |),
+       |ln1 AS (
+       |  SELECT k // $B AS b1,
+       |    CAST(round(ln(CAST(sum(c) + $B AS DOUBLE)) * 1000000) AS BIGINT) AS l1
+       |  FROM pair WHERE doc_id % 13 = 0 GROUP BY k // $B
+       |),
+       |per AS (
+       |  SELECT p.doc_id, sum(p.c) AS n,
+       |    sum(p.c * (coalesce(ln1.l1, CAST(round(ln(CAST($B AS DOUBLE)) * 1000000) AS BIGINT))
+       |               - coalesce(ln2.l2, 0))) AS s
+       |  FROM pair p
+       |  LEFT JOIN ln2 ON p.k = ln2.k
+       |  LEFT JOIN ln1 ON p.k // $B = ln1.b1
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n, 0) AS INT) AS n_bigrams,
+       |  CASE WHEN coalesce(n, 0) = 0 THEN 0.0 ELSE round(s / 1000000.0 / n, 4) END AS ce_nats
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def q32OracleSql: String =
     s"""WITH $simhashCtes
        |SELECT x.doc_id AS a, y.doc_id AS b,
@@ -1069,6 +1118,19 @@ object SparkEntry {
         .select(col("doc_id"), col("url")).orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM filtering (Wenzek §4.3): cross-entropy under a hashed
+    // bigram LM trained on a small target slice (every 13th doc — the q47/q57
+    // target convention); micro-nat quantization makes the DuckDB replay
+    // bit-exact. Target-like docs score LOW (they contributed their own
+    // bigrams); the oracle replays hashing, bucketing, smoothing and the
+    // Long sum exactly.
+    "q70_lm_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.CurationOps.lmCrossEntropy(
+        docs, "text", "doc_id", docs.filter(col("doc_id") % 13 === 0), "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL companded-audio payload decode (ITU-T G.711 μ-law and A-law — WAV
     // format tags 7/6): the q46 flat-WAV pattern, every sample the same
     // companded byte k, expanded by WavDecode's closed-form segment
@@ -1771,6 +1833,7 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 5 IN (3, 4)
         |ORDER BY doc_id""".stripMargin,
+    "q70_lm_filter" -> q70OracleSql,
     // G.711 expansion replayed in integer arithmetic: μ-law (even doc_id)
     // complements the byte then expands segment exp/mantissa with bias 132;
     // A-law (odd) XORs 0x55 and shifts segments; both are then normalized

@@ -375,6 +375,72 @@ object CurationOps {
         round(coalesce(col("_s"), lit(0L)) / 1e6, 4).as("dsir_logweight"))
   }
 
+  /**
+   * CCNet-style LM filtering (Wenzek et al. 2019 §4.3): score every document
+   * by its cross-entropy under a language model trained on a small target
+   * corpus (CCNet uses a Wikipedia KenLM; this is the same pipeline stage
+   * over an honest hashed-token BIGRAM model with add-one smoothing —
+   * p(b₂|b₁) = (c₂(b₁,b₂)+1)/(c₁(b₁)+B) over B hash buckets). Low
+   * cross-entropy ≈ target-like text; the caller thresholds or buckets into
+   * CCNet's head/middle/tail tertiles. Returns (id, n_bigrams,
+   * ce_nats = mean −ln p per bigram, rounded 4).
+   *
+   * Scale shape (the dsirWeights pattern): the target is small by
+   * construction, so both model tables broadcast — ln-quantized to integer
+   * MICRO-NATS so the per-doc sum is a Long (order-independent, DuckDB
+   * replays it bit-for-bit). The corpus is scanned ONCE: per-(doc, bigram
+   * key) counts with map-side combine, two broadcast attaches (the context
+   * table on b₁ with an unseen-context fallback of ln B; the bigram table on
+   * the packed key, unseen → ln 1 = 0), one narrow re-agg on the doc id.
+   */
+  def lmCrossEntropy(docs: DataFrame, textCol: String, idCol: String,
+                     target: DataFrame, targetTextCol: String,
+                     buckets: Int = 10000): DataFrame = {
+    val B = buckets.toLong
+    def bucketsOf(t: Column): Column =
+      transform(ngram_hashes(t, 1), h => pmod(h, lit(B)))
+    // consecutive-bucket pairs as packed keys b1·B + b2 (and b1 alone for the
+    // context counts). Both slice arguments reference the bucket array, so
+    // projection collapse may evaluate the unigram hashing twice per ROW —
+    // accepted: it is per-row (never per-element), and the text scan
+    // dominates either way
+    def pairKeys(a: Column): Column =
+      zip_with(slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+        slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+        (x, y) => x * B + y)
+    def contexts(a: Column): Column = slice(a, lit(1), greatest(size(a) - 1, lit(0)))
+    val lnq: Double => Long = x => math.round(math.log(x) * 1e6)
+
+    val tA = target.select(bucketsOf(col(targetTextCol)).as("_a"))
+    val c2 = tA.select(explode(pairKeys(col("_a"))).as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("_c2"))
+      .select(col("_k"), round(log(col("_c2") + 1) * 1e6).cast("long").as("_ln2"))
+    val c1 = tA.select(explode(contexts(col("_a"))).as("_b1"))
+      .groupBy(col("_b1")).agg(count(lit(1)).as("_c1"))
+      .select(col("_b1"), round(log(col("_c1") + B) * 1e6).cast("long").as("_ln1"))
+
+    val pair = docs
+      .select(col(idCol).as("_id"), explode(pairKeys(bucketsOf(col(textCol)))).as("_k"))
+      .groupBy(col("_id"), col("_k")).agg(count(lit(1)).as("_c"))
+      // integer context recovery: keys are < B² = 10^8, exact in the double
+      // division, and non-negative so the truncating cast is floor
+      .withColumn("_b1", floor(col("_k") / B).cast("long"))
+    val per = pair
+      .join(broadcast(c2), Seq("_k"), "left")
+      .join(broadcast(c1), Seq("_b1"), "left")
+      // cost in micro-nats: −ln p = ln(c1+B) − ln(c2+1); unseen context →
+      // ln(0+B), unseen bigram → ln(0+1) = 0
+      .withColumn("_cost",
+        coalesce(col("_ln1"), lit(lnq(B.toDouble))) - coalesce(col("_ln2"), lit(0L)))
+      .groupBy(col("_id"))
+      .agg(sum(col("_c")).as("_n"), sum(col("_c") * col("_cost")).as("_s"))
+    docs.select(col(idCol).as("_id")).join(per, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n"), lit(0L)).cast("int").as("n_bigrams"),
+        when(coalesce(col("_n"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("_s") / 1e6 / col("_n"), 4)).as("ce_nats"))
+  }
+
   /** Unicode text normalization (the ftfy/CCNet-style cleanup every published
     * pipeline runs before tokenization — typographic noise otherwise
     * fragments the token space): curly quotes → straight, en/em dashes → '-',

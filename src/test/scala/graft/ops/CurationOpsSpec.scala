@@ -162,6 +162,33 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again == got)
   }
 
+  test("lmCrossEntropy: target-like text scores LOW; counts and edges exact") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma delta" else "omega psi chi phi")) ++
+      Seq((41L, "solo"), (42L, ""))
+    val df = docs.toDF("doc_id", "text")
+    val target = Seq("alpha beta gamma delta", "alpha beta gamma").toDF("t")
+    val got = CurationOps.lmCrossEntropy(df, "text", "doc_id", target, "t")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // 4 tokens → 3 bigrams; target-like docs have LOWER cross-entropy
+    assert(got(2L)._1 == 3 && got(1L)._1 == 3)
+    assert(got(2L)._2 < got(1L)._2, s"target-like ${got(2L)} must beat ${got(1L)}")
+    // hand-check the smoothed model: "alpha beta"/"beta gamma" seen 2x in
+    // target with context count 2, "gamma delta" 1x with context count 1;
+    // an unseen bigram from an unseen context costs exactly ln(B)
+    val B = 10000.0
+    def q(x: Double): Long = math.round(math.log(x) * 1e6)
+    val expSeen = (2 * (q(2 + B) - q(3)) + (q(1 + B) - q(2))) / 3.0 / 1e6
+    assert(math.abs(got(2L)._2 - expSeen) < 1e-4, s"got ${got(2L)._2} want ~$expSeen")
+    assert(math.abs(got(1L)._2 - math.log(B)) < 1e-4)
+    // <2 tokens → no bigrams → (0, 0.0)
+    assert(got(41L) == ((0, 0.0)) && got(42L) == ((0, 0.0)))
+    // partition invariance (Long micro-nat sums are exact)
+    val again = CurationOps.lmCrossEntropy(df.repartition(7), "text", "doc_id", target, "t")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("curationFunnel: one-pass stage counts agree with the per-doc views") {
     val docs = Seq(
       (1L, "Good opening line.\n" + (1 to 60).map(i => s"word$i").mkString(" ") +
