@@ -47,11 +47,18 @@ object CurationPipeline {
   /** `docs` must carry (idCol: unique long-castable, urlCol, textCol).
     * `gates` picks the quality rule sets ("gopher", "c4", both, or empty) —
     * the published pipelines differ exactly here (C4's terminal-punctuation
-    * line rule deletes punctuation-free corpora outright; Gopher's doesn't). */
+    * line rule deletes punctuation-free corpora outright; Gopher's doesn't).
+    * `lmTarget` (a (frame, textCol) pair) additionally gates on CCNet-style
+    * LM cross-entropy ≤ `lmMaxCeNats` against that target corpus — like
+    * CCNet itself, the LM score is its own pass over the text (the bigram
+    * explode cannot fuse into the per-row flag projection); its verdict
+    * joins the narrow flag frame on the id before the checkpoint. */
   def run(docs: DataFrame, textCol: String, idCol: String, urlCol: String,
           hostCapK: Int = 100000, samplePct: Int = 100,
           gates: Set[String] = Set("gopher", "c4"),
-          saltBuckets: Int = 64): Result = {
+          saltBuckets: Int = 64,
+          lmTarget: Option[(DataFrame, String)] = None,
+          lmMaxCeNats: Double = 9.0): Result = {
     val norm = CurationOps.normalizeText(col(textCol))
     val quality = Seq(
       if (gates.contains("gopher")) Some(gopherKeep(norm)) else None,
@@ -63,12 +70,24 @@ object CurationPipeline {
     // the narrow flag frame: text/url are scanned ONCE here and not carried —
     // only ids, the window keys, and per-row verdicts flow into the windows,
     // and only (id, host, flags) survives into the checkpoint
-    val flagged = docs.select(
-        col(idCol).as("_id"),
-        url_host(col(urlCol)).as("_host"),
-        coalesce(canonical_url(col(urlCol)), col(urlCol)).as("_curl"),
-        text_digest(norm).as("_digest"),
-        quality.as("_q"))
+    val perRow = docs.select(
+      col(idCol).as("_id"),
+      url_host(col(urlCol)).as("_host"),
+      coalesce(canonical_url(col(urlCol)), col(urlCol)).as("_curl"),
+      text_digest(norm).as("_digest"),
+      quality.as("_qrow"))
+    val withLm = lmTarget match {
+      case Some((tgt, tcol)) =>
+        val ce = CurationOps.lmCrossEntropy(docs, textCol, idCol, tgt, tcol)
+          .select(col(idCol).as("_id"),
+            (col("n_bigrams") > 0 && col("ce_nats") <= lmMaxCeNats).as("_lmok"))
+        perRow.join(ce, Seq("_id"), "left")
+          .select(col("_id"), col("_host"), col("_curl"), col("_digest"),
+            (col("_qrow") && coalesce(col("_lmok"), lit(false))).as("_qrow"))
+      case None => perRow
+    }
+    val flagged = withLm
+      .withColumnRenamed("_qrow", "_q")
       .withColumn("_url_keep", col("_id") === min(col("_id")).over(urlW))
       // exact-dup keeper AMONG url survivors: min id with _url_keep per digest
       .withColumn("_dig_keep", col("_url_keep") &&

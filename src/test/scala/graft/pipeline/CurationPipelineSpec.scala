@@ -77,6 +77,30 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       "n_after_exact_dedup", "n_after_quality", "n_after_host_cap", "n_curated"))
   }
 
+  test("optional CCNet LM gate drops off-target docs at the quality stage") {
+    val onTarget = goodText("lm") // stopword-heavy, target-like
+    val offTarget = (1 to 10).map(i => s"zq$i xv$i wk$i qq$i jj$i vv$i").mkString(". ") +
+      " the of and that have with be to over dog." // passes Gopher, alien bigrams
+    val docs = Seq(
+      (1L, "http://a.example/1", onTarget),
+      (2L, "http://b.example/2", offTarget)).toDF("id", "url", "text")
+    val target = Seq(onTarget, goodText("t2"), goodText("t3")).toDF("t")
+    // calibrate the threshold between the two scores (at fixture scale the
+    // +B smoothing floor dominates absolute values; the ORDER is the signal)
+    val ces = graft.ops.CurationOps.lmCrossEntropy(docs, "text", "id", target, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ces(1L) < ces(2L), s"target-like must score lower: $ces")
+    val without = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set("gopher")).funnel.collect().head
+    val withLm = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set("gopher"), lmTarget = Some((target, "t")),
+      lmMaxCeNats = (ces(1L) + ces(2L)) / 2)
+    val f = withLm.funnel.collect().head
+    assert(without.getLong(3) == 2, "both pass Gopher alone")
+    assert(f.getLong(3) == 1, "LM gate drops the off-target doc")
+    assert(withLm.curated.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("crash between commit groups resumes to byte-identical curated output (§5.3)") {
     val docs = (1L to 120L).map(i =>
       (i, s"http://h${i % 9}.example/$i", goodText(s"c$i"))).toDF("id", "url", "text")
