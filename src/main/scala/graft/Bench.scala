@@ -212,15 +212,20 @@ object Bench {
     // artifact instead of silently certified.
     def healthyChild(cores: Int): (Double, Double, Boolean) = {
       var attempt = 0
-      var best: (Double, Double) = (-1.0, -1.0)
+      var bestRate = -1.0
+      var bestSent = -1.0
       var ok = false
       while (!ok && attempt < 3) {
         val (rate, sent) = childRun(cores)
-        if (rate > best._1) best = (rate, math.max(sent, best._2))
-        ok = rate > 0 && sent > 0 && rate >= 0.5 * sent
+        bestRate = math.max(bestRate, rate)
+        bestSent = math.max(bestSent, sent) // the host's PROVEN capability
+        // verdict from the PUBLISHED pair, not this attempt's: the best Spark
+        // rate must reach half of the best raw rate any window demonstrated —
+        // otherwise the JSON would carry a rate its own sentinel condemns
+        ok = bestRate > 0 && bestSent > 0 && bestRate >= 0.5 * bestSent
         attempt += 1
       }
-      (best._1, best._2, ok)
+      (bestRate, bestSent, ok)
     }
     val (p2Rate, p2Sent, p2Ok) = healthyChild(2)
     val (p8Rate, p8Sent, p8Ok) = healthyChild(8)

@@ -187,6 +187,12 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     val again = CurationOps.lmCrossEntropy(df.repartition(7), "text", "doc_id", target, "t")
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
     assert(again == got)
+    // scale shape: both model tables attach as BROADCAST joins — the corpus
+    // stream must never shuffle on the bigram key
+    val plan = CurationOps.lmCrossEntropy(df, "text", "doc_id", target, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
   test("curationFunnel: one-pass stage counts agree with the per-doc views") {
