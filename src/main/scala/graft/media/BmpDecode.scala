@@ -111,6 +111,9 @@ object BmpDecode {
           var y = h - 1
           var i = dataOff
           var done = false
+          var any = false // like the other branches: a stream that never
+          //                 writes a pixel must fall to the sketch, not
+          //                 fabricate an all-black image
           while (!done && i + 2 <= b.length) {
             val n = u8(i)
             val v = u8(i + 1)
@@ -119,7 +122,7 @@ object BmpDecode {
               var k = 0
               while (k < n) {
                 val idx = if (!rle4) v else if ((k & 1) == 0) v >> 4 else v & 0xf
-                put(x, y, pal(idx)); x += 1; k += 1
+                put(x, y, pal(idx)); any = true; x += 1; k += 1
               }
             } else v match {
               case 0 => x = 0; y -= 1            // end of line
@@ -136,14 +139,14 @@ object BmpDecode {
                   while (k < cnt) {
                     val byte = u8(i + (if (rle4) k / 2 else k))
                     val idx = if (!rle4) byte else if ((k & 1) == 0) byte >> 4 else byte & 0xf
-                    put(x, y, pal(idx)); x += 1; k += 1
+                    put(x, y, pal(idx)); any = true; x += 1; k += 1
                   }
                   i += padded
                 }
             }
             if (y < 0) done = true
           }
-          Some(Pixels(w, h, 3, out))
+          if (!any) None else Some(Pixels(w, h, 3, out))
 
         case _ => None // 16-bit / BI_BITFIELDS / huffman: sketch fallback
       }

@@ -87,8 +87,12 @@ object TiffDecode {
                 val len = math.min(avail, rows.toLong * rowBytes).toInt
                 java.util.Arrays.copyOfRange(b, src.toInt, src.toInt + len)
               case 5 =>
+                // cap at the strip's plaintext size: without it a crafted
+                // compression=5 strip expands ~3,640× and OOMs the executor
+                // (the sibling packBits path carries the identical cap)
                 graft.pdf.PdfExtract.lzwDecode(
-                  java.util.Arrays.copyOfRange(b, src.toInt, (src + avail).toInt))
+                  java.util.Arrays.copyOfRange(b, src.toInt, (src + avail).toInt),
+                  maxOut = rows * rowBytes)
               case _ =>
                 packBits(b, src.toInt, avail.toInt, rows * rowBytes)
             }

@@ -110,8 +110,12 @@ object CurationOps {
    * pipeline salts — head hosts are 10^7-10^8 docs at design scale, and a
    * single `row_number` window would sort every one of them in ONE task):
    *   1. per-host counts (map-side combine) → the HEAVY host list (count > k,
-   *      at most n/k hosts — broadcastable always) tags rows via a broadcast
-   *      join; LIGHT hosts cannot exceed the cap, so their rows pass through
+   *      at most n/k hosts) tags rows via a join; the join STRATEGY is left
+   *      to size-based planning + AQE on purpose — with the design-scale cap
+   *      (k=10^5) the heavy list is tiny and broadcasts at runtime, while a
+   *      pathological small-k call at corpus scale (n/k rows no driver can
+   *      hold) degrades to a shuffle join instead of a forced-broadcast OOM.
+   *      LIGHT hosts cannot exceed the cap, so their rows pass through
    *      with no window at all.
    *   2. the heavy slice alone runs a two-level top-k: a salted window over
    *      (host, hash(orderCol) % saltBuckets) keeps each salted group's first
@@ -120,6 +124,11 @@ object CurationOps {
    *      task ever sorts more than max(c/saltBuckets, saltBuckets·k) rows.
    * Result set is IDENTICAL to the naive single-window form (asserted by
    * PlanAuditSpec against a zipf-head fixture).
+   *
+   * `docs` is consumed by THREE plan branches (the counts aggregation and
+   * both union arms); callers passing an expensive derived frame should
+   * cache/localCheckpoint it first — `CurationPipeline` caps over its narrow
+   * checkpointed flag frame for exactly this reason.
    */
   def hostCap(docs: DataFrame, hostCol: String, orderCol: String, k: Int,
               saltBuckets: Int = 64): DataFrame = {
@@ -130,7 +139,7 @@ object CurationOps {
     // null-safe equality: a null host is a host like any other here (the
     // naive window groups nulls together and caps them; a plain join key
     // would silently exempt them from the cap)
-    val tagged = docs.join(broadcast(heavy), col(hostCol) <=> col("_hchost"), "left")
+    val tagged = docs.join(heavy, col(hostCol) <=> col("_hchost"), "left")
       .drop("_hchost")
     val original = docs.columns.map(col)
     val light = tagged.filter(col("_heavy").isNull).select(original: _*)

@@ -693,9 +693,17 @@ object PdfExtract {
     * early). Predictors are not applied here (content/ToUnicode/ObjStm streams
     * in the wild don't use them; TiffDecode applies its own predictor tag on
     * top of this shared core — TIFF 6.0 §13 specifies the identical variant,
-    * which is why PDF names the filter after it). */
-  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    * which is why PDF names the filter after it).
+    *
+    * `maxOut` bounds the decoded size: LZW expands up to ~3,640× its input
+    * (each post-reset code can emit a 4 KB dictionary entry), so a crafted
+    * 1 MB stream could otherwise force a multi-GB allocation — an
+    * OutOfMemoryError is a VirtualMachineError that NO NonFatal handler
+    * catches, killing the executor task instead of degrading. Callers that
+    * know the plaintext size (TIFF strips) pass it exactly; the PDF filter
+    * path uses a generous fixed ceiling. */
+  private[graft] def lzwDecode(data: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20).max(64))
     val dict = new Array[Array[Byte]](4096)
     var dictSize = 258
     var codeBits = 9
@@ -720,6 +728,7 @@ object PdfExtract {
             else if (prev != null) prev :+ prev(0) // KwKwK case
             else return out.toByteArray // corrupt: degrade
           out.write(entry, 0, entry.length)
+          if (out.size >= maxOut) done = true // hostile expansion: stop here
           if (prev != null && dictSize < 4096) {
             dict(dictSize) = prev :+ entry(0)
             dictSize += 1

@@ -33,7 +33,8 @@ import graft.ops.CurationOps
  *
  * The host cap is the SKEW-SAFE two-phase shape (the extraction pipeline
  * salts exactly this key — a head host is 10^7-10^8 docs at design scale):
- * per-host quality-survivor counts → broadcast heavy-host list → rows of
+ * per-host quality-survivor counts → heavy-host list (join strategy left to
+ * AQE: broadcasts at runtime when small, never a forced driver OOM) → rows of
  * LIGHT hosts keep unconditionally (they cannot exceed the cap) → only the
  * heavy slice runs the ordered windows, salted first (bounded partitions),
  * final rank on the ≤ saltBuckets·k remnant. Funnel counts come from two
@@ -52,7 +53,11 @@ object CurationPipeline {
     * LM cross-entropy ≤ `lmMaxCeNats` against that target corpus — like
     * CCNet itself, the LM score is its own pass over the text (the bigram
     * explode cannot fuse into the per-row flag projection); its verdict
-    * joins the narrow flag frame on the id before the checkpoint. */
+    * joins the narrow flag frame on the id before the checkpoint. Both sides
+    * are scored over the SAME normalizeText view the digest and quality
+    * gates see (normalization noise must not shift docs across the
+    * threshold), and a doc too short to score (<2 tokens, n_bigrams = 0) is
+    * LM-neutral — the length gates own that judgment. */
   def run(docs: DataFrame, textCol: String, idCol: String, urlCol: String,
           hostCapK: Int = 100000, samplePct: Int = 100,
           gates: Set[String] = Set("gopher", "c4"),
@@ -78,12 +83,15 @@ object CurationPipeline {
       quality.as("_qrow"))
     val withLm = lmTarget match {
       case Some((tgt, tcol)) =>
-        val ce = CurationOps.lmCrossEntropy(docs, textCol, idCol, tgt, tcol)
+        val normDocs = docs.select(col(idCol),
+          CurationOps.normalizeText(col(textCol)).as(textCol))
+        val normTgt = tgt.select(CurationOps.normalizeText(col(tcol)).as(tcol))
+        val ce = CurationOps.lmCrossEntropy(normDocs, textCol, idCol, normTgt, tcol)
           .select(col(idCol).as("_id"),
-            (col("n_bigrams") > 0 && col("ce_nats") <= lmMaxCeNats).as("_lmok"))
+            (col("n_bigrams") === 0 || col("ce_nats") <= lmMaxCeNats).as("_lmok"))
         perRow.join(ce, Seq("_id"), "left")
           .select(col("_id"), col("_host"), col("_curl"), col("_digest"),
-            (col("_qrow") && coalesce(col("_lmok"), lit(false))).as("_qrow"))
+            (col("_qrow") && coalesce(col("_lmok"), lit(true))).as("_qrow"))
       case None => perRow
     }
     val flagged = withLm
@@ -97,26 +105,14 @@ object CurationPipeline {
       .localCheckpoint(true)
 
     // ---- stage 5: two-phase host cap among quality survivors -------------
+    // the ONE implementation of the skew-safe heavy/light cap lives in
+    // CurationOps.hostCap (shared builder — the same no-drift rationale as
+    // gopherKeep/c4Keep); its three plan branches all read the narrow
+    // checkpointed frame, so the triple consumption is cheap here
     val survivors = flagged.filter(col("_q_keep")).select(col("_id"), col("_host"))
-    val heavy = survivors.groupBy(col("_host")).agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") > hostCapK)
-      .select(col("_host").as("_hhost")).withColumn("_heavy", lit(true))
-    val tagged = survivors
-      .join(broadcast(heavy), col("_host") <=> col("_hhost"), "left")
-    // light hosts (≤ hostCapK survivors) keep every row — no window; only the
-    // heavy slice ranks: salted window first (each task sees ≤ c/saltBuckets
-    // rows of a head host), then the final rank over the ≤ saltBuckets·k
-    // remnant the salted filter left (the filter sits BETWEEN the windows, so
-    // the second sorts only the bounded remnant)
-    val w1 = Window.partitionBy(col("_host"), col("_salt")).orderBy(col("_id").asc)
-    val w2 = Window.partitionBy(col("_host")).orderBy(col("_id").asc)
-    val lightIds = tagged.filter(col("_heavy").isNull).select(col("_id"))
-    val heavyKeptIds = tagged.filter(col("_heavy") === true)
-      .withColumn("_salt", pmod(splitmix64(col("_id").cast("long")), lit(saltBuckets.toLong)))
-      .withColumn("_rn1", row_number().over(w1)).filter(col("_rn1") <= hostCapK)
-      .withColumn("_rn2", row_number().over(w2)).filter(col("_rn2") <= hostCapK)
-      .select(col("_id"))
-    val afterCapIds = lightIds.unionByName(heavyKeptIds)
+    val afterCapIds =
+      CurationOps.hostCap(survivors, "_host", "_id", hostCapK, saltBuckets)
+        .select(col("_id"))
 
     // ---- stage 6 + funnel -------------------------------------------------
     val smp = pmod(splitmix64(col("_id").cast("long").bitwiseXOR(lit(0x5eedL))), lit(100)) < samplePct

@@ -291,12 +291,18 @@ object WarcSource {
   }
 
   /** RFC 9112 chunked-body decoder, total on hostile bytes: a malformed size
-    * line or truncation ends the walk and keeps whatever decoded so far. */
+    * line or truncation ends the walk and keeps whatever decoded so far.
+    * If the VERY FIRST size line is not chunked syntax the body is returned
+    * unchanged: replayed/proxied captures commonly keep the original
+    * `Transfer-Encoding: chunked` header on an already-de-chunked body
+    * (starting `<html>`/`<!DOCTYPE`), and decoding that to empty would drop
+    * the whole document. */
   private[sources] def dechunk(body: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(body.length)
     var pos = 0
     val n = body.length
     var done = false
+    var malformedFirst = false
     while (!done && pos < n) {
       // size line: hex digits, optional ";ext", ends CRLF (or bare LF)
       var size = 0L
@@ -311,8 +317,10 @@ object WarcSource {
         if (d >= 0) { size = size * 16 + d; sawDigit = true; true } else false
       }) k += 1
       while (k < n && body(k) != '\n') k += 1 // skip extensions to line end
-      if (!sawDigit || k >= n) done = true    // malformed/truncated size line
-      else {
+      if (!sawDigit || k >= n) {              // malformed/truncated size line
+        if (!sawDigit && pos == 0) malformedFirst = true
+        done = true
+      } else {
         k += 1 // past LF
         if (size == 0L) done = true           // final chunk; trailers dropped
         else {
@@ -328,6 +336,6 @@ object WarcSource {
         }
       }
     }
-    out.toByteArray
+    if (malformedFirst) body else out.toByteArray
   }
 }

@@ -73,6 +73,21 @@ class BmpDecodeSpec extends AnyFunSuite {
     assert(BmpDecode.decode(ImageEncode.bmp(16, 8)).isEmpty)
   }
 
+  test("RLE stream that decodes zero pixels falls to the sketch, not a black image") {
+    // truncated right after the header/palette (no opcode bytes at all) and
+    // an immediate EOF escape: neither writes a pixel, so claiming a decode
+    // would fabricate an all-black image with confident mean/variance stats
+    val full = ImageEncode.bmpRle8Flat(16, 8, 5, 1, 2, 3)
+    val dataOff = (full(10) & 0xff) | ((full(11) & 0xff) << 8) |
+      ((full(12) & 0xff) << 16) | ((full(13) & 0xff) << 24)
+    assert(BmpDecode.decode(full.take(dataOff)).isEmpty)
+    val eofOnly = full.take(dataOff) ++ Array[Byte](0, 1) // escape: end of bitmap
+    assert(BmpDecode.decode(eofOnly).isEmpty)
+    // one real run before EOF still decodes
+    val oneRun = full.take(dataOff) ++ Array[Byte](3, 5, 0, 1)
+    assert(BmpDecode.decode(oneRun).isDefined)
+  }
+
   test("totality: paletted/RLE variants survive truncation and byte mutation") {
     val fixtures = Seq(
       ImageEncode.bmpPalettedFlat(16, 8, 8, 5, 1, 2, 3),

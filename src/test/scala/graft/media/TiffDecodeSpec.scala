@@ -117,6 +117,21 @@ class TiffDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile LZW expansion is capped at the plaintext size, no huge allocation") {
+    // a highly-compressible plaintext: lzwEncode shrinks 1 MB of zeros ~500×;
+    // decoding with a small maxOut must stop at the cap (±1 dict entry), not
+    // materialize the full megabyte — the guard that keeps a crafted
+    // compression=5 strip from forcing a multi-GB allocation
+    val bomb = ImageEncode.lzwEncode(new Array[Byte](1 << 20))
+    assert(bomb.length < (1 << 17), s"fixture not compressible: ${bomb.length}")
+    val capped = graft.pdf.PdfExtract.lzwDecode(bomb, maxOut = 1024)
+    assert(capped.length >= 1024 && capped.length <= 1024 + 4096, capped.length.toString)
+    assert(capped.forall(_ == 0))
+    // the uncapped default still round-trips real strips exactly
+    val strip = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    assert(graft.pdf.PdfExtract.lzwDecode(ImageEncode.lzwEncode(strip)).toSeq == strip.toSeq)
+  }
+
   test("MediaSniff.features: flat TIFF yields exact means, zero variance") {
     val f = MediaSniff.features(ImageEncode.tiffFlat(16, 8, Seq(10, 200, 77), littleEndian = false))
     assert(f(0) == 10f && f(1) == 200f && f(2) == 77f)

@@ -101,6 +101,19 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(withLm.curated.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("LM gate is neutral on docs too short to score (<2 tokens)") {
+    // a one-token doc has n_bigrams = 0 — the LM model cannot judge it, so
+    // the LM gate must not kill it; the length gates own that judgment
+    // (with gates = Set() nothing else gates, so survival isolates the LM)
+    val docs = Seq(
+      (1L, "http://a.example/1", "solo"),
+      (2L, "http://b.example/2", goodText("lmx"))).toDF("id", "url", "text")
+    val target = Seq(goodText("t1"), goodText("t2")).toDF("t")
+    val r = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), lmTarget = Some((target, "t")), lmMaxCeNats = 100.0)
+    assert(r.curated.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("crash between commit groups resumes to byte-identical curated output (§5.3)") {
     val docs = (1L to 120L).map(i =>
       (i, s"http://h${i % 9}.example/$i", goodText(s"c$i"))).toDF("id", "url", "text")

@@ -93,11 +93,26 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     Files.write(dir.resolve("c.warc"), out.toByteArray)
     val rows = WarcSource.pages(spark, dir.toString).collect()
     assert(rows.length == 1 && rows(0).getAs[Array[Byte]]("html").toSeq == html.toSeq)
-    // truncated chunk data keeps the decoded prefix; garbage size line → empty
+    // truncated chunk data keeps the decoded prefix
     val trunc = chunkedResponse(split).dropRight(12)
     assert(new String(WarcSource.stripHttpHeaders(trunc), US_ASCII).startsWith("<html>"))
+    // a body whose FIRST size line is not chunked syntax passes through
+    // unchanged: replayed/proxied captures keep the chunked header on an
+    // already-de-chunked body, and decoding that to empty would drop the doc
     val bad = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nnope".getBytes(US_ASCII)
-    assert(WarcSource.stripHttpHeaders(bad).isEmpty)
+    assert(new String(WarcSource.stripHttpHeaders(bad), US_ASCII) == "ZZ\r\nnope")
+    val preDechunked = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+      + "<html><body>already decoded</body></html>").getBytes(US_ASCII)
+    assert(new String(WarcSource.stripHttpHeaders(preDechunked), US_ASCII)
+      == "<html><body>already decoded</body></html>")
+    // ...but a LEGIT empty chunked body still decodes to empty (the fallback
+    // fires only when the first size line fails to parse)
+    val empty = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n\r\n".getBytes(US_ASCII)
+    assert(WarcSource.stripHttpHeaders(empty).isEmpty)
+    // and a malformed SECOND size line keeps the decoded prefix, no fallback
+    val midBad = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+      + "5\r\nhello\r\nnope").getBytes(US_ASCII)
+    assert(new String(WarcSource.stripHttpHeaders(midBad), US_ASCII) == "hello")
     // non-chunked responses are untouched by the new path
     assert(WarcSource.stripHttpHeaders(httpResponse(html)).toSeq == html.toSeq)
   }
