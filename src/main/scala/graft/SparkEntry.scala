@@ -1156,6 +1156,31 @@ object SparkEntry {
           round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"))
     }),
 
+    // Perceptual image dedup by 64-bit difference hash (the crawl-pipeline
+    // near-dup key: same composition re-encoded or RESIZED hashes
+    // identically). Fixture: vertical-stripe BMPs on the dHash 9-column grid
+    // — pattern p = doc_id%200%100 picks which stripes take the bright tone,
+    // and docs 100 apart render the SAME pattern at DIFFERENT resolutions
+    // (18×16 vs 36×32), so each pattern's small and large renditions land in
+    // one hash group: n_same_hash counts resolution-invariant matches. The
+    // hash is closed-form from the pattern: bit cy·8+cx set iff stripe cx is
+    // bright and cx+1 is dark ⇒ dhash = 0x0101010101010101 · (p & ~(p>>1)),
+    // replayed verbatim in DuckDB integer bit arithmetic.
+    "q71_image_dhash" -> ((s, dir) => {
+      val bmpHex = (0 until 200).map { m =>
+        val p = m % 100
+        val (w, h) = if (m < 100) (18, 16) else (36, 32)
+        graft.media.ImageEncode.bmpVStripes(w, h, p, (200, 150, 100), (10, 30, 5))
+          .map(x => f"${x & 0xff}%02X").mkString
+      }
+      val hashW = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+      t(s, dir, "documents")
+        .withColumn("dhash", image_dhash(unhex(
+          element_at(array(bmpHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .withColumn("n_same_hash", count(lit(1)).over(hashW))
+        .select(col("doc_id"), col("dhash"), col("n_same_hash"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -1857,6 +1882,17 @@ object SparkEntry {
         |    FROM (SELECT doc_id, 255 - (doc_id % 200) AS u,
         |                 xor(doc_id % 200, 85) AS a FROM documents)
         |  )
+        |)""".stripMargin,
+    // dHash replay: stripes land exactly on the 9×8 grid cells, bright tone
+    // (gray 150) for pattern bit 1, dark (gray 15) for 0, so bit cy·8+cx is
+    // set iff p has a 1→0 transition at cx — one identical byte per grid row
+    "q71_image_dhash" ->
+      """SELECT doc_id, dhash,
+        |  COUNT(*) OVER (PARTITION BY dhash) AS n_same_hash
+        |FROM (
+        |  SELECT doc_id,
+        |    72340172838076673 * ((p & ~(p >> 1)) & 255) AS dhash
+        |  FROM (SELECT doc_id, (doc_id % 200) % 100 AS p FROM documents)
         |)""".stripMargin,
     "q67_tiff_features" ->
       """SELECT doc_id,

@@ -55,6 +55,20 @@ case class AvMetaExpr(child: Expression) extends UnaryExpression with CodegenFal
     copy(child = newChild)
 }
 
+/** 64-bit perceptual difference hash for image near-dup keys (see
+  * MediaSniff.dhash64 for the pinned definition). NULL for non-image or
+  * sub-grid payloads — nullable so undecodable bytes drop out of dedup
+  * grouping instead of colliding on a sentinel value. */
+case class ImageDhash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MediaSniff.dhash64(input.asInstanceOf[Array[Byte]]).map(Long.box).orNull
+  override protected def withNewChildInternal(newChild: Expression): ImageDhash =
+    copy(child = newChild)
+}
+
 /** STUB media feature sketch (see MediaSniff.features). */
 case class MediaFeatures(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)

@@ -143,6 +143,12 @@ object functions {
   def media_features(bytes: Column): Column =
     ColumnBridge.column(MediaFeatures(expr(bytes)))
 
+  /** 64-bit perceptual difference hash (dHash, 9×8 block grid) for image
+    * near-dup dedup — resolution-invariant by construction; NULL for
+    * non-image payloads. Definition pinned in MediaSniff.dhash64. */
+  def image_dhash(bytes: Column): Column =
+    ColumnBridge.column(ImageDhash(expr(bytes)))
+
   /** Audio/video container metadata: struct(format, duration_ms, sample_rate,
     * channels, width, height) from MP4 boxes / MP3 frame walk / FLAC
     * STREAMINFO / WAV chunks — structure parsing only, no codec decode. */

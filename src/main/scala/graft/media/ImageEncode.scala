@@ -39,6 +39,29 @@ object ImageEncode {
     o.toByteArray
   }
 
+  /** Complete 24-bit BMP of VERTICAL STRIPES on the dHash 9-column grid:
+    * pixel column x takes color `a` when bit `x*9/w` of `pattern` is 1,
+    * else color `b`. With w a multiple of 9 the stripes land exactly on the
+    * 9×8 difference-hash cells, so the hash is closed-form from `pattern`
+    * alone (see MediaSniff.dhash64) — and the SAME pattern at different
+    * resolutions yields the SAME hash, the resolution-invariance fixture. */
+  def bmpVStripes(w: Int, h: Int, pattern: Int,
+                  a: (Int, Int, Int), b: (Int, Int, Int)): Array[Byte] = {
+    val header = bmp(w, h)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val o = new ByteArrayOutputStream(header.length + stride * h)
+    o.write(header, 0, header.length)
+    val row = new Array[Byte](stride)
+    var x = 0
+    while (x < w) {
+      val (r, g, bl) = if (((pattern >> (x * 9 / w)) & 1) == 1) a else b
+      row(x * 3) = bl.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+      x += 1
+    }
+    (0 until h).foreach(_ => o.write(row, 0, stride))
+    o.toByteArray
+  }
+
   /** BMP file header + BITMAPINFOHEADER + palette for the indexed layouts.
     * `idx` fills the image; the palette maps it (and only it) to (r, g, b). */
   private def bmpIndexedHeader(w: Int, h: Int, bpp: Int, compression: Int,
