@@ -1173,6 +1173,11 @@ object SparkEntry {
         graft.media.ImageEncode.bmpVStripes(w, h, p, (200, 150, 100), (10, 30, 5))
           .map(x => f"${x & 0xff}%02X").mkString
       }
+      // per-group counts via a window for row-per-doc oracle comparison; the
+      // dedup ACTION at corpus scale is the exact-dedup shape instead — ONE
+      // map-side-combinable groupBy(dhash).agg(min(id)) shuffle (q12's plan),
+      // with Hamming-band grouping via the SimHash table machinery (q32)
+      // when near-exact matching is wanted
       val hashW = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
       t(s, dir, "documents")
         .withColumn("dhash", image_dhash(unhex(
