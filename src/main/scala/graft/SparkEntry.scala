@@ -1889,8 +1889,8 @@ object SparkEntry {
         |  )
         |)""".stripMargin,
     // dHash replay: stripes land exactly on the 9×8 grid cells, bright tone
-    // (gray 150) for pattern bit 1, dark (gray 15) for 0, so bit cy·8+cx is
-    // set iff p has a 1→0 transition at cx — one identical byte per grid row
+    // (BT.601 luma ≈ 159) for pattern bit 1, dark (≈ 21) for 0, so bit
+    // cy·8+cx is set iff p has a 1→0 transition at cx — one byte per grid row
     "q71_image_dhash" ->
       """SELECT doc_id, dhash,
         |  COUNT(*) OVER (PARTITION BY dhash) AS n_same_hash

@@ -143,19 +143,30 @@ object MediaSniff {
     * (8/16-bit, frames as the unit), FLAC. The deterministic byte-hash
     * sketch remains ONLY for lossy-codec audio payloads (MP3/AAC) and video
     * frames — formats with no JVM codec here. */
+  /** The ONE image-decoder dispatch (PNG/JPEG/GIF/BMP/TIFF) shared by
+    * features() and dhash64 — a new decoder wired here reaches both, so the
+    * two can never disagree on which payloads are images. Returns
+    * (w, h, channels, interleaved u8 samples, isYcc); isYcc marks JPEG's raw
+    * YCbCr 3-channel layout (every other decoder emits gray or RGB). */
+  private def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte], Boolean)] = {
+    if (b == null) return None
+    PngDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false))
+      .orElse(JpegDecode.decode(b).map(p =>
+        (p.width, p.height, p.channels, p.samples, p.channels == 3)))
+      .orElse(GifDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
+      .orElse(BmpDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
+      .orElse(TiffDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
+  }
+
   def features(b: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (b == null) return out
     // (unit count, channels, interleaved u8 samples) — pixels for images,
     // frames for audio
     val decoded: Option[(Long, Int, Array[Byte])] =
-      PngDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples))
-        .orElse(JpegDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
-        .orElse(GifDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
+      decodeImage(b).map { case (w, h, ch, s, _) => (w.toLong * h, ch, s) }
         .orElse(WavDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
         .orElse(FlacDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
-        .orElse(BmpDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
-        .orElse(TiffDecode.decode(b).map(p => (p.width.toLong * p.height, p.channels, p.samples)))
     decoded match {
       case Some((n, channels, samples)) =>
         val sums = new Array[Double](4)
@@ -192,19 +203,24 @@ object MediaSniff {
     * the resize step — the hash is invariant across resolutions of the same
     * composition by construction.
     *
+    * Gray is BT.601 LUMA, not a channel mean: JPEG decode emits raw YCbCr
+    * planes, so its gray is the Y plane directly, and RGB formats apply the
+    * SAME 0.299/0.587/0.114 matrix JPEG itself uses — a chromatic
+    * composition therefore hashes identically whether it arrives as
+    * PNG/BMP/GIF/TIFF or as a JPEG re-encode (a naive channel mean would
+    * hash JPEGs in YCbCr space and RGB formats in RGB space, splitting the
+    * same photo across groups).
+    *
     * Images only (PNG/JPEG/GIF/BMP/TIFF dispatch); None for audio, undecodable
     * payloads, or images smaller than the 9×8 grid. */
   def dhash64(b: Array[Byte]): Option[Long] = {
-    if (b == null) return None
-    val img: Option[(Int, Int, Int, Array[Byte])] =
-      PngDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples))
-        .orElse(JpegDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples)))
-        .orElse(GifDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples)))
-        .orElse(BmpDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples)))
-        .orElse(TiffDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples)))
-    img.flatMap { case (w, h, ch, s) =>
+    decodeImage(b).flatMap { case (w, h, ch, s, isYcc) =>
       if (w < 9 || h < 8 || ch < 1) None
       else {
+        // integer luma in [0, 255*256): (77,150,29)/256 ≈ BT.601, exact sums
+        def luma(o: Int): Long =
+          if (ch < 3 || isYcc) (s(o) & 0xff).toLong << 8 // gray(+alpha) / Y plane
+          else 77L * (s(o) & 0xff) + 150L * (s(o + 1) & 0xff) + 29L * (s(o + 2) & 0xff)
         val means = new Array[Double](72) // row-major 8×9
         var cy = 0
         while (cy < 8) {
@@ -215,10 +231,9 @@ object MediaSniff {
             var sum = 0L; var cnt = 0L
             var y = y0
             while (y < y1) {
-              var o = (y * w + x0) * ch
-              val oEnd = (y * w + x1) * ch
-              while (o < oEnd) { sum += s(o) & 0xff; o += 1 }
-              cnt += (x1 - x0).toLong * ch
+              var x = x0
+              while (x < x1) { sum += luma((y * w + x) * ch); x += 1 }
+              cnt += (x1 - x0).toLong
               y += 1
             }
             means(cy * 9 + cx) = sum.toDouble / cnt // w≥9, h≥8 ⇒ cnt > 0

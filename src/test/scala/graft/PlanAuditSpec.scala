@@ -93,6 +93,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(s).size >= 2, s)
   }
 
+  test("image-dHash dedup action is the one-shuffle map-side-combinable groupBy shape") {
+    // the q71 comment claims the dedup ACTION at scale is q12's exact-dedup
+    // shape on the dhash key: partial+final HashAggregate around ONE
+    // exchange — pin that a CodegenFallback expression in the grouping key
+    // does not defeat map-side combine
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 64L).map(i => (i,
+      graft.media.ImageEncode.bmpVStripes(18, 16, (i % 7).toInt, (200, 150, 100), (10, 30, 5))))
+      .toDF("doc_id", "payload")
+    val dedup = docs.groupBy(graft.functions.image_dhash(col("payload")).as("dhash"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val s = planString(dedup)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+    assert("Exchange".r.findAllIn(s).size == 1, s)
+  }
+
   test("minhash near-dup scans the corpus text ONCE (fused sig+bands + materialization)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -26,6 +26,23 @@ class ImageDhashSpec extends AnyFunSuite {
     assert(MediaSniff.dhash64(ImageEncode.tiffFlat(16, 8, Seq(42), littleEndian = true)).contains(0L))
   }
 
+  test("gray is BT.601 luma, not a channel mean (chromatic gradients survive)") {
+    // pure green (0,255,0) and pure red (255,0,0) have the SAME channel mean
+    // (85) — a channel-mean gray would hash these stripes to 0, erasing the
+    // composition; luma sees green 150 > red 76, so the stripe pattern
+    // yields the standard closed form with green as the bright tone. This is
+    // what keeps a JPEG re-encode (decoded as raw YCbCr, gray = Y plane) in
+    // the same hash group as the RGB original.
+    for (p <- Seq(5, 42, 73)) {
+      val got = MediaSniff.dhash64(
+        ImageEncode.bmpVStripes(18, 16, p, (0, 255, 0), (255, 0, 0)))
+      assert(got.contains(expected(p)), s"p=$p got=$got")
+    }
+    // flat chroma through the JPEG path: decodes to flat YCbCr planes, and
+    // the Y-plane gray keeps the hash at 0 like every other flat image
+    assert(MediaSniff.dhash64(JpegEncode.flatColor(16, 8, 90, 60, 30)).contains(0L))
+  }
+
   test("distinct edge masks yield distinct hashes") {
     val hashes = Seq(1, 2, 4, 5, 21, 85).map(p =>
       MediaSniff.dhash64(ImageEncode.bmpVStripes(18, 16, p, bright, dark)).get)
