@@ -1186,6 +1186,32 @@ object SparkEntry {
         .select(col("doc_id"), col("dhash"), col("n_same_hash"))
     }),
 
+    // Perceptual image NEAR-dup pairs: the q32 block-permuted Hamming join
+    // (full recall ≤ maxHamming by pigeonhole) run over image_dhash instead
+    // of text SimHash — DedupOps.fingerprintNearDupPairs is the ONE shared
+    // machinery, near-dup keys being 64-bit fingerprints whatever modality
+    // produced them. Fixture: per-grid-row stripe BMPs; docs ≥100 flip ONE
+    // stripe bit in ONE row of their base pattern, which moves the hash by
+    // 0-1 bits (edge-mask bit 0 of that row flips iff pattern bit 1 is 0),
+    // so the result carries hamming-0 groups (same pattern, BOTH
+    // resolutions) AND genuine hamming-1 near-dups; the oracle replays the
+    // closed-form hashes and brute-forces popcount over all pairs
+    "q72_image_near_dups" -> ((s, dir) => {
+      val bmpHex = (0 until 200).map { m =>
+        val p = m % 50
+        val rows = (0 until 8).map(r => if (m >= 100 && r == m % 8) p ^ 1 else p)
+        val (w, h) = if (m % 2 == 0) (18, 16) else (36, 32)
+        graft.media.ImageEncode.bmpRowStripes(w, h, rows, (200, 150, 100), (10, 30, 5))
+          .map(x => f"${x & 0xff}%02X").mkString
+      }
+      val fp = t(s, dir, "documents")
+        .withColumn("dhash", image_dhash(unhex(
+          element_at(array(bmpHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"), col("dhash"))
+      graft.ops.DedupOps.fingerprintNearDupPairs(fp, "dhash", "doc_id", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -1899,6 +1925,30 @@ object SparkEntry {
         |    72340172838076673 * ((p & ~(p >> 1)) & 255) AS dhash
         |  FROM (SELECT doc_id, (doc_id % 200) % 100 AS p FROM documents)
         |)""".stripMargin,
+    // closed-form hashes (base pattern edge mask per row; docs >= 100 swap
+    // ONE row's edge mask for the bit-0-flipped pattern's), then a
+    // brute-force popcount join over all pairs — the LSH result must equal
+    // it exactly (full recall at hamming <= 3, no bucket cap trips at this
+    // corpus size)
+    "q72_image_near_dups" ->
+      """WITH hsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m >= 100 THEN
+        |      72340172838076673 * ep - (ep << (8 * (m % 8))) + (ex << (8 * (m % 8)))
+        |    ELSE 72340172838076673 * ep END AS dhash
+        |  FROM (
+        |    SELECT doc_id, m,
+        |      ((p & ~(p >> 1)) & 255) AS ep,
+        |      ((xor(p, 1) & ~(xor(p, 1) >> 1)) & 255) AS ex
+        |    FROM (SELECT doc_id, doc_id % 200 AS m, (doc_id % 200) % 50 AS p
+        |          FROM documents)
+        |  )
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+        |FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "q67_tiff_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_1,

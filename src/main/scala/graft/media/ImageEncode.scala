@@ -62,6 +62,36 @@ object ImageEncode {
     o.toByteArray
   }
 
+  /** bmpVStripes generalized to one stripe pattern PER dHash grid row
+    * (`rowPatterns`, 8 entries, h a multiple of 8): pixel row y takes pattern
+    * `rowPatterns(y*8/h)`. Lets a fixture place a controlled 1-2 bit Hamming
+    * perturbation in a single grid row — the near-dup (not just exact-dup)
+    * fixture for the fingerprint Hamming join. BMP rows are stored bottom-up,
+    * so file rows are written in reverse image order. */
+  def bmpRowStripes(w: Int, h: Int, rowPatterns: Seq[Int],
+                    a: (Int, Int, Int), b: (Int, Int, Int)): Array[Byte] = {
+    require(rowPatterns.length == 8 && h % 8 == 0, "8 patterns, h multiple of 8")
+    val header = bmp(w, h)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val o = new ByteArrayOutputStream(header.length + stride * h)
+    o.write(header, 0, header.length)
+    val row = new Array[Byte](stride)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up storage
+      val p = rowPatterns(y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = if (((p >> (x * 9 / w)) & 1) == 1) a else b
+        row(x * 3) = bl.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+        x += 1
+      }
+      o.write(row, 0, stride)
+      fileRow += 1
+    }
+    o.toByteArray
+  }
+
   /** BMP file header + BITMAPINFOHEADER + palette for the indexed layouts.
     * `idx` fills the image; the palette maps it (and only it) to (r, g, b). */
   private def bmpIndexedHeader(w: Int, h: Int, bpp: Int, compression: Int,

@@ -118,11 +118,24 @@ object DedupOps {
     * the Hamming join. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3,
-                          maxBucketSize: Int = 1 << 13): DataFrame = {
+                          maxBucketSize: Int = 1 << 13): DataFrame =
+    fingerprintNearDupPairs(
+      df.select(col(idCol), simhash64(col(textCol)).as("_graft_fp")),
+      "_graft_fp", idCol, maxHamming, maxBucketSize)
+
+  /** The block-permuted Hamming join over ANY precomputed 64-bit fingerprint
+    * column — the same machinery serves text SimHash (simhashNearDupPairs)
+    * and perceptual image dHash (functions.image_dhash, q72): near-dup keys
+    * are near-dup keys, whatever modality produced them. NULL fingerprints
+    * (e.g. undecodable images) are dropped, not bucketed. */
+  def fingerprintNearDupPairs(df: DataFrame, fpCol: String, idCol: String,
+                              maxHamming: Int = 3,
+                              maxBucketSize: Int = 1 << 13): DataFrame = {
     val nBlocks = maxHamming + 1
     require(nBlocks >= 2 && nBlocks <= 16, "maxHamming must be in [1, 15]")
     val blockBits = 64 / nBlocks
-    val withSim = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sim"))
+    val withSim = df.select(col(idCol).as("_id"), col(fpCol).cast("long").as("_sim"))
+      .filter(col("_sim").isNotNull)
     // block t's bits as the bucket key, tagged with t so tables don't mix
     val keys = array((0 until nBlocks).map { t =>
       concat(lit(t + ":"),

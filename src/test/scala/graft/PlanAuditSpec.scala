@@ -262,7 +262,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val bucketJoined = Seq("q13_minhash_near_dups", "q28_ann_lsh_bucketed",
       "q31_near_dup_pairs", "q32_simhash_near_dups", "q33_verified_near_dups",
       "q34_embedding_near_dups", "q37_ann_ivf", "q41_embedding_dedup_cc",
-      "q47_decontaminate", "q51_line_dedup", "q70_lm_filter")
+      "q47_decontaminate", "q51_line_dedup", "q70_lm_filter", "q72_image_near_dups")
     bucketJoined.foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

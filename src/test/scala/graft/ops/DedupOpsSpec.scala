@@ -113,6 +113,36 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fingerprintNearDupPairs: image dHash fingerprints through the same machinery") {
+    import spark.implicits._
+    // per-row stripe images: base pattern 21 (alternating) plus one-row
+    // perturbations at growing Hamming distance; an undecodable payload
+    // must drop out (NULL fingerprint), not bucket with anything
+    val e = graft.media.ImageEncode
+    val bright = (200, 150, 100); val dark = (10, 30, 5)
+    def img(rows: Seq[Int]) = e.bmpRowStripes(18, 16, rows, bright, dark)
+    val base = Seq.fill(8)(21)
+    val frames: Seq[(Long, Array[Byte])] = Seq(
+      1L -> img(base),
+      2L -> img(base.updated(3, 20)),         // one row: edge-mask bit 0 flips → hamming 1
+      3L -> img(base.updated(0, 0).updated(1, 0).updated(2, 0).updated(3, 0)), // 4 rows wiped
+      4L -> img(base),                        // exact dup of 1
+      5L -> Array[Byte](1, 2, 3))             // undecodable → NULL
+    val df = frames.toDF("doc_id", "payload")
+      .select(col("doc_id"), graft.functions.image_dhash(col("payload")).as("fp"))
+    val got = DedupOps.fingerprintNearDupPairs(df, "fp", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // truth by brute force over the materialized hashes
+    val fps = df.filter(col("fp").isNotNull).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    assert(got == truth, s"got=$got truth=$truth")
+    assert(got.contains((1L, 4L, 0)) && got.contains((1L, 2L, 1)), got.toString)
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "null fingerprint must not pair")
+  }
+
   test("connectedComponents: chains, stars, disjoint clusters, partition invariance") {
     val s = spark
     import s.implicits._
