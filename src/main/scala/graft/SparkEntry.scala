@@ -1190,17 +1190,28 @@ object SparkEntry {
     // (full recall ≤ maxHamming by pigeonhole) run over image_dhash instead
     // of text SimHash — DedupOps.fingerprintNearDupPairs is the ONE shared
     // machinery, near-dup keys being 64-bit fingerprints whatever modality
-    // produced them. Fixture: per-grid-row stripe BMPs; docs ≥100 flip ONE
-    // stripe bit in ONE row of their base pattern, which moves the hash by
-    // 0-1 bits (edge-mask bit 0 of that row flips iff pattern bit 1 is 0),
-    // so the result carries hamming-0 groups (same pattern, BOTH
-    // resolutions) AND genuine hamming-1 near-dups; the oracle replays the
-    // closed-form hashes and brute-forces popcount over all pairs
+    // produced them. Fixture: a DIFFERENT stripe pattern per dHash grid row
+    // ((m0 + 17r) mod 128 — row-wise variation keeps hashes distinct per
+    // base doc; a single pattern per doc would cap diversity at the ~55
+    // 8-bit no-adjacent-ones edge masks and grow exact-dup groups — and
+    // pair output — quadratically with corpus size); ODD docs render their
+    // even twin's rows with stripe bit 0 flipped in ONE row, so twins sit at
+    // hamming 0-1: the result carries exact-dup groups (same m, both
+    // resolutions) AND genuine hamming-1 near-dups. The oracle replays the
+    // closed-form row masks and brute-forces popcount over all pairs — the
+    // LSH output must equal it exactly
     "q72_image_near_dups" -> ((s, dir) => {
       val bmpHex = (0 until 200).map { m =>
-        val p = m % 50
-        val rows = (0 until 8).map(r => if (m >= 100 && r == m % 8) p ^ 1 else p)
-        val (w, h) = if (m % 2 == 0) (18, 16) else (36, 32)
+        val m0 = m - (m % 2)
+        val rows = (0 until 8).map { r =>
+          val p = (m0 + 17 * r) % 128
+          if (m % 2 == 1 && r == m % 8) p ^ 1 else p
+        }
+        // smallest dims that land one/two pixels per hash cell: the pair
+        // join references the payload subtree on BOTH sides, so literal
+        // bytes count double in plan processing — 9×8/18×16 keeps the
+        // 200-payload plan constant ~150 KB instead of ~1 MB
+        val (w, h) = if (m % 2 == 0) (9, 8) else (18, 16)
         graft.media.ImageEncode.bmpRowStripes(w, h, rows, (200, 150, 100), (10, 30, 5))
           .map(x => f"${x & 0xff}%02X").mkString
       }
@@ -1925,30 +1936,29 @@ object SparkEntry {
         |    72340172838076673 * ((p & ~(p >> 1)) & 255) AS dhash
         |  FROM (SELECT doc_id, (doc_id % 200) % 100 AS p FROM documents)
         |)""".stripMargin,
-    // closed-form hashes (base pattern edge mask per row; docs >= 100 swap
-    // ONE row's edge mask for the bit-0-flipped pattern's), then a
-    // brute-force popcount join over all pairs — the LSH result must equal
-    // it exactly (full recall at hamming <= 3, no bucket cap trips at this
-    // corpus size)
-    "q72_image_near_dups" ->
-      """WITH hsh AS (
+    // closed-form hashes (one edge-mask byte per grid row, generated term
+    // per row; odd docs substitute the bit-0-flipped pattern's mask in their
+    // perturbed row), then a brute-force popcount join over all pairs — the
+    // LSH result must equal it exactly (full recall at hamming <= 3, no
+    // bucket cap trips at this corpus size)
+    "q72_image_near_dups" -> {
+      def e(x: String) = s"(($x) & ~(($x) >> 1) & 255)"
+      val terms = (0 until 8).map { r =>
+        val p = s"((m0 + ${17 * r}) % 128)"
+        s"(CASE WHEN m % 2 = 1 AND m % 8 = $r THEN ${e(s"xor($p, 1)")} ELSE ${e(p)} END << ${8 * r})"
+      }.mkString("\n        |    + ")
+      s"""WITH hsh AS (
         |  SELECT doc_id,
-        |    CASE WHEN m >= 100 THEN
-        |      72340172838076673 * ep - (ep << (8 * (m % 8))) + (ex << (8 * (m % 8)))
-        |    ELSE 72340172838076673 * ep END AS dhash
-        |  FROM (
-        |    SELECT doc_id, m,
-        |      ((p & ~(p >> 1)) & 255) AS ep,
-        |      ((xor(p, 1) & ~(xor(p, 1) >> 1)) & 255) AS ex
-        |    FROM (SELECT doc_id, doc_id % 200 AS m, (doc_id % 200) % 50 AS p
-        |          FROM documents)
-        |  )
+        |    $terms AS dhash
+        |  FROM (SELECT doc_id, doc_id % 200 AS m,
+        |               (doc_id % 200) - (doc_id % 200) % 2 AS m0 FROM documents)
         |)
         |SELECT x.doc_id AS a, y.doc_id AS b,
         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
         |FROM hsh x JOIN hsh y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
-        |ORDER BY a, b""".stripMargin,
+        |ORDER BY a, b""".stripMargin
+    },
     "q67_tiff_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_1,
