@@ -1223,6 +1223,45 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // REAL WebP-lossless decode (WebpDecode: in-stream prefix codes, LZ77
+    // through the distance plane map, color cache, meta tree-groups, and
+    // all four transforms): nine bit-level encodings whose decoded pixels
+    // are closed-form — flat variants (simple codes / SUBTRACT_GREEN /
+    // color cache / cross-COLOR) and column-stripe variants (normal
+    // code-length-coded codes / LZ77 both plane-mapped and direct /
+    // PREDICTOR / COLOR_INDEXING bundling / META halves). A decoder fault
+    // on any variant drops that doc to the hash-sketch fallback and breaks
+    // the hash compare.
+    "q73_webp_features" -> ((s, dir) => {
+      val e = graft.media.WebpEncode
+      val webpHex = (0 until 200).map { m =>
+        val r = 10 + m // avoids the predictor builder's excluded residuals 0/5/251
+        val g = (m + 60) % 256
+        val b = (m + 120) % 256
+        ((m % 9) match {
+          case 0 => e.vp8lFlat(16, 8, r, g, b)
+          case 1 => e.vp8lSubGreenFlat(16, 8, r, g, b)
+          case 2 => e.vp8lStripes(16, 8, r, r + 5, g, b)
+          case 3 => e.vp8lLz77Stripes(16, 8, r, r + 5, g, b, direct = m % 2 == 1)
+          case 4 => e.vp8lCacheFlat(16, 8, r, g, b, cacheBits = 1 + m % 11)
+          case 5 => e.vp8lPredictorStripes(16, 8, r, r + 5, g, b)
+          case 6 => e.vp8lColorTransformFlat(16, 8, r, g, b, t = 0x35)
+          case 7 => e.vp8lPalettedStripes(16, 8, r, r + 5, g, b)
+          case _ => e.vp8lMetaHalves(16, 8, r, r + 5, g, b)
+        }).map(x => f"${x & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(webpHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_r"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_g"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_b"),
+          round(element_at(col("f"), 4).cast("double"), 4).as("mean_a"),
+          round((element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("var_sum"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -1959,6 +1998,20 @@ object SparkEntry {
         |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
         |ORDER BY a, b""".stripMargin
     },
+    // the nine VP8L encodings decode to either a flat (r,g,b,255) plane or
+    // exact half/half red stripes of {r, r+5} — mean r+2.5, variance
+    // ((5/2)^2) = 6.25, every value dyadic-exact in float32
+    "q73_webp_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id % 200) % 9 IN (2, 3, 5, 7, 8)
+        |       THEN 10 + doc_id % 200 + 2.5
+        |       ELSE CAST(10 + doc_id % 200 AS DOUBLE) END AS mean_r,
+        |  CAST((doc_id % 200 + 60) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id % 200 + 120) % 256 AS DOUBLE) AS mean_b,
+        |  255.0 AS mean_a,
+        |  CASE WHEN (doc_id % 200) % 9 IN (2, 3, 5, 7, 8)
+        |       THEN 6.25 ELSE 0.0 END AS var_sum
+        |FROM documents""".stripMargin,
     "q67_tiff_features" ->
       """SELECT doc_id,
         |  CAST(doc_id % 200 AS DOUBLE) AS mean_1,

@@ -344,7 +344,7 @@ object ImageEncode {
     out.toByteArray
   }
 
-  private def webpContainer(tag: String, payload: Array[Byte]): Array[Byte] = {
+  private[media] def webpContainer(tag: String, payload: Array[Byte]): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write("RIFF".getBytes, 0, 4)
     le32(o, 4 + 8 + payload.length)

@@ -139,15 +139,18 @@ object MediaSniff {
     * channels zero (population variance via E[x²] − mean², double
     * accumulators). REAL decode paths: PNG (inflate + un-filter), baseline
     * JPEG baseline AND progressive (Huffman + dequant + IDCT; gray or YCbCr
-    * incl. 4:2:0/4:2:2 subsampling), GIF (LZW + palette → RGB), WAV PCM
-    * (8/16-bit, frames as the unit), FLAC. The deterministic byte-hash
-    * sketch remains ONLY for lossy-codec audio payloads (MP3/AAC) and video
-    * frames — formats with no JVM codec here. */
-  /** The ONE image-decoder dispatch (PNG/JPEG/GIF/BMP/TIFF) shared by
-    * features() and dhash64 — a new decoder wired here reaches both, so the
-    * two can never disagree on which payloads are images. Returns
-    * (w, h, channels, interleaved u8 samples, isYcc); isYcc marks JPEG's raw
-    * YCbCr 3-channel layout (every other decoder emits gray or RGB). */
+    * incl. 4:2:0/4:2:2 subsampling), GIF (LZW + palette → RGB), BMP, TIFF,
+    * WebP lossless (VP8L: in-stream prefix codes, LZ77, color cache, all
+    * four transforms), WAV PCM (8/16-bit, frames as the unit), FLAC. The
+    * deterministic byte-hash sketch remains ONLY for lossy-codec payloads
+    * (MP3/AAC audio, VP8-lossy WebP) and video frames — codecs defined by
+    * fixed ISO/spec table data with no in-stream description. */
+  /** The ONE image-decoder dispatch (PNG/JPEG/GIF/BMP/TIFF/WebP-lossless)
+    * shared by features() and dhash64 — a new decoder wired here reaches
+    * both, so the two can never disagree on which payloads are images.
+    * Returns (w, h, channels, interleaved u8 samples, isYcc); isYcc marks
+    * JPEG's raw YCbCr 3-channel layout (every other decoder emits gray,
+    * RGB, or RGBA). */
   private def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte], Boolean)] = {
     if (b == null) return None
     PngDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false))
@@ -156,6 +159,7 @@ object MediaSniff {
       .orElse(GifDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
       .orElse(BmpDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
       .orElse(TiffDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
+      .orElse(WebpDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
   }
 
   def features(b: Array[Byte]): Array[Float] = {
