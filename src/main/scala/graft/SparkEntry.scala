@@ -1262,6 +1262,39 @@ object SparkEntry {
             element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("var_sum"))
     }),
 
+    // REAL ICO (favicon) decode (IcoDecode: ICONDIR walk, largest-entry
+    // pick, DIB-with-doubled-height through the shared BmpDecode, PNG
+    // entries through PngDecode, AND-mask / 32-bit XOR alpha as a 4th
+    // channel): six directory layouts whose decoded pixels are closed-form.
+    // A decoder fault on any variant drops that doc to the hash-sketch
+    // fallback and breaks the hash compare.
+    "q74_ico_features" -> ((s, dir) => {
+      val e = graft.media.ImageEncode
+      val icoHex = (0 until 200).map { m =>
+        val r = 10 + m
+        val g = (m + 60) % 256
+        val b = (m + 120) % 256
+        ((m % 6) match {
+          case 0 => e.icoBmp24Flat(16, 16, r, g, b)
+          case 1 => e.icoBmp32AlphaHalf(16, 16, r, g, b)
+          case 2 => e.icoPaletted4Flat(16, 16, 7, r, g, b)
+          case 3 => e.icoPngGrayFlat(16, 16, m)
+          case 4 => e.icoMulti(16, 16, r, g, b)
+          case _ => e.icoBmp24Masked(16, 16, r, g, b)
+        }).map(x => f"${x & 0xff}%02X").mkString
+      }
+      t(s, dir, "documents")
+        .withColumn("f", media_features(unhex(
+          element_at(array(icoHex.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))))
+        .select(col("doc_id"),
+          round(element_at(col("f"), 1).cast("double"), 4).as("mean_1"),
+          round(element_at(col("f"), 2).cast("double"), 4).as("mean_2"),
+          round(element_at(col("f"), 3).cast("double"), 4).as("mean_3"),
+          round(element_at(col("f"), 4).cast("double"), 4).as("mean_4"),
+          round((element_at(col("f"), 5) + element_at(col("f"), 6) +
+            element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("var_sum"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -2011,6 +2044,24 @@ object SparkEntry {
         |  255.0 AS mean_a,
         |  CASE WHEN (doc_id % 200) % 9 IN (2, 3, 5, 7, 8)
         |       THEN 6.25 ELSE 0.0 END AS var_sum
+        |FROM documents""".stripMargin,
+    // the six ICO layouts decode to flat (r,g,b) with alpha 255 (opaque
+    // mask), 127.5 (half-transparent via AND mask or 32-bit XOR alpha), or
+    // a 1-channel flat-gray PNG entry; alpha variance 127.5^2 = 16256.25,
+    // every value dyadic-exact in float32
+    "q74_ico_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id % 200) % 6 = 3 THEN CAST(doc_id % 200 AS DOUBLE)
+        |       ELSE CAST(10 + doc_id % 200 AS DOUBLE) END AS mean_1,
+        |  CASE WHEN (doc_id % 200) % 6 = 3 THEN 0.0
+        |       ELSE CAST((doc_id % 200 + 60) % 256 AS DOUBLE) END AS mean_2,
+        |  CASE WHEN (doc_id % 200) % 6 = 3 THEN 0.0
+        |       ELSE CAST((doc_id % 200 + 120) % 256 AS DOUBLE) END AS mean_3,
+        |  CASE WHEN (doc_id % 200) % 6 = 3 THEN 0.0
+        |       WHEN (doc_id % 200) % 6 IN (1, 5) THEN 127.5
+        |       ELSE 255.0 END AS mean_4,
+        |  CASE WHEN (doc_id % 200) % 6 IN (1, 5) THEN 16256.25
+        |       ELSE 0.0 END AS var_sum
         |FROM documents""".stripMargin,
     "q67_tiff_features" ->
       """SELECT doc_id,

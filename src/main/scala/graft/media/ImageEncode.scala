@@ -355,6 +355,134 @@ object ImageEncode {
     o.toByteArray
   }
 
+  // ---- ICO (favicon) fixtures: ICONDIR + DIB-with-doubled-height or PNG ----
+
+  /** ICONDIR wrapper: entries are (declaredW, declaredH, payload); payloads
+    * land in listed order right after the directory. */
+  private def icoContainer(entries: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    le16(o, 0); le16(o, 1); le16(o, entries.length)
+    var off = 6 + 16 * entries.length
+    entries.foreach { case (w, h, payload) =>
+      o.write(if (w >= 256) 0 else w); o.write(if (h >= 256) 0 else h)
+      o.write(0); o.write(0)  // colorCount, reserved
+      le16(o, 1); le16(o, 0)  // planes, bitcount (informational)
+      le32(o, payload.length); le32(o, off)
+      off += payload.length
+    }
+    entries.foreach { case (_, _, p) => o.write(p, 0, p.length) }
+    o.toByteArray
+  }
+
+  /** BITMAPINFOHEADER with the ICO height-doubling convention. */
+  private def icoDibHeader(o: ByteArrayOutputStream, w: Int, h: Int, bpp: Int, clrUsed: Int): Unit = {
+    le32(o, 40); le32(o, w); le32(o, 2 * h)
+    le16(o, 1); le16(o, bpp); le32(o, 0) // planes, bpp, BI_RGB
+    le32(o, 0); le32(o, 0); le32(o, 0); le32(o, clrUsed); le32(o, 0)
+  }
+
+  /** 24-bit flat-color DIB entry payload; `maskRightHalf` sets the AND mask
+    * over x ≥ w/2 (1 = transparent), else the mask is all-opaque zeros. */
+  private def icoDib24(w: Int, h: Int, r: Int, g: Int, bl: Int, maskRightHalf: Boolean): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    icoDibHeader(o, w, h, 24, 0)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val row = new Array[Byte](stride)
+    var x = 0
+    while (x < w) { row(x * 3) = bl.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte; x += 1 }
+    for (_ <- 0 until h) o.write(row, 0, stride)
+    val maskStride = ((w + 31) / 32) * 4
+    val mrow = new Array[Byte](maskStride)
+    if (maskRightHalf) {
+      var mx = w / 2
+      while (mx < w) { mrow(mx >> 3) = (mrow(mx >> 3) | (1 << (7 - (mx & 7)))).toByte; mx += 1 }
+    }
+    for (_ <- 0 until h) o.write(mrow, 0, maskStride)
+    o.toByteArray
+  }
+
+  /** Single-entry 24-bit flat icon, all-opaque mask. */
+  def icoBmp24Flat(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] =
+    icoContainer(Seq((w, h, icoDib24(w, h, r, g, bl, maskRightHalf = false))))
+
+  /** 24-bit flat icon whose AND mask blanks the right half (alpha 255/0). */
+  def icoBmp24Masked(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] =
+    icoContainer(Seq((w, h, icoDib24(w, h, r, g, bl, maskRightHalf = true))))
+
+  /** 32-bit flat icon: per-pixel alpha in the XOR plane (255 left half, 0
+    * right half); the AND mask present but vestigial (all zeros). */
+  def icoBmp32AlphaHalf(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    icoDibHeader(o, w, h, 32, 0)
+    val row = new Array[Byte](w * 4)
+    var x = 0
+    while (x < w) {
+      row(x * 4) = bl.toByte; row(x * 4 + 1) = g.toByte; row(x * 4 + 2) = r.toByte
+      row(x * 4 + 3) = (if (x < w / 2) 0xff else 0).toByte
+      x += 1
+    }
+    for (_ <- 0 until h) o.write(row, 0, row.length)
+    val maskStride = ((w + 31) / 32) * 4
+    o.write(new Array[Byte](maskStride * h), 0, maskStride * h)
+    icoContainer(Seq((w, h, o.toByteArray)))
+  }
+
+  /** 4-bit paletted flat icon: palette slot `idx` carries the color, every
+    * nibble points at it, mask all-opaque. */
+  def icoPaletted4Flat(w: Int, h: Int, idx: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    icoDibHeader(o, w, h, 4, 0)
+    for (k <- 0 until 16) {
+      if (k == idx) { o.write(bl); o.write(g); o.write(r); o.write(0) }
+      else { o.write(0); o.write(0); o.write(0); o.write(0) }
+    }
+    val stride = ((w * 4 + 31) / 32) * 4
+    val row = new Array[Byte](stride)
+    var x = 0
+    while (x < (w + 1) / 2) { row(x) = ((idx << 4) | idx).toByte; x += 1 }
+    for (_ <- 0 until h) o.write(row, 0, stride)
+    val maskStride = ((w + 31) / 32) * 4
+    o.write(new Array[Byte](maskStride * h), 0, maskStride * h)
+    icoContainer(Seq((w, h, o.toByteArray)))
+  }
+
+  /** Complete flat-gray PNG (stored-deflate, CRCs/adler zeroed — the
+    * decoder inflates raw and ignores them). */
+  def pngGrayStored(w: Int, h: Int, v: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(0x89); o.write('P'); o.write('N'); o.write('G')
+    o.write(0x0d); o.write(0x0a); o.write(0x1a); o.write(0x0a)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      be32(o, body.length); o.write(typ.getBytes, 0, 4)
+      o.write(body, 0, body.length); be32(o, 0)
+    }
+    val ihdr = new ByteArrayOutputStream()
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val raw = new Array[Byte]((1 + w) * h)
+    for (y <- 0 until h; x <- 0 until w) raw(y * (1 + w) + 1 + x) = v.toByte
+    val idat = new ByteArrayOutputStream()
+    idat.write(0x78); idat.write(0x01) // zlib header (skipped by the decoder)
+    idat.write(0x01); le16(idat, raw.length); le16(idat, raw.length ^ 0xffff)
+    idat.write(raw, 0, raw.length)
+    be32(idat, 0) // adler (unchecked: raw inflate)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
+  /** PNG-entry icon (the modern high-res favicon layout). */
+  def icoPngGrayFlat(w: Int, h: Int, v: Int): Array[Byte] =
+    icoContainer(Seq((w, h, pngGrayStored(w, h, v))))
+
+  /** Two entries — a 4×4 decoy in a wrong color first, then the real w×h
+    * icon: decode must pick the larger. */
+  def icoMulti(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] =
+    icoContainer(Seq(
+      (4, 4, icoDib24(4, 4, (r + 90) % 256, (g + 90) % 256, (bl + 90) % 256, maskRightHalf = false)),
+      (w, h, icoDib24(w, h, r, g, bl, maskRightHalf = false))))
+
   /** Extended (VP8X) WebP: canvas dims as 24-bit minus-one fields. */
   def webpVp8x(w: Int, h: Int): Array[Byte] = {
     val p = new ByteArrayOutputStream()

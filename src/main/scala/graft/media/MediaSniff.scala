@@ -78,9 +78,30 @@ object MediaSniff {
     } else if ((u(0) == 'I' && u(1) == 'D' && u(2) == '3') ||
                (u(0) == 0xff && (u(1) & 0xe0) == 0xe0)) {
       Info("mp3", -1, -1)
+    } else if (b.length >= 22 && u(0) == 0 && u(1) == 0 && u(2) == 1 && u(3) == 0) {
+      icoDims(b)
     } else if (u(0) == '<') {
       Info("html", -1, -1)
     } else Info("unknown", -1, -1)
+  }
+
+  /** ICO dimensions: the LARGEST directory entry's declared size (byte
+    * value 0 encodes 256, per ICONDIRENTRY). */
+  private def icoDims(b: Array[Byte]): Info = {
+    def u(i: Int): Int = b(i) & 0xff
+    val count = u(4) | (u(5) << 8)
+    if (count < 1 || count > 64 || 6 + 16 * count > b.length) return Info("unknown", -1, -1)
+    var bw = -1
+    var bh = -1
+    var i = 0
+    while (i < count) {
+      val e = 6 + 16 * i
+      val w = { val v = u(e); if (v == 0) 256 else v }
+      val h = { val v = u(e + 1); if (v == 0) 256 else v }
+      if (w.toLong * h > bw.toLong * bh) { bw = w; bh = h }
+      i += 1
+    }
+    Info("ico", bw, bh)
   }
 
   /** WebP dimensions from the first chunk: VP8X canvas (24-bit LE minus-one
@@ -145,9 +166,10 @@ object MediaSniff {
     * deterministic byte-hash sketch remains ONLY for lossy-codec payloads
     * (MP3/AAC audio, VP8-lossy WebP) and video frames — codecs defined by
     * fixed ISO/spec table data with no in-stream description. */
-  /** The ONE image-decoder dispatch (PNG/JPEG/GIF/BMP/TIFF/WebP-lossless)
-    * shared by features() and dhash64 — a new decoder wired here reaches
-    * both, so the two can never disagree on which payloads are images.
+  /** The ONE image-decoder dispatch (PNG/JPEG/GIF/BMP/TIFF/WebP-lossless/
+    * ICO) shared by features() and dhash64 — a new decoder wired here
+    * reaches both, so the two can never disagree on which payloads are
+    * images.
     * Returns (w, h, channels, interleaved u8 samples, isYcc); isYcc marks
     * JPEG's raw YCbCr 3-channel layout (every other decoder emits gray,
     * RGB, or RGBA). */
@@ -160,6 +182,7 @@ object MediaSniff {
       .orElse(BmpDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
       .orElse(TiffDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
       .orElse(WebpDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
+      .orElse(IcoDecode.decode(b).map(p => (p.width, p.height, p.channels, p.samples, false)))
   }
 
   def features(b: Array[Byte]): Array[Float] = {
