@@ -37,19 +37,21 @@ object AvMetaExpr {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)
+    StructField("height", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false)
   ))
 }
 
 /** Audio/video container metadata (MP4 boxes, MP3 frame walk, FLAC
-  * STREAMINFO, WAV chunks) — structure parsing only, never a codec decode. */
+  * STREAMINFO, WAV chunks, GIF animation blocks) — structure parsing only,
+  * never a codec decode. */
 case class AvMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = AvMetaExpr.structType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any = {
     val i = AvMeta.parse(input.asInstanceOf[Array[Byte]])
     InternalRow(UTF8String.fromString(i.format), i.durationMs, i.sampleRate,
-      i.channels, i.width, i.height)
+      i.channels, i.width, i.height, i.frames)
   }
   override protected def withNewChildInternal(newChild: Expression): AvMetaExpr =
     copy(child = newChild)

@@ -23,9 +23,11 @@ import scala.util.control.NonFatal
 object AvMeta {
 
   /** -1 marks fields the container does not carry (or the parse could not
-    * establish); durationMs is floor(units * 1000 / timescale). */
+    * establish); durationMs is floor(units * 1000 / timescale). `frames` is
+    * the animation frame count (GIF); -1 for containers that don't expose
+    * one structurally. */
   final case class AvInfo(format: String, durationMs: Long, sampleRate: Int,
-                          channels: Int, width: Int, height: Int)
+                          channels: Int, width: Int, height: Int, frames: Int = -1)
 
   private val unknown = AvInfo("unknown", -1L, -1, -1, -1, -1)
 
@@ -39,6 +41,7 @@ object AvMeta {
                b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
       else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
                ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) mp3(b)
+      else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gif(b)
       else unknown
     } catch { case NonFatal(_) => unknown }
   }
@@ -242,6 +245,49 @@ object AvMeta {
     val durationMs =
       if (lastGranule >= 0 && granuleRate > 0) lastGranule * 1000L / granuleRate else -1L
     AvInfo("ogg", durationMs, sampleRate, channels, -1, -1)
+  }
+
+  // ---------------------------------------------------------------- GIF
+
+  /** Animation structure without decoding a pixel: frame count = image
+    * descriptors, duration = Σ Graphic Control Extension delays (1/100 s
+    * units → ms). A static GIF reads frames=1, duration 0. Truncated or
+    * malformed block lists keep whatever was walked so far. */
+  private def gif(b: Array[Byte]): AvInfo = {
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    val w = u16le(6)
+    val h = u16le(8)
+    val flags = b(10) & 0xff
+    var pos = 13 + (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+    var frames = 0
+    var delayCs = 0L
+    def skipSubBlocks(p0: Int): Int = {
+      var p = p0
+      while (p < b.length && (b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+      p + 1
+    }
+    var done = false
+    while (!done && pos + 1 < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: GCE (0xF9) carries the frame delay
+          if ((b(pos + 1) & 0xff) == 0xf9 && pos + 6 < b.length && (b(pos + 2) & 0xff) >= 4)
+            delayCs += u16le(pos + 4)
+          pos = skipSubBlocks(pos + 2)
+        case 0x2c => // image descriptor
+          if (pos + 10 > b.length) done = true
+          else {
+            frames += 1
+            val lf = b(pos + 9) & 0xff
+            val p = pos + 10 +
+              (if ((lf & 0x80) != 0) 3 * (1 << ((lf & 7) + 1)) else 0) + 1 // + LZW min code size
+            pos = skipSubBlocks(p)
+          }
+        case _ => done = true // malformed block stream: keep what we have
+      }
+    }
+    AvInfo("gif", if (frames > 0) delayCs * 10 else -1L, -1, -1, w, h,
+      frames = if (frames > 0) frames else -1)
   }
 
   // ---------------------------------------------------------------- WAV

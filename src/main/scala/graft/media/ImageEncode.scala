@@ -483,6 +483,30 @@ object ImageEncode {
       (4, 4, icoDib24(4, 4, (r + 90) % 256, (g + 90) % 256, (bl + 90) % 256, maskRightHalf = false)),
       (w, h, icoDib24(w, h, r, g, bl, maskRightHalf = false))))
 
+  /** Minimal AVIF/HEIF still: ftyp(brand) + meta{FullBox}{iprp{ipco{ispe}}}
+    * — the ISO-BMFF structure `media_sniff` walks for dimensions. */
+  def avifIspe(w: Int, h: Int, brand: String = "avif"): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      be32(bo, 8 + body.length); bo.write(typ.getBytes, 0, 4); bo.write(body, 0, body.length)
+      bo.toByteArray
+    }
+    val ispeBody = new ByteArrayOutputStream()
+    be32(ispeBody, 0); be32(ispeBody, w); be32(ispeBody, h) // version/flags, dims
+    val metaBody = new ByteArrayOutputStream()
+    be32(metaBody, 0) // meta is a FullBox
+    val iprp = box("iprp", box("ipco", box("ispe", ispeBody.toByteArray)))
+    metaBody.write(iprp, 0, iprp.length)
+    val ftypBody = new ByteArrayOutputStream()
+    ftypBody.write(brand.getBytes, 0, 4); be32(ftypBody, 0)
+    ftypBody.write("mif1".getBytes, 0, 4)
+    val o = new ByteArrayOutputStream()
+    val ftyp = box("ftyp", ftypBody.toByteArray)
+    val meta = box("meta", metaBody.toByteArray)
+    o.write(ftyp, 0, ftyp.length); o.write(meta, 0, meta.length)
+    o.toByteArray
+  }
+
   /** Extended (VP8X) WebP: canvas dims as 24-bit minus-one fields. */
   def webpVp8x(w: Int, h: Int): Array[Byte] = {
     val p = new ByteArrayOutputStream()

@@ -67,10 +67,13 @@ object MediaSniff {
       tiffDims(b)
     } else if (u(0) == '%' && u(1) == 'P' && u(2) == 'D' && u(3) == 'F') {
       Info("pdf", -1, -1)
-    } else if (b.length >= 8 && u(4) == 'f' && u(5) == 't' && u(6) == 'y' && u(7) == 'p') {
-      // ISO-BMFF (mp4/mov family): dimensions live in moov/trak boxes —
-      // AvMeta parses them; sniff stays a prefix-only probe
-      Info("mp4", -1, -1)
+    } else if (b.length >= 12 && u(4) == 'f' && u(5) == 't' && u(6) == 'y' && u(7) == 'p') {
+      // ISO-BMFF: AVIF/HEIC stills carry dims in meta/iprp/ipco/ispe; the
+      // mp4/mov video family keeps them in moov/trak boxes (AvMeta's job)
+      val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (brand == "avif" || brand == "avis") ispeDims(b, "avif")
+      else if (brand == "heic" || brand == "heix" || brand == "mif1") ispeDims(b, "heif")
+      else Info("mp4", -1, -1)
     } else if (u(0) == 'f' && u(1) == 'L' && u(2) == 'a' && u(3) == 'C') {
       Info("flac", -1, -1)
     } else if (u(0) == 'O' && u(1) == 'g' && u(2) == 'g' && u(3) == 'S') {
@@ -81,8 +84,69 @@ object MediaSniff {
     } else if (b.length >= 22 && u(0) == 0 && u(1) == 0 && u(2) == 1 && u(3) == 0) {
       icoDims(b)
     } else if (u(0) == '<') {
-      Info("html", -1, -1)
+      svgOrHtml(b)
     } else Info("unknown", -1, -1)
+  }
+
+  /** '<'-led payloads: SVG when an `<svg` tag appears in the first 1 KiB
+    * before any `<html`/`<!doctype` (vector favicons and inline icons are a
+    * large crawl family); dims from the svg tag's width/height attributes
+    * (unit-less or px; percent/em → -1) with a viewBox fallback. */
+  // precompiled: sniff runs per row over whole corpora
+  private val SvgWidthRe = "width\\s*=\\s*[\"']([0-9]+(?:\\.[0-9]+)?)(?:px)?[\"']".r
+  private val SvgHeightRe = "height\\s*=\\s*[\"']([0-9]+(?:\\.[0-9]+)?)(?:px)?[\"']".r
+  private val SvgViewBoxRe =
+    "viewbox\\s*=\\s*[\"']\\s*[-0-9.]+[\\s,]+[-0-9.]+[\\s,]+([0-9.]+)[\\s,]+([0-9.]+)".r
+
+  private def svgOrHtml(b: Array[Byte]): Info = {
+    val n = math.min(b.length, 1024)
+    val head = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val iSvg = head.indexOf("<svg")
+    val iHtml = {
+      val a = head.indexOf("<html"); val d = head.indexOf("<!doctype")
+      if (a < 0) d else if (d < 0) a else math.min(a, d)
+    }
+    if (iSvg < 0 || (iHtml >= 0 && iHtml < iSvg)) return Info("html", -1, -1)
+    val tagEnd = { val e = head.indexOf('>', iSvg); if (e < 0) head.length else e }
+    val tag = head.substring(iSvg, tagEnd)
+    var w = SvgWidthRe.findFirstMatchIn(tag).map(_.group(1).toDouble.round.toInt).getOrElse(-1)
+    var h = SvgHeightRe.findFirstMatchIn(tag).map(_.group(1).toDouble.round.toInt).getOrElse(-1)
+    if (w < 0 || h < 0) {
+      SvgViewBoxRe.findFirstMatchIn(tag).foreach { m =>
+        if (w < 0) w = m.group(1).toDouble.round.toInt
+        if (h < 0) h = m.group(2).toDouble.round.toInt
+      }
+    }
+    Info("svg", w, h)
+  }
+
+  /** AVIF/HEIF still-image dims: top-level `meta` (FullBox: 4-byte
+    * version/flags) → `iprp` → `ipco` → first `ispe` (version/flags,
+    * u32 width, u32 height). 64-bit and to-end box sizes bail to -1. */
+  private def ispeDims(b: Array[Byte], fmt: String): Info = {
+    def u32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def find(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = u32(pos)
+        if (size < 8 || pos + size > end) return None
+        if (b(pos + 4) == typ(0) && b(pos + 5) == typ(1) && b(pos + 6) == typ(2) && b(pos + 7) == typ(3))
+          return Some((pos + 8, pos + size.toInt))
+        pos += size.toInt
+      }
+      None
+    }
+    val dims = for {
+      meta <- find(0, b.length, "meta")
+      iprp <- find(meta._1 + 4, meta._2, "iprp") // meta is a FullBox
+      ipco <- find(iprp._1, iprp._2, "ipco")
+      ispe <- find(ipco._1, ipco._2, "ispe") if ispe._2 - ispe._1 >= 12
+    } yield (u32(ispe._1 + 4).toInt, u32(ispe._1 + 8).toInt)
+    dims match {
+      case Some((w, h)) => Info(fmt, w, h)
+      case None => Info(fmt, -1, -1)
+    }
   }
 
   /** ICO dimensions: the LARGEST directory entry's declared size (byte

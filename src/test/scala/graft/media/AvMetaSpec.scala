@@ -185,4 +185,24 @@ class AvMetaSpec extends AnyFunSuite {
     assert(MediaSniff.sniff(AvEncode.mp3Silent(1)).format == "mp3")
     assert(MediaSniff.sniff(AvEncode.flacStreamInfo(1L)).format == "flac")
   }
+
+  test("gif: animation frame count and summed GCE delays, structurally") {
+    val anim = AvMeta.parse(GifEncode.animFlat(16, 8, frames = 4, delayCs = 7, 10, 200, 77))
+    assert(anim == AvMeta.AvInfo("gif", 280L, -1, -1, 16, 8, frames = 4)) // 4×70 ms
+    val still = AvMeta.parse(GifEncode.flatColor(16, 8, 10, 200, 77))
+    assert(still == AvMeta.AvInfo("gif", 0L, -1, -1, 16, 8, frames = 1))
+    // the animated fixture still renders frame 1 through the pixel decoder
+    val p = GifDecode.decode(GifEncode.animFlat(16, 8, frames = 3, delayCs = 5, 10, 200, 77)).get
+    assert(p.width == 16 && p.height == 8)
+    assert(p.samples.grouped(3).forall(px =>
+      (px(0) & 0xff) == 10 && (px(1) & 0xff) == 200 && (px(2) & 0xff) == 77))
+  }
+
+  test("gif: truncated block streams keep the frames walked so far, never throw") {
+    val full = GifEncode.animFlat(16, 8, frames = 4, delayCs = 7, 1, 2, 3)
+    for (n <- 0 until full.length by 5) {
+      val i = AvMeta.parse(java.util.Arrays.copyOf(full, n))
+      assert(i.format == "gif" || i.format == "unknown")
+    }
+  }
 }

@@ -28,10 +28,34 @@ class ImageSniffSpec extends AnyFunSuite {
       MediaSniff.Info("webp", 4097, 3001))
   }
 
+  test("AVIF/HEIF: ispe dims through meta/iprp/ipco; brand picks the format") {
+    assert(MediaSniff.sniff(ImageEncode.avifIspe(800, 600)) ==
+      MediaSniff.Info("avif", 800, 600))
+    assert(MediaSniff.sniff(ImageEncode.avifIspe(320, 240, brand = "heic")) ==
+      MediaSniff.Info("heif", 320, 240))
+    // plain mp4 brand still reads mp4, no ispe walk
+    assert(MediaSniff.sniff(AvEncode.mp4Video(64, 64, 1L, 1L)).format == "mp4")
+  }
+
+  test("SVG: width/height attrs (px or unit-less), viewBox fallback, html wins when first") {
+    def s(x: String) = MediaSniff.sniff(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(s("""<svg width="24" height="16" xmlns="http://www.w3.org/2000/svg"/>""") ==
+      MediaSniff.Info("svg", 24, 16))
+    assert(s("""<?xml version="1.0"?><svg width="32px" height="32px"/>""") ==
+      MediaSniff.Info("svg", 32, 32))
+    assert(s("""<svg viewBox="0 0 48 36"/>""") == MediaSniff.Info("svg", 48, 36))
+    assert(s("""<svg width="100%" height="100%" viewBox="0,0,12.5,10"/>""") ==
+      MediaSniff.Info("svg", 13, 10)) // percent falls through to viewBox, rounded
+    assert(s("""<svg/>""") == MediaSniff.Info("svg", -1, -1))
+    assert(s("""<!DOCTYPE html><html><body><svg width="1" height="1"/></body>""").format == "html")
+    assert(s("""<div>plain markup</div>""").format == "html")
+  }
+
   test("totality: truncations never throw, fall to -1 dims or other formats") {
     val fixtures = Seq(ImageEncode.bmp(10, 10), ImageEncode.tiff(10, 10, littleEndian = true),
       ImageEncode.tiff(10, 10, littleEndian = false), ImageEncode.webpVp8x(10, 10),
-      ImageEncode.webpVp8(10, 10), ImageEncode.webpVp8l(10, 10))
+      ImageEncode.webpVp8(10, 10), ImageEncode.webpVp8l(10, 10),
+      ImageEncode.avifIspe(10, 10), ImageEncode.icoBmp24Flat(10, 10, 1, 2, 3))
     for (f <- fixtures; n <- 0 until f.length) MediaSniff.sniff(f.take(n))
   }
 }
