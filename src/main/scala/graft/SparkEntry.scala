@@ -1295,6 +1295,59 @@ object SparkEntry {
             element_at(col("f"), 7) + element_at(col("f"), 8)).cast("double"), 4).as("var_sum"))
     }),
 
+    // SVG + AVIF/HEIF sniffing (vector favicons and the modern still-image
+    // family): SVG dims come from the root tag's width/height attrs on even
+    // m and through the viewBox FALLBACK (width="100%" defeats the attr
+    // path) on odd m; AVIF/HEIC dims via the ISO-BMFF meta/iprp/ipco/ispe
+    // box walk — every dimension closed-form from doc_id
+    "q75_svg_avif_sniff" -> ((s, dir) => {
+      def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+      val svgHex = (0 until 200).map { m =>
+        val w = m + 10; val h = m % 40 + 8
+        val doc = if (m % 2 == 0)
+          s"""<?xml version="1.0"?><svg width="$w" height="$h" xmlns="http://www.w3.org/2000/svg"></svg>"""
+        else
+          s"""<svg width="100%" height="100%" viewBox="0 0 $w $h"></svg>"""
+        hex(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val avifHex = (0 until 200).map(m =>
+        hex(graft.media.ImageEncode.avifIspe(m + 100, m % 50 + 60)))
+      val heifHex = (0 until 200).map(m =>
+        hex(graft.media.ImageEncode.avifIspe(m + 320, m % 30 + 240, brand = "heic")))
+      val m = (col("doc_id") % 200).cast("int")
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, element_at(array(svgHex.map(lit): _*), m + 1))
+          .when(col("doc_id") % 3 === 1, element_at(array(avifHex.map(lit): _*), m + 1))
+          .otherwise(element_at(array(heifHex.map(lit): _*), m + 1)))
+      t(s, dir, "documents")
+        .withColumn("i", media_sniff(payload))
+        .select(col("doc_id"), col("i.format").as("format"),
+          col("i.width").as("width"), col("i.height").as("height"))
+    }),
+
+    // GIF animation metadata through av_meta (structural block walk — frame
+    // count = image descriptors, duration = Σ GCE delays ×10 ms; no pixel
+    // decode): animated fixtures alternate with static ones, which must
+    // read frames=1 / duration 0
+    "q76_gif_anim_meta" -> ((s, dir) => {
+      val gifHex = (0 until 200).map { m =>
+        val bytes =
+          if (m % 2 == 0)
+            graft.media.GifEncode.animFlat(12, 6, frames = m % 5 + 2, delayCs = m % 9 + 1,
+              (m + 10) % 256, (m + 60) % 256, (m + 120) % 256)
+          else graft.media.GifEncode.flatColor(12, 6,
+            (m + 10) % 256, (m + 60) % 256, (m + 120) % 256)
+        bytes.map(x => f"${x & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      t(s, dir, "documents")
+        .withColumn("a", av_meta(unhex(element_at(array(gifHex.map(lit): _*), m + 1))))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.duration_ms").as("duration_ms"),
+          col("a.width").as("width"), col("a.height").as("height"),
+          col("a.frames").as("frames"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -2049,6 +2102,27 @@ object SparkEntry {
     // mask), 127.5 (half-transparent via AND mask or 32-bit XOR alpha), or
     // a 1-channel flat-gray PNG entry; alpha variance 127.5^2 = 16256.25,
     // every value dyadic-exact in float32
+    // every dimension is a closed-form function of doc_id; the svg branch
+    // alternates attr-carried and viewBox-fallback dims by the same parity
+    // the query uses
+    "q75_svg_avif_sniff" ->
+      """WITH m AS (SELECT doc_id, doc_id % 200 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'svg' WHEN 1 THEN 'avif' ELSE 'heif' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN m + 10 WHEN 1 THEN m + 100 ELSE m + 320 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN m % 40 + 8 WHEN 1 THEN m % 50 + 60
+        |       ELSE m % 30 + 240 END AS INT) AS height
+        |FROM m""".stripMargin,
+    // animated fixtures: frames = m%5+2 descriptors each carrying a GCE
+    // delay of m%9+1 centiseconds; static fixtures have one descriptor, no
+    // GCE, so duration is 0
+    "q76_gif_anim_meta" ->
+      """WITH m AS (SELECT doc_id, doc_id % 200 AS m FROM documents)
+        |SELECT doc_id, 'gif' AS format,
+        |  CAST(CASE WHEN m % 2 = 0 THEN (m % 5 + 2) * (m % 9 + 1) * 10 ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(12 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST(CASE WHEN m % 2 = 0 THEN m % 5 + 2 ELSE 1 END AS INT) AS frames
+        |FROM m""".stripMargin,
     "q74_ico_features" ->
       """SELECT doc_id,
         |  CASE WHEN (doc_id % 200) % 6 = 3 THEN CAST(doc_id % 200 AS DOUBLE)
