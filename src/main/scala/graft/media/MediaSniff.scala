@@ -101,7 +101,12 @@ object MediaSniff {
   private def svgOrHtml(b: Array[Byte]): Info = {
     val n = math.min(b.length, 1024)
     val head = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
-    val iSvg = head.indexOf("<svg")
+    // tag boundary: "<svg" must end the tag name ("<svgfoo>" is a custom
+    // element, not a vector image)
+    val iSvg = {
+      val i = head.indexOf("<svg")
+      if (i >= 0 && i + 4 < head.length && Character.isLetterOrDigit(head.charAt(i + 4))) -1 else i
+    }
     val iHtml = {
       val a = head.indexOf("<html"); val d = head.indexOf("<!doctype")
       if (a < 0) d else if (d < 0) a else math.min(a, d)

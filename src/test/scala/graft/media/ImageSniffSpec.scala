@@ -49,6 +49,9 @@ class ImageSniffSpec extends AnyFunSuite {
     assert(s("""<svg/>""") == MediaSniff.Info("svg", -1, -1))
     assert(s("""<!DOCTYPE html><html><body><svg width="1" height="1"/></body>""").format == "html")
     assert(s("""<div>plain markup</div>""").format == "html")
+    assert(s("""<svgfoo width="9" height="9"></svgfoo>""").format == "html") // custom element
+    assert(s("""<svg
+      width="5" height="5"/>""") == MediaSniff.Info("svg", 5, 5)) // newline ends the name
   }
 
   test("totality: truncations never throw, fall to -1 dims or other formats") {
