@@ -1348,6 +1348,30 @@ object SparkEntry {
           col("a.frames").as("frames"))
     }),
 
+    // APNG + animated-WebP metadata (the other two web animation families
+    // next to q76's GIF): frames from acTL resp. ANMF count, duration from
+    // Σ fcTL delays resp. Σ ANMF 24-bit ms fields — all structural walks,
+    // no pixel decode, closed-form from doc_id
+    "q77_anim_meta" -> ((s, dir) => {
+      val hexArr = (0 until 200).map { m =>
+        val bytes =
+          if (m % 2 == 0)
+            graft.media.ImageEncode.apngFlat(10 + m % 30, 8, frames = m % 4 + 2,
+              delayCs = m % 7 + 1, v = m % 256)
+          else
+            graft.media.ImageEncode.webpAnim(12 + m % 20, 9, frames = m % 5 + 2,
+              frameMs = m % 11 + 1)
+        bytes.map(x => f"${x & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      t(s, dir, "documents")
+        .withColumn("a", av_meta(unhex(element_at(array(hexArr.map(lit): _*), m + 1))))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.duration_ms").as("duration_ms"),
+          col("a.width").as("width"), col("a.height").as("height"),
+          col("a.frames").as("frames"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -2122,6 +2146,18 @@ object SparkEntry {
         |  CAST(CASE WHEN m % 2 = 0 THEN (m % 5 + 2) * (m % 9 + 1) * 10 ELSE 0 END AS BIGINT) AS duration_ms,
         |  CAST(12 AS INT) AS width, CAST(6 AS INT) AS height,
         |  CAST(CASE WHEN m % 2 = 0 THEN m % 5 + 2 ELSE 1 END AS INT) AS frames
+        |FROM m""".stripMargin,
+    // apng: frames = m%4+2 each delaying (m%7+1)/100 s → (m%7+1)·10 ms;
+    // webp: frames = m%5+2 each lasting m%11+1 ms
+    "q77_anim_meta" ->
+      """WITH m AS (SELECT doc_id, doc_id % 200 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN m % 2 = 0 THEN 'png' ELSE 'webp' END AS format,
+        |  CAST(CASE WHEN m % 2 = 0 THEN (m % 4 + 2) * (m % 7 + 1) * 10
+        |       ELSE (m % 5 + 2) * (m % 11 + 1) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN m % 2 = 0 THEN 10 + m % 30 ELSE 12 + m % 20 END AS INT) AS width,
+        |  CAST(CASE WHEN m % 2 = 0 THEN 8 ELSE 9 END AS INT) AS height,
+        |  CAST(CASE WHEN m % 2 = 0 THEN m % 4 + 2 ELSE m % 5 + 2 END AS INT) AS frames
         |FROM m""".stripMargin,
     "q74_ico_features" ->
       """SELECT doc_id,

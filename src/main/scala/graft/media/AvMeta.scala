@@ -39,6 +39,9 @@ object AvMeta {
       else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') ogg(b)
       else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
                b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+               b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') webp(b)
+      else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') png(b)
       else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
                ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) mp3(b)
       else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gif(b)
@@ -245,6 +248,83 @@ object AvMeta {
     val durationMs =
       if (lastGranule >= 0 && granuleRate > 0) lastGranule * 1000L / granuleRate else -1L
     AvInfo("ogg", durationMs, sampleRate, channels, -1, -1)
+  }
+
+  // ---------------------------------------------------------------- PNG (APNG)
+
+  /** APNG animation structure (public APNG spec, now PNG third edition):
+    * frames from acTL's num_frames, duration = Σ fcTL delays
+    * (delay_num/delay_den seconds; den 0 reads as 100 per spec). A PNG
+    * without acTL is a still: frames=1, duration 0. Dims from IHDR. CRCs
+    * are not verified (same stance as PngDecode); truncation keeps what
+    * was walked. */
+  private def png(b: Array[Byte]): AvInfo = {
+    def u32be(i: Int): Long = u32(b, i)
+    def u16be(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    var pos = 8
+    var w = -1
+    var h = -1
+    var frames = -1
+    var durMs = 0L
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = u32be(pos)
+      val start = pos + 8
+      if (len > b.length - start) done = true // truncated chunk: keep what we have
+      else {
+        val t0 = b(pos + 4); val t1 = b(pos + 5); val t2 = b(pos + 6); val t3 = b(pos + 7)
+        if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+          if (len >= 8) { w = u32be(start).toInt; h = u32be(start + 4).toInt }
+        } else if (t0 == 'a' && t1 == 'c' && t2 == 'T' && t3 == 'L') {
+          if (len >= 8) frames = u32be(start).toInt
+        } else if (t0 == 'f' && t1 == 'c' && t2 == 'T' && t3 == 'L') {
+          if (len >= 24) {
+            val num = u16be(start + 20)
+            val den0 = u16be(start + 22)
+            val den = if (den0 == 0) 100 else den0
+            durMs += num.toLong * 1000L / den
+          }
+        } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') done = true
+        val next = start.toLong + len + 4L // + CRC
+        if (next <= pos || next > Int.MaxValue) done = true else pos = next.toInt
+      }
+    }
+    AvInfo("png", if (frames > 0) durMs else 0L, -1, -1, w, h,
+      frames = if (frames > 0) frames else 1)
+  }
+
+  // ---------------------------------------------------------------- WebP
+
+  /** Animated-WebP structure: canvas dims from VP8X, frames = ANMF chunks,
+    * duration = Σ ANMF 24-bit millisecond durations. A still (no ANMF)
+    * reads frames=1, duration 0. */
+  private def webp(b: Array[Byte]): AvInfo = {
+    def u24le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    var pos = 12
+    var w = -1
+    var h = -1
+    var frames = 0
+    var durMs = 0L
+    var walking = true
+    while (walking && pos + 8 <= b.length) {
+      val len = u32le(pos + 4)
+      val start = pos + 8
+      if (len > b.length - start) walking = false // truncated: keep what we have
+      else {
+        val t0 = b(pos); val t1 = b(pos + 1); val t2 = b(pos + 2); val t3 = b(pos + 3)
+        if (t0 == 'V' && t1 == 'P' && t2 == '8' && t3 == 'X') {
+          if (len >= 10) { w = u24le(start + 4) + 1; h = u24le(start + 7) + 1 }
+        } else if (t0 == 'A' && t1 == 'N' && t2 == 'M' && t3 == 'F') {
+          if (len >= 16) { frames += 1; durMs += u24le(start + 12) }
+        }
+        val next = start.toLong + len + (len & 1L) // even-padded chunks
+        if (next <= pos || next > Int.MaxValue) walking = false else pos = next.toInt
+      }
+    }
+    AvInfo("webp", if (frames > 0) durMs else 0L, -1, -1, w, h,
+      frames = if (frames > 0) frames else 1)
   }
 
   // ---------------------------------------------------------------- GIF

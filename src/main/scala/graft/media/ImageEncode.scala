@@ -537,4 +537,95 @@ object ImageEncode {
     p.write((hm >> 10) & 0x0f)
     webpContainer("VP8L", p.toByteArray)
   }
+
+  /** Multi-chunk RIFF/WEBP container (even-padded chunks). */
+  private[media] def webpChunks(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write("RIFF".getBytes, 0, 4)
+    le32(o, 4 + chunks.map(c => 8 + c._2.length + (c._2.length & 1)).sum)
+    o.write("WEBP".getBytes, 0, 4)
+    for ((tag, body) <- chunks) {
+      o.write(tag.getBytes, 0, 4)
+      le32(o, body.length)
+      o.write(body, 0, body.length)
+      if ((body.length & 1) == 1) o.write(0)
+    }
+    o.toByteArray
+  }
+
+  /** Animated WebP: VP8X (animation flag, canvas dims) + ANIM + `frames`
+    * ANMF headers each carrying a 24-bit millisecond duration — the
+    * structure `av_meta` walks for frame count and Σ-duration. */
+  def webpAnim(w: Int, h: Int, frames: Int, frameMs: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0)
+    def u24(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+    }
+    val vp8x = new ByteArrayOutputStream()
+    vp8x.write(0x02) // animation flag
+    vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    u24(vp8x, w - 1); u24(vp8x, h - 1)
+    val anim = new ByteArrayOutputStream()
+    le32(anim, 0) // background color
+    le16(anim, 0) // loop count: forever
+    val anmf = {
+      val a = new ByteArrayOutputStream()
+      u24(a, 0); u24(a, 0)         // frame x, y
+      u24(a, w - 1); u24(a, h - 1) // frame dims minus one
+      u24(a, frameMs)              // duration, ms
+      a.write(0)                   // flags
+      a.toByteArray
+    }
+    webpChunks(("VP8X", vp8x.toByteArray) +: ("ANIM", anim.toByteArray) +:
+      Seq.fill(frames)(("ANMF", anmf)))
+  }
+
+  /** APNG over the stored-deflate gray still: acTL after IHDR, an fcTL per
+    * frame (delay = delayCs/100 s), frame 1's data in IDAT and the rest as
+    * fdAT shells — `av_meta` reads frames + Σ-delay structurally while
+    * `PngDecode` still renders frame 1 (ancillary chunks are skipped). */
+  def apngFlat(w: Int, h: Int, frames: Int, delayCs: Int, v: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0 && delayCs >= 0 && delayCs <= 255)
+    val o = new ByteArrayOutputStream()
+    o.write(0x89); o.write('P'); o.write('N'); o.write('G')
+    o.write(0x0d); o.write(0x0a); o.write(0x1a); o.write(0x0a)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      be32(o, body.length); o.write(typ.getBytes, 0, 4)
+      o.write(body, 0, body.length); be32(o, 0) // CRC unchecked by the walkers
+    }
+    val ihdr = new ByteArrayOutputStream()
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val actl = new ByteArrayOutputStream()
+    be32(actl, frames); be32(actl, 0) // num_frames, num_plays (forever)
+    chunk("acTL", actl.toByteArray)
+    var seq = 0
+    def fctl(): Unit = {
+      val f = new ByteArrayOutputStream()
+      be32(f, seq); seq += 1
+      be32(f, w); be32(f, h); be32(f, 0); be32(f, 0)
+      f.write(0); f.write(delayCs) // delay_num u16be
+      f.write(0); f.write(100)     // delay_den u16be = 100
+      f.write(0); f.write(0)       // dispose, blend
+      chunk("fcTL", f.toByteArray)
+    }
+    fctl()
+    val raw = new Array[Byte]((1 + w) * h)
+    for (y <- 0 until h; x <- 0 until w) raw(y * (1 + w) + 1 + x) = v.toByte
+    val idat = new ByteArrayOutputStream()
+    idat.write(0x78); idat.write(0x01)
+    idat.write(0x01); le16(idat, raw.length); le16(idat, raw.length ^ 0xffff)
+    idat.write(raw, 0, raw.length)
+    be32(idat, 0)
+    chunk("IDAT", idat.toByteArray)
+    for (_ <- 1 until frames) {
+      fctl()
+      val fdat = new ByteArrayOutputStream()
+      be32(fdat, seq); seq += 1
+      chunk("fdAT", fdat.toByteArray)
+    }
+    chunk("IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
 }

@@ -198,6 +198,35 @@ class AvMetaSpec extends AnyFunSuite {
       (px(0) & 0xff) == 10 && (px(1) & 0xff) == 200 && (px(2) & 0xff) == 77))
   }
 
+  test("apng: acTL frame count, Σ fcTL delays; still PNG reads frames=1") {
+    val anim = AvMeta.parse(ImageEncode.apngFlat(20, 10, frames = 5, delayCs = 3, v = 99))
+    assert(anim == AvMeta.AvInfo("png", 150L, -1, -1, 20, 10, frames = 5)) // 5×30 ms
+    val still = AvMeta.parse(ImageEncode.pngGrayStored(20, 10, 99))
+    assert(still == AvMeta.AvInfo("png", 0L, -1, -1, 20, 10, frames = 1))
+    // the APNG still renders frame 1 through the pixel decoder
+    val p = PngDecode.decode(ImageEncode.apngFlat(20, 10, frames = 3, delayCs = 3, v = 99)).get
+    assert(p.width == 20 && p.height == 10 && p.samples.forall(s => (s & 0xff) == 99))
+  }
+
+  test("animated webp: VP8X canvas + ANMF count and Σ-duration; still reads frames=1") {
+    val anim = AvMeta.parse(ImageEncode.webpAnim(33, 21, frames = 4, frameMs = 70))
+    assert(anim == AvMeta.AvInfo("webp", 280L, -1, -1, 33, 21, frames = 4))
+    val still = AvMeta.parse(ImageEncode.webpVp8x(33, 21))
+    assert(still == AvMeta.AvInfo("webp", 0L, -1, -1, 33, 21, frames = 1))
+    // a VP8L still without VP8X has no canvas chunk: dims stay -1, frames 1
+    assert(AvMeta.parse(ImageEncode.webpVp8l(9, 9)) ==
+      AvMeta.AvInfo("webp", 0L, -1, -1, -1, -1, frames = 1))
+  }
+
+  test("apng/webp-anim: truncations keep what was walked, never throw") {
+    for (full <- Seq(ImageEncode.apngFlat(20, 10, 5, 3, 99),
+                     ImageEncode.webpAnim(33, 21, 4, 70));
+         n <- 0 until full.length by 3) {
+      val i = AvMeta.parse(java.util.Arrays.copyOf(full, n))
+      assert(i.format == "png" || i.format == "webp" || i.format == "unknown")
+    }
+  }
+
   test("gif: truncated block streams keep the frames walked so far, never throw") {
     val full = GifEncode.animFlat(16, 8, frames = 4, delayCs = 7, 1, 2, 3)
     for (n <- 0 until full.length by 5) {
