@@ -1372,6 +1372,39 @@ object SparkEntry {
           col("a.frames").as("frames"))
     }),
 
+    // HTML head metadata (HtmlMeta: one linear head scan, stops at </head>/
+    // <body>) + the two curation keys it feeds: the robots-noindex gate and
+    // the canonical-URL dedup key (coalesce(canonical, url) — collapses
+    // mirror/tracking-parameter variants BEFORE content dedup). Payload
+    // variants rotate attribute case/quoting/order and entity titles.
+    "q78_html_meta" -> ((s, dir) => {
+      val langs = Seq("en", "de", "fr")
+      val htmlHex = (0 until 200).map { m =>
+        val canon =
+          if (m % 3 != 0) s"""<link href='https://ex.com/c/${m % 40}' rel=canonical>""" else ""
+        val robots = (m % 4) match {
+          case 0 => """<meta name="robots" content="NOINDEX, nofollow">"""
+          case 1 => """<meta content="index, follow" name=ROBOTS>"""
+          case _ => ""
+        }
+        val lang = if (m % 7 != 0) s""" lang="${langs(m % 3)}"""" else ""
+        val title = if (m % 5 == 0) s"T &amp; $m" else s"Title  $m" // entity + ws collapse
+        val doc = s"""<html$lang><head><title>$title</title>$canon$robots""" +
+          s"""</head><body><meta name=robots content=noindex>spam</body></html>"""
+        doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(x => f"${x & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      t(s, dir, "documents")
+        .withColumn("h", html_meta(unhex(element_at(array(htmlHex.map(lit): _*), m + 1))))
+        .select(col("doc_id"), col("h.title").as("title"),
+          col("h.canonical").as("canonical"), col("h.robots").as("robots"),
+          col("h.lang").as("lang"),
+          coalesce(contains(col("h.robots"), lit("noindex")), lit(false)).as("noindex"),
+          coalesce(col("h.canonical"),
+            concat(lit("https://ex.com/u/"), col("doc_id").cast("string"))).as("dedup_key"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -2146,6 +2179,21 @@ object SparkEntry {
         |  CAST(CASE WHEN m % 2 = 0 THEN (m % 5 + 2) * (m % 9 + 1) * 10 ELSE 0 END AS BIGINT) AS duration_ms,
         |  CAST(12 AS INT) AS width, CAST(6 AS INT) AS height,
         |  CAST(CASE WHEN m % 2 = 0 THEN m % 5 + 2 ELSE 1 END AS INT) AS frames
+        |FROM m""".stripMargin,
+    // every field closed-form from doc_id: the engine lowercases robots,
+    // decodes the &amp; entity, collapses title whitespace, and ignores the
+    // body's spam meta — the oracle states the post-normalization values
+    "q78_html_meta" ->
+      """WITH m AS (SELECT doc_id, doc_id % 200 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN m % 5 = 0 THEN 'T & ' || m ELSE 'Title ' || m END AS title,
+        |  CASE WHEN m % 3 <> 0 THEN 'https://ex.com/c/' || (m % 40) END AS canonical,
+        |  CASE m % 4 WHEN 0 THEN 'noindex, nofollow' WHEN 1 THEN 'index, follow' END AS robots,
+        |  CASE WHEN m % 7 = 0 THEN NULL
+        |       ELSE CASE m % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END END AS lang,
+        |  (m % 4 = 0) AS noindex,
+        |  CASE WHEN m % 3 <> 0 THEN 'https://ex.com/c/' || (m % 40)
+        |       ELSE 'https://ex.com/u/' || doc_id END AS dedup_key
         |FROM m""".stripMargin,
     // apng: frames = m%4+2 each delaying (m%7+1)/100 s → (m%7+1)·10 ms;
     // webp: frames = m%5+2 each lasting m%11+1 ms

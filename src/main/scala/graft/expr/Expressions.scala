@@ -92,6 +92,32 @@ case class ExtractBlocks(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 }
 
+object HtmlMetaExpr {
+  val structType: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("robots", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("og_title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true)
+  ))
+}
+
+/** Head metadata from HTML bytes (HtmlMeta: canonical link, robots meta,
+  * title/og:title/description, html lang) — the curation keys read BEFORE
+  * content extraction; absent fields are null. */
+case class HtmlMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = HtmlMetaExpr.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = graft.html.HtmlMeta.parse(input.asInstanceOf[Array[Byte]])
+    def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    InternalRow(u(m.title), u(m.canonical), u(m.robots), u(m.lang), u(m.ogTitle), u(m.description))
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlMetaExpr =
+    copy(child = newChild)
+}
+
 object ParsePdfSpans {
   /** hOCR word-span analog: (page, bbox, word) — reference ocr_combined.py:73-82. */
   val elementType: StructType = StructType(Seq(

@@ -29,6 +29,12 @@ object functions {
   def extract_any_text(bytes: Column): Column =
     ColumnBridge.column(ExtractAnyText(expr(bytes)))
 
+  /** HTML head metadata: struct(title, canonical, robots, lang, og_title,
+    * description) — canonical feeds canonical-URL dedup, robots the
+    * noindex gate; absent fields are null. */
+  def html_meta(html: Column): Column =
+    ColumnBridge.column(HtmlMetaExpr(expr(html)))
+
   /** Block-level analysis of HTML: array<struct(idx,tag,text,words,link_words,is_content)>. */
   def extract_blocks(html: Column): Column =
     ColumnBridge.column(ExtractBlocks(expr(html)))
