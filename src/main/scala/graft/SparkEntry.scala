@@ -1405,6 +1405,30 @@ object SparkEntry {
             concat(lit("https://ex.com/u/"), col("doc_id").cast("string"))).as("dedup_key"))
     }),
 
+    // EXIF metadata (ExifMeta: JPEG APP1 marker walk or bare TIFF, IFD walk
+    // incl. the Exif sub-IFD datetime fallback and the GPS-IFD location-PII
+    // flag): payloads rotate the JPEG/TIFF wrapping, the sub-IFD relocation,
+    // and GPS presence — every field closed-form from doc_id
+    "q79_exif_meta" -> ((s, dir) => {
+      val exifHex = (0 until 200).map { m =>
+        val orient = m % 8 + 1
+        val make = s"Cam${m % 10}"
+        val dt = f"2020:01:${m % 28 + 1}%02d 10:00:00"
+        val gps = m % 3 == 0
+        val sub = m % 5 == 0
+        val bytes =
+          if (m % 2 == 0) graft.media.ImageEncode.exifJpeg(orient, make, dt, gps, sub)
+          else graft.media.ImageEncode.exifTiffBody(orient, make, dt, gps, sub)
+        bytes.map(x => f"${x & 0xff}%02X").mkString
+      }
+      val m = (col("doc_id") % 200).cast("int")
+      t(s, dir, "documents")
+        .withColumn("e", exif_meta(unhex(element_at(array(exifHex.map(lit): _*), m + 1))))
+        .select(col("doc_id"), col("e.orientation").as("orientation"),
+          col("e.has_gps").as("has_gps"), col("e.make").as("make"),
+          col("e.datetime").as("datetime"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -2179,6 +2203,16 @@ object SparkEntry {
         |  CAST(CASE WHEN m % 2 = 0 THEN (m % 5 + 2) * (m % 9 + 1) * 10 ELSE 0 END AS BIGINT) AS duration_ms,
         |  CAST(12 AS INT) AS width, CAST(6 AS INT) AS height,
         |  CAST(CASE WHEN m % 2 = 0 THEN m % 5 + 2 ELSE 1 END AS INT) AS frames
+        |FROM m""".stripMargin,
+    // fixture parameters replayed directly; the JPEG-vs-TIFF wrapping and
+    // the sub-IFD relocation must be invisible in the extracted values
+    "q79_exif_meta" ->
+      """WITH m AS (SELECT doc_id, doc_id % 200 AS m FROM documents)
+        |SELECT doc_id,
+        |  CAST(m % 8 + 1 AS INT) AS orientation,
+        |  (m % 3 = 0) AS has_gps,
+        |  'Cam' || (m % 10) AS make,
+        |  '2020:01:' || lpad(CAST(m % 28 + 1 AS VARCHAR), 2, '0') || ' 10:00:00' AS datetime
         |FROM m""".stripMargin,
     // every field closed-form from doc_id: the engine lowercases robots,
     // decodes the &amp; entity, collapses title whitespace, and ignores the

@@ -7,7 +7,30 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.media.{AvMeta, MediaSniff}
+import graft.media.{AvMeta, ExifMeta, MediaSniff}
+
+object ExifMetaExpr {
+  val structType: StructType = StructType(Seq(
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("has_gps", BooleanType, nullable = false),
+    StructField("make", StringType, nullable = true),
+    StructField("datetime", StringType, nullable = true)
+  ))
+}
+
+/** EXIF metadata from JPEG APP1 or bare TIFF bytes (ExifMeta): orientation,
+  * GPS-IFD presence (location PII flag), camera make, timestamp. */
+case class ExifMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ExifMetaExpr.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val i = ExifMeta.parse(input.asInstanceOf[Array[Byte]])
+    def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    InternalRow(i.orientation, i.hasGps, u(i.make), u(i.dateTime))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExifMetaExpr =
+    copy(child = newChild)
+}
 
 object MediaSniffExpr {
   val structType: StructType = StructType(Seq(

@@ -161,6 +161,11 @@ object functions {
   def av_meta(bytes: Column): Column =
     ColumnBridge.column(AvMetaExpr(expr(bytes)))
 
+  /** EXIF metadata: struct(orientation, has_gps, make, datetime) from JPEG
+    * APP1 or bare TIFF bytes — has_gps is the image-side location-PII flag. */
+  def exif_meta(bytes: Column): Column =
+    ColumnBridge.column(ExifMetaExpr(expr(bytes)))
+
   /** Cosine similarity of two array<double> embedding columns — a native
     * codegen'd expression (one fused loop). The earlier builtin-composition
     * form (aggregate+zip_with ×3) was interpreted per pair and dominated the

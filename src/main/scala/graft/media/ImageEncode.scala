@@ -580,6 +580,73 @@ object ImageEncode {
       Seq.fill(frames)(("ANMF", anmf)))
   }
 
+  /** Minimal EXIF body (little-endian TIFF): IFD0 carries Make,
+    * Orientation, and DateTime — or, with `dtInSub`, relocates the
+    * timestamp into an Exif sub-IFD as DateTimeOriginal (0x9003); `withGps`
+    * appends a one-entry GPS IFD behind the 0x8825 pointer. ASCII values
+    * inline when ≤4 bytes, offset-indirected otherwise (TIFF 6.0 §2). */
+  def exifTiffBody(orientation: Int, make: String, dateTime: String,
+                   withGps: Boolean, dtInSub: Boolean): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+    val makeB = (make + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val dtB = (dateTime + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = 2 + 1 + (if (withGps) 1 else 0) // make, orientation, dt-or-exifptr [, gps]
+    val ifd0End = 8 + 2 + n * 12 + 4
+    val makeInline = makeB.length <= 4
+    val makeOff = ifd0End
+    val dtOff = makeOff + (if (makeInline) 0 else makeB.length)
+    val exifOff = dtOff + (if (dtInSub || dtB.length <= 4) 0 else dtB.length)
+    val exifLen = if (dtInSub) 2 + 12 + 4 + dtB.length else 0
+    val gpsOff = exifOff + exifLen
+    o.write('I'); o.write('I'); w16(0x2a); w32(8)
+    w16(n)
+    def entry(tag: Int, typ: Int, cnt: Int, inlineOrOff: Either[Array[Byte], Int]): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      inlineOrOff match {
+        case Left(v) => o.write(v, 0, v.length); (v.length until 4).foreach(_ => o.write(0))
+        case Right(off) => w32(off)
+      }
+    }
+    entry(0x010f, 2, makeB.length, if (makeInline) Left(makeB) else Right(makeOff))
+    entry(0x0112, 3, 1, Left(Array((orientation & 0xff).toByte, ((orientation >> 8) & 0xff).toByte)))
+    if (dtInSub) entry(0x8769, 4, 1, Right(exifOff))
+    else entry(0x0132, 2, dtB.length,
+      if (dtB.length <= 4) Left(dtB) else Right(dtOff))
+    if (withGps) entry(0x8825, 4, 1, Right(gpsOff))
+    w32(0) // next IFD
+    if (!makeInline) o.write(makeB, 0, makeB.length)
+    if (!dtInSub && dtB.length > 4) o.write(dtB, 0, dtB.length)
+    if (dtInSub) { // Exif sub-IFD: one DateTimeOriginal entry, data right after
+      w16(1)
+      entry(0x9003, 2, dtB.length, Right(exifOff + 2 + 12 + 4))
+      w32(0)
+      o.write(dtB, 0, dtB.length)
+    }
+    if (withGps) { // GPS IFD: GPSVersionID, 4 inline BYTEs
+      w16(1)
+      entry(0x0000, 1, 4, Left(Array[Byte](2, 3, 0, 0)))
+      w32(0)
+    }
+    o.toByteArray
+  }
+
+  /** The same EXIF body wrapped as a JPEG APP1 segment (SOI + APP1 + EOI). */
+  def exifJpeg(orientation: Int, make: String, dateTime: String,
+               withGps: Boolean, dtInSub: Boolean = false): Array[Byte] = {
+    val tiff = exifTiffBody(orientation, make, dateTime, withGps, dtInSub)
+    val o = new ByteArrayOutputStream()
+    o.write(0xff); o.write(0xd8) // SOI
+    o.write(0xff); o.write(0xe1) // APP1
+    val len = 2 + 6 + tiff.length
+    o.write((len >> 8) & 0xff); o.write(len & 0xff)
+    o.write("Exif".getBytes, 0, 4); o.write(0); o.write(0)
+    o.write(tiff, 0, tiff.length)
+    o.write(0xff); o.write(0xd9) // EOI
+    o.toByteArray
+  }
+
   /** APNG over the stored-deflate gray still: acTL after IHDR, an fcTL per
     * frame (delay = delayCs/100 s), frame 1's data in IDAT and the rest as
     * fdAT shells — `av_meta` reads frames + Σ-delay structurally while
