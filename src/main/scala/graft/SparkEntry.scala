@@ -24,6 +24,46 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // q80 SemDeDup centroids: 4 explicit unit vectors (splitmix-derived, the
+  // lshPlanes generator) riding the plan as constants AND interpolated into
+  // the DuckDB oracle as double literals (shortest-round-trip toString —
+  // both engines parse back the identical double)
+  private lazy val semCentroids: Seq[Seq[Double]] =
+    graft.ops.SimilarityOps.lshPlanes(4, 64, seed = 0xC3AL).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+
+  private def q80OracleSql: String = {
+    val lits = semCentroids.map(_.mkString("[", ", ", "]::DOUBLE[]"))
+    // argmax over UNIT centroids: cosine ≡ dot up to the constant |v| factor,
+    // and list_cosine_similarity matches CosineSim bit-wise (the q16 contract);
+    // first-wins >= chains replicate ArgMaxDotExpr's strict-> smallest-index
+    // tie-break. The drop rule: x is dropped iff an earlier same-cluster
+    // member (y.vec_id < x.vec_id — the min_id keeper) has cosine >= eps.
+    s"""WITH orig AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |allv AS (
+       |  SELECT vec_id, v FROM orig
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_prepend(v[1] * CAST(1.2 AS DOUBLE) + CAST(0.1 AS DOUBLE), v[2:]) FROM orig),
+       |cl AS (
+       |  SELECT vec_id, v,
+       |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+       |         WHEN s1 >= s2 AND s1 >= s3 THEN 1
+       |         WHEN s2 >= s3 THEN 2 ELSE 3 END AS cl
+       |  FROM (SELECT vec_id, v,
+       |      list_cosine_similarity(v, ${lits(0)}) AS s0,
+       |      list_cosine_similarity(v, ${lits(1)}) AS s1,
+       |      list_cosine_similarity(v, ${lits(2)}) AS s2,
+       |      list_cosine_similarity(v, ${lits(3)}) AS s3
+       |    FROM allv))
+       |SELECT x.vec_id FROM cl x
+       |WHERE NOT EXISTS (SELECT 1 FROM cl y WHERE y.cl = x.cl AND y.vec_id < x.vec_id
+       |  AND list_cosine_similarity(x.v, y.v) >= 0.95)
+       |ORDER BY x.vec_id""".stripMargin
+  }
+
   // deterministic HTML wrapper around a text column (see q17/q18 oracles)
   private def htmlOf(text: Column): Column =
     concat(
@@ -1429,6 +1469,29 @@ object SparkEntry {
           col("e.datetime").as("datetime"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means-cluster + within-cluster pairwise
+    // cosine — the CLUSTER-based embedding dedup complementing q41's LSH path.
+    // Centroids here are EXPLICIT unit plan constants (semCentroids), so the
+    // oracle replays assignment (argmax cosine ≡ argmax dot for unit
+    // centroids) and the drop rule in plain SQL; production training is
+    // IvfAnn.trainCentroids (deterministic, the q37 contract). The
+    // perturbation runs in DOUBLE end-to-end so both engines see bit-equal
+    // vectors; keeper=min_id is the exactly-replayable contract (the paper's
+    // low-centroid-sim keeper is spec-pinned on controlled fixtures). A
+    // perturbed twin is dropped only when it CO-CLUSTERS with its original —
+    // the within-cluster-only contract both engines must agree on.
+    "q80_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val orig = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val perturbed = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x AS DOUBLE) * 1.2d + 0.1d, CAST(x AS DOUBLE)))").as("embedding"))
+      graft.ops.SimilarityOps.semDedup(
+        orig.unionByName(perturbed), "embedding", "vec_id",
+        centroids = semCentroids, eps = 0.95, keeper = "min_id")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // REAL TIFF decode (TiffDecode: endian-aware IFD, strips, photometric):
     // gray little-endian fixtures alternate with RGB big-endian ones — the
     // multi-strip and offset-indirected-array paths are spec-covered
@@ -2358,6 +2421,9 @@ object SparkEntry {
     // CC over exactly those pairs keeps the min id of each {v, v+1M} cluster
     "q41_embedding_dedup_cc" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    // full replay: centroid literals -> argmax assignment -> within-cluster
+    // earlier-member drop rule (see q80OracleSql)
+    "q80_semdedup" -> q80OracleSql,
     // the canonical form in closed form: lowercase scheme/host, default port
     // gone, path case PRESERVED (paths are case-sensitive), tracking params
     // dropped, kept params sorted ('a=' < 'z=' in binary order), fragment gone

@@ -116,6 +116,66 @@ object SimilarityOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §2): semantic dedup via
+    * k-means clusters + WITHIN-CLUSTER pairwise cosine — the cluster-based
+    * complement of the LSH path (dropEmbeddingDupsCC). Each row is assigned
+    * to its argmax-dot cluster over the given UNIT `centroids` (train with
+    * IvfAnn.trainCentroids — deterministic — or pass explicit constants);
+    * within a cluster, members are ranked and a member is DROPPED when some
+    * LOWER-RANKED member has cosine ≥ eps with it. The drop decision never
+    * depends on whether the earlier member itself survived (the paper's
+    * implementation choice), so the rule is embarrassingly parallel per
+    * cluster — no sequential scan per cluster at any size.
+    *
+    * keeper = "low_centroid_sim": the paper's rule — the kept exemplar of a
+    * duplicate group is the member FARTHEST from its centroid (ranked by
+    * ascending centroid cosine, ties by ascending id); "min_id": pure id
+    * order — the exactly-replayable contract q80's DuckDB oracle pins.
+    *
+    * Scale shape: assignment is one native fused loop per row (no shuffle);
+    * the rank windows and the pair join shuffle ONCE on the cluster id (same
+    * key — the exchange is reused); the join is quadratic only WITHIN a
+    * cluster, so nClusters is chosen to bound n/k (the paper runs 50k
+    * clusters for 600M embeddings) and clusters beyond maxClusterSize are
+    * SKIPPED conservatively — members all kept, never an unbounded quadratic
+    * (the same stance as the LSH bucket cap, but keep-all instead of
+    * drop-all: dedup must not delete rows it could not examine). */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+               centroids: Seq[Seq[Double]], eps: Double = 0.95,
+               keeper: String = "low_centroid_sim",
+               maxClusterSize: Int = 1 << 13): DataFrame = {
+    require(keeper == "low_centroid_sim" || keeper == "min_id",
+      s"unknown keeper rule: $keeper")
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val base0 = df.select(col(idCol).as("_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .withColumn("_cl", IvfAnn.assignList(col("_v"), unit))
+    // rank key: sim to the OWN centroid via a small when-chain (k branches,
+    // exactly one CosineSim evaluates per row) — a gather-by-index expression
+    // would save nothing at these k and cost a new expression class
+    val base = if (keeper == "min_id") base0.withColumn("_csim", lit(0.0d))
+    else base0.withColumn("_csim",
+      unit.zipWithIndex.tail.foldLeft(
+        when(col("_cl") === 0, cosine_sim(col("_v"), typedLit(unit.head)))) {
+        case (acc, (c, i)) => acc.when(col("_cl") === i, cosine_sim(col("_v"), typedLit(c)))
+      })
+    val cw = Window.partitionBy(col("_cl"))
+    val rw = cw.orderBy(col("_csim").asc, col("_id").asc)
+    val ranked = base
+      .withColumn("_sz", count(lit(1)).over(cw))
+      .withColumn("_r", row_number().over(rw))
+      .filter(col("_sz") <= maxClusterSize)
+      .select(col("_id"), col("_v"), col("_cl"), col("_r"))
+    val losers = ranked.as("x").join(ranked.as("y"),
+        col("x._cl") === col("y._cl") && col("y._r") < col("x._r") &&
+          cosine_sim(col("x._v"), col("y._v")) >= eps, "left_semi")
+      .select(col("_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs (a < b) with cosine ≥ threshold via (k, L)
     * hyperplane LSH: k sign-bit planes per table (k grown with corpus size),
     * L independent tables unioned, Hamming-1 multi-probe on the probing side,
