@@ -1041,6 +1041,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACTSUBSTR REMOVAL (Lee et al. 2022 §4.1 — the transform whose counts
+    // q54 measures): the injected 6-token boilerplate run is shared by every
+    // 3rd doc, so its two fully-inside 5-token windows are corpus-duplicated
+    // and the whole suffix is removed from every copy; corpus-level exact-dup
+    // docs (q11's n_dup_docs) collapse to empty strings. The oracle replays
+    // windows as token strings (q47's collision argument) and rebuilds via
+    // string_agg ORDER BY pos.
+    "q81_remove_dup_spans" -> ((s, dir) => {
+      val txt = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" alpha beta gamma delta epsilon zeta"))
+          .otherwise(lit("")))
+      graft.ops.CurationOps.removeDuplicatedSpans(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -1998,6 +2014,38 @@ object SparkEntry {
         |       ELSE round(CAST(dw AS DOUBLE) / nw, 4) END AS dup_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q54's windows as strings -> covered positions (window i covers tokens
+    // i..i+4) -> tokens surviving the coverage anti-join, rebuilt in order
+    "q81_remove_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' alpha beta gamma delta epsilon zeta' ELSE '' END AS txt
+        |  FROM documents
+        |),
+        |tk AS (SELECT doc_id, string_split(txt, ' ') AS t FROM base),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM tk CROSS JOIN LATERAL unnest(range(1, greatest(1, len(t) - 3))) u(i)
+        |  WHERE len(t) >= 5
+        |),
+        |cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM grams JOIN cnt USING (g) CROSS JOIN LATERAL unnest(range(i, i + 5)) v(p)
+        |  WHERE c > 1
+        |),
+        |toks AS (
+        |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM tk
+        |),
+        |kept AS (
+        |  SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.pos) AS clean, count(*) AS k
+        |  FROM toks x LEFT JOIN cov ON cov.doc_id = x.doc_id AND cov.p = x.pos
+        |  WHERE cov.p IS NULL GROUP BY x.doc_id
+        |)
+        |SELECT b.doc_id, coalesce(clean, '') AS clean_text,
+        |  CAST(len(b.t) - coalesce(k, 0) AS INT) AS removed_tokens
+        |FROM tk b LEFT JOIN kept USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // every Gopher rule replayed in DuckDB list ops; all ratios are
     // integer-over-integer divisions, so the keep verdict is deterministic
     // on both engines

@@ -223,6 +223,56 @@ object CurationOps {
   }
 
   /**
+   * EXACTSUBSTR dedup as a TRANSFORM (Lee et al. 2022 §4.1 — the
+   * deduplicate-text-datasets tool's removal half): duplicatedSpanStats
+   * MEASURES corpus-wide duplicated token windows; this REMOVES them. Every
+   * token covered by some n-token window whose hash occurs more than once
+   * corpus-wide is dropped, and the document is rebuilt from the surviving
+   * tokens (single-space joined — the shared curation-op convention; the
+   * op's token model is whitespace runs, matching ngram_hashes). Exact-dup
+   * documents collapse to empty strings and shared boilerplate runs vanish
+   * from EVERY copy — the paper keeps one occurrence; removing all copies is
+   * the conservative variant whose count duplicatedSpanStats already reports
+   * (documented deviation, composable with exact dedup for keep-one).
+   * Returns (id, clean_text, removed_tokens).
+   *
+   * Scale shape: windows and coverage travel as (id, pos) ints plus a 64-bit
+   * gram hash, never text. One corpus scan explodes windows; the corpus-wide
+   * occurrence count attaches as an unordered window count over the gram key
+   * (the duplicatedSpanStats shape); duplicated window starts explode to
+   * covered positions (dup_windows × n narrow rows); tokens anti-join the
+   * coverage on (id, pos) and reassemble order-preserving via sort_array
+   * (the dropDuplicatedLines shape) — no per-token quadratic corner at any
+   * document size.
+   */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                            n: Int = 13): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    val toksOf = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val starts = docs
+      .select(col(idCol).as("_id"),
+        posexplode(ngramHashes(col(textCol), n)).as(Seq("_pos", "_g")))
+      .withColumn("_c", count(lit(1)).over(w))
+      .filter(col("_c") > 1)
+    val covered = starts.select(col("_id"),
+      explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_pos"))
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(toksOf).as(Seq("_pos", "_tok")))
+    val kept = toks.join(covered, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok"))).as("_clean"))
+    docs.select(col(idCol).as("_id"), col(textCol))
+      .join(kept, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_clean"), lit("")).as("clean_text"),
+        (size(toksOf) - coalesce(col("_kept"), lit(0L)).cast("int"))
+          .cast("int").as("removed_tokens"))
+  }
+
+  /**
    * The Gopher/MassiveText document-level quality rules (Rae et al. 2021
    * §A1.1) that complement `repetitionStats`' repetition family: word-count
    * bounds, mean word length, symbol-to-word ratio (# and ellipsis), bullet /

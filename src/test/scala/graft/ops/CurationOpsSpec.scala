@@ -100,6 +100,45 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4) == ((5L, 0, 0, 0.0)))
   }
 
+  test("removeDuplicatedSpans: covered tokens dropped, order-preserving rebuild") {
+    // docs 1/2 share the 4-token run "p q r s": with n=3 the two fully-shared
+    // windows (p q r) / (q r s) are corpus-duplicated, so positions 1..4 are
+    // covered in both docs; doc 3 IS one shared window and collapses; doc 4 is
+    // unique and survives whole; doc 5 is shorter than n (no windows)
+    val docs = Seq(
+      (1L, "a p q r s b"),
+      (2L, "c p q r s d"),
+      (3L, "p q r"),
+      (4L, "u v w x y z"),
+      (5L, "t u")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.removeDuplicatedSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got(0) == ((1L, "a b", 4)))
+    assert(got(1) == ((2L, "c d", 4)))
+    assert(got(2) == ((3L, "", 3)))
+    assert(got(3) == ((4L, "u v w x y z", 0)))
+    assert(got(4) == ((5L, "t u", 0)))
+  }
+
+  test("removeDuplicatedSpans: exact-dup docs collapse; whitespace-run tokens align") {
+    val docs = Seq(
+      (1L, "same exact duplicated document text here"),
+      (2L, "same exact duplicated document text here"),
+      // double spaces + leading whitespace must not desync window positions
+      (3L, "  same exact  duplicated document text here"),
+      (4L, "an unrelated document that stays intact")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.removeDuplicatedSpans(docs, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    // docs 1-3 tokenize identically (whitespace runs), so all windows occur
+    // 3x corpus-wide and every token is covered
+    assert(got(0) == ((1L, "", 6)))
+    assert(got(1) == ((2L, "", 6)))
+    assert(got(2) == ((3L, "", 6)))
+    assert(got(3) == ((4L, "an unrelated document that stays intact", 0)))
+  }
+
   test("gopherQualitySignals: hand-computed rules and keep verdicts") {
     val goodText = (1 to 60).map(i => s"word$i").mkString(" ") + " the of" // 62 words, all alpha
     val docs = Seq(
