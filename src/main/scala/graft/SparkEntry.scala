@@ -1057,6 +1057,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // outlink extraction (HtmlLinks): every RFC 3986 resolution case in one
+    // page — root-relative, relative with dot segments, scheme-relative
+    // (unquoted attr), absolute with an entity-encoded &amp;, query-only,
+    // plus dropped mailto:/#fragment edges, a commented-out anchor, and a
+    // decoy anchor inside script raw text. The oracle states each resolved
+    // link closed-form.
+    "q82_extract_links" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val j = (col("doc_id") % 3).cast("string")
+      val m = (col("doc_id") % 50).cast("string")
+      val url = concat(lit("https://h"), k, lit(".example/dir/page"), j)
+      val html = concat(
+        lit("<html><head><title>t</title><script>var a='<a href=\"/not/a/link\">';</script></head><body>"),
+        lit("<!-- <a href=\"/commented/out\">c</a> --><a href=\"/p/"), m, lit("\">x</a> "),
+        lit("<a href='a/b/../c"), m, lit("'>y</a> <a href=//cdn.example/r/"), m, lit(">z</a> "),
+        lit("<a href=\"https://abs"), m, lit(".example/z?q="), m, lit("&amp;r=1\">w</a> "),
+        lit("<a href=\"mailto:a@b.c\">m</a> <a href=\"#top\">t</a> <a href=\"?only="), m, lit("\">q</a> "),
+        lit("<a name=\"x\">no href</a></body></html>"))
+      t(s, dir, "documents")
+        .withColumn("links", extract_links(encode(html, "UTF-8"), url))
+        .select(col("doc_id"), posexplode(col("links")).as(Seq("pos", "link")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // host-level PageRank over the extracted link graph (GraphOps.pageRank):
+    // end-to-end extract_links -> host edges -> 2 fixed-point iterations in
+    // Long micro-units (floor division — bit-identical across engines, the
+    // q57 quantization stance applied to a recurrence). The oracle rebuilds
+    // the closed-form edge set and unrolls the same two iterations in SQL.
+    "q83_host_pagerank" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val m = (col("doc_id") % 50).cast("string")
+      val url = concat(lit("https://h"), k, lit(".example/dir/page"), (col("doc_id") % 3).cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"/p/"), m, lit("\">x</a> "),
+        lit("<a href=\"//cdn.example/r/"), m, lit("\">z</a> "),
+        lit("<a href=\"https://abs"), m, lit(".example/z\">w</a></body></html>"))
+      val edges = t(s, dir, "documents")
+        .withColumn("link", explode(extract_links(encode(html, "UTF-8"), url)))
+        .select(parse_url(url, lit("HOST")).as("src"), parse_url(col("link"), lit("HOST")).as("dst"))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 2)
+        .orderBy(col("host"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -2046,6 +2090,42 @@ object SparkEntry {
         |  CAST(len(b.t) - coalesce(k, 0) AS INT) AS removed_tokens
         |FROM tk b LEFT JOIN kept USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // each anchor's RFC 3986 resolution stated closed-form, in document
+    // order; mailto/#fragment/commented/script-decoy anchors emit nothing
+    "q82_extract_links" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(doc_id % 7 AS VARCHAR) AS k, CAST(doc_id % 3 AS VARCHAR) AS j,
+        |  CAST(doc_id % 50 AS VARCHAR) AS m FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, link FROM (
+        |  SELECT doc_id, 0 AS pos, 'https://h' || k || '.example/p/' || m AS link FROM d
+        |  UNION ALL SELECT doc_id, 1, 'https://h' || k || '.example/dir/a/c' || m FROM d
+        |  UNION ALL SELECT doc_id, 2, 'https://cdn.example/r/' || m FROM d
+        |  UNION ALL SELECT doc_id, 3, 'https://abs' || m || '.example/z?q=' || m || '&r=1' FROM d
+        |  UNION ALL SELECT doc_id, 4, 'https://h' || k || '.example/dir/page' || j || '?only=' || m FROM d
+        |) ORDER BY doc_id, pos""".stripMargin,
+    // the closed-form edge set (hK self-loop, hK->cdn, hK->absM) + the same
+    // two fixed-point iterations unrolled — BIGINT floor division throughout
+    "q83_host_pagerank" ->
+      """WITH d AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS k,
+        |    CAST(doc_id % 50 AS VARCHAR) AS m FROM documents),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'h' || k || '.example' AS src, 'h' || k || '.example' AS dst FROM d
+        |    UNION ALL SELECT 'h' || k || '.example', 'cdn.example' FROM d
+        |    UNION ALL SELECT 'h' || k || '.example', 'abs' || m || '.example' FROM d)),
+        |nodes AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT dst, sum(r // dg) AS s FROM edges JOIN deg USING (src)
+        |  JOIN r0 ON r0.host = edges.src GROUP BY dst),
+        |r1 AS (SELECT host, 150000 + (850 * coalesce(s, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.dst = nodes.host),
+        |c2 AS (SELECT dst, sum(r // dg) AS s FROM edges JOIN deg USING (src)
+        |  JOIN r1 ON r1.host = edges.src GROUP BY dst),
+        |r2 AS (SELECT host, 150000 + (850 * coalesce(s, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.dst = nodes.host)
+        |SELECT host, CAST(r AS BIGINT) AS rank_micro FROM r2 ORDER BY host""".stripMargin,
     // every Gopher rule replayed in DuckDB list ops; all ratios are
     // integer-over-integer divisions, so the keep verdict is deterministic
     // on both engines

@@ -118,6 +118,22 @@ case class HtmlMetaExpr(child: Expression) extends UnaryExpression with CodegenF
     copy(child = newChild)
 }
 
+/** Outlinks from HTML bytes resolved absolute against the page url
+  * (HtmlLinks: RFC 3986 §5.2, http/https only, document order, hostile-input
+  * capped) — the web link-graph edge extractor. */
+case class ExtractLinks(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(html: Any, url: Any): Any =
+    new GenericArrayData(
+      graft.html.HtmlLinks.extract(html.asInstanceOf[Array[Byte]],
+          url.asInstanceOf[UTF8String].toString)
+        .map(l => UTF8String.fromString(l): Any))
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ExtractLinks =
+    copy(left = newLeft, right = newRight)
+}
+
 object ParsePdfSpans {
   /** hOCR word-span analog: (page, bbox, word) — reference ocr_combined.py:73-82. */
   val elementType: StructType = StructType(Seq(

@@ -35,6 +35,11 @@ object functions {
   def html_meta(html: Column): Column =
     ColumnBridge.column(HtmlMetaExpr(expr(html)))
 
+  /** Outlinks of an HTML page resolved absolute against its url (RFC 3986
+    * §5.2; http/https only; document order; hostile-input capped). */
+  def extract_links(html: Column, url: Column): Column =
+    ColumnBridge.column(ExtractLinks(expr(html), expr(url)))
+
   /** Block-level analysis of HTML: array<struct(idx,tag,text,words,link_words,is_content)>. */
   def extract_blocks(html: Column): Column =
     ColumnBridge.column(ExtractBlocks(expr(html)))

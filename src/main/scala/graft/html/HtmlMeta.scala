@@ -121,7 +121,7 @@ object HtmlMeta {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
       c == '-' || c == '!'
 
-  private def lowerSub(s: String, from: Int, until: Int): String = {
+  private[html] def lowerSub(s: String, from: Int, until: Int): String = {
     val b = new java.lang.StringBuilder(until - from)
     var i = from
     while (i < until) {
@@ -133,7 +133,7 @@ object HtmlMeta {
   }
 
   /** Advance past the current tag's '>' respecting quoted attribute values. */
-  private def skipTag(s: String, from: Int): Int = {
+  private[html] def skipTag(s: String, from: Int): Int = {
     var i = from
     val n = s.length
     while (i < n) {
@@ -148,7 +148,7 @@ object HtmlMeta {
   }
 
   /** Tiny first-wins attribute map for the handful of head tags. */
-  private final class Attrs {
+  private[html] final class Attrs {
     private var ks = new Array[String](8)
     private var vs = new Array[String](8)
     private var sz = 0
@@ -163,7 +163,7 @@ object HtmlMeta {
   }
 
   /** Parse name[=value] pairs until '>'; returns (attrs, index past '>'). */
-  private def parseAttrs(s: String, from: Int): (Attrs, Int) = {
+  private[html] def parseAttrs(s: String, from: Int): (Attrs, Int) = {
     val a = new Attrs
     val n = s.length
     var i = from
@@ -199,7 +199,7 @@ object HtmlMeta {
     (a, i)
   }
 
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+  private[html] def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     val n = s.length
     val m = needle.length
     var i = math.max(0, from)
@@ -216,7 +216,7 @@ object HtmlMeta {
   }
 
   /** The named-entity subset + numeric character references (title text). */
-  private def decodeEntities(s: String): String = {
+  private[html] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val b = new java.lang.StringBuilder(s.length)
     var i = 0

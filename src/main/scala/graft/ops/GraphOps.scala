@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Host-level link-graph analytics over extracted outlinks (HtmlLinks /
+ * extract_links) — the quality/spam prior a web corpus computes beside
+ * content signals (Common Crawl publishes exactly this as its host-level
+ * ranks; Page et al. 1999 for the recurrence).
+ *
+ * FIXED-POINT ranks: all arithmetic is Long micro-units with floor division,
+ * so results are bit-identical across engines and partitionings (the q57
+ * micro-nat trick applied to a recurrence) — a float PageRank would make
+ * every iteration's sum order-dependent. Semantics (documented contract):
+ *   r_0(v)    = 1_000_000 for every node (src ∪ dst of the edge set)
+ *   contrib_t(u) = r_t(u) div outdeg(u)        (per distinct edge u→v)
+ *   r_{t+1}(v)   = 150_000 + (850 * Σ_{u→v} contrib_t(u)) div 1000
+ * i.e. damping 0.85 with the classic map-reduce simplification that dangling
+ * mass is dropped (nodes without outlinks contribute nothing). Multi-edges
+ * count once (the edge set is deduped on (src, dst)).
+ *
+ * Scale shape: edges dedupe with ONE shuffle on (src, dst); outdegrees are
+ * a map-side-combined count reusing the src key; each iteration is one join
+ * of the (host, rank:long) frame against the narrow edge list + one groupBy
+ * on dst — never a collect, never a cross join. The rank frame is two
+ * columns at any graph size. Iterations are a FIXED small count (the
+ * analytics-prior use; convergence-driven loops should localCheckpoint every
+ * ~10 iterations to truncate lineage — same stance as connectedComponents).
+ */
+object GraphOps {
+
+  val InitRank = 1000000L
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 2): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col(srcCol).cast("string").as("_src"),
+        col(dstCol).cast("string").as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    // (src, dst, deg) — built once, reused by every iteration
+    val withDeg = e.join(deg, Seq("_src"))
+    val nodes = e.select(col("_src").as("host"))
+      .unionByName(e.select(col("_dst").as("host"))).distinct()
+    var ranks = nodes.withColumn("rank_micro", lit(InitRank))
+    var it = 0
+    while (it < iters) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
+        .select(col("_dst"), expr("rank_micro div _deg").as("_c"))
+        .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
+      ranks = nodes.join(contrib.withColumnRenamed("_dst", "host"), Seq("host"), "left")
+        .select(col("host"),
+          (lit(150000L) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"))
+      it += 1
+    }
+    ranks
+  }
+
+  /** Host in/out-degree rollup over the deduped edge set — the cheap
+    * link-graph prior (one shuffle; a full outer join of the two rollups). */
+  def hostDegrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("_src"),
+        col(dstCol).cast("string").as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+    val out = e.groupBy(col("_src").as("host")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("_dst").as("host")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("host"), "full_outer")
+      .select(col("host"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}
