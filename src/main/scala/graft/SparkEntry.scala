@@ -294,7 +294,38 @@ object SparkEntry {
     * consecutive-bucket keys, add-one-smoothed target counts, per-key costs
     * ln(c1+B) − ln(c2+1) quantized to integer micro-nats BEFORE the per-doc
     * Long sum (summation-order independent), mean per bigram at the end. */
-  private def q70OracleSql: String = {
+  private def q70OracleSql: String =
+    s"""$q70CtePrefix
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n, 0) AS INT) AS n_bigrams,
+       |  CASE WHEN coalesce(n, 0) = 0 THEN 0.0 ELSE round(s / 1000000.0 / n, 4) END AS ce_nats
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q84: q70's exact score replay + the integer tercile-threshold contract
+    * (3·cum ≥ n / 3·cum ≥ 2n over the per-language score histogram). */
+  private def q84OracleSql: String =
+    s"""$q70CtePrefix,
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CASE WHEN coalesce(n, 0) = 0 THEN 0.0 ELSE round(s / 1000000.0 / n, 4) END AS ce_nats
+       |  FROM documents d LEFT JOIN per USING (doc_id)
+       |),
+       |hist AS (SELECT lang, ce_nats, count(*) AS c FROM scored GROUP BY lang, ce_nats),
+       |cum AS (SELECT lang, ce_nats,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY ce_nats) AS cm,
+       |    sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |thr AS (SELECT lang,
+       |    min(CASE WHEN cm * 3 >= n THEN ce_nats END) AS t1,
+       |    min(CASE WHEN cm * 3 >= 2 * n THEN ce_nats END) AS t2
+       |  FROM cum GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.ce_nats,
+       |  CASE WHEN s.ce_nats <= t1 THEN 'head'
+       |       WHEN s.ce_nats <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM scored s JOIN thr USING (lang) ORDER BY s.doc_id""".stripMargin
+
+  private def q70CtePrefix: String = {
     val B = 10000
     val g1 = USql64.sm("xor(11400714819323198485::UBIGINT, h)")
     s"""WITH tok AS (
@@ -330,12 +361,7 @@ object SparkEntry {
        |  LEFT JOIN ln2 ON p.k = ln2.k
        |  LEFT JOIN ln1 ON p.k // $B = ln1.b1
        |  GROUP BY p.doc_id
-       |)
-       |SELECT d.doc_id,
-       |  CAST(coalesce(n, 0) AS INT) AS n_bigrams,
-       |  CASE WHEN coalesce(n, 0) = 0 THEN 0.0 ELSE round(s / 1000000.0 / n, 4) END AS ce_nats
-       |FROM documents d LEFT JOIN per USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |)""".stripMargin
   }
 
   private def q32OracleSql: String =
@@ -1228,6 +1254,20 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       graft.ops.CurationOps.lmCrossEntropy(
         docs, "text", "doc_id", docs.filter(col("doc_id") % 13 === 0), "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 §4.4):
+    // q70's exact LM scores split into per-language terciles via the integer
+    // histogram-threshold contract (3·cum ≥ n) — no per-language document
+    // sort anywhere (q42's histogram trick per language)
+    "q84_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val scored = graft.ops.CurationOps.lmCrossEntropy(
+        docs, "text", "doc_id", docs.filter(col("doc_id") % 13 === 0), "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.ops.CurationOps.perplexityBuckets(scored, "ce_nats", "lang")
+        .select(col("doc_id"), col("lang"), col("ce_nats"), col("ppl_bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2298,6 +2338,7 @@ object SparkEntry {
         |WHERE doc_id % 5 IN (3, 4)
         |ORDER BY doc_id""".stripMargin,
     "q70_lm_filter" -> q70OracleSql,
+    "q84_ppl_buckets" -> q84OracleSql,
     // G.711 expansion replayed in integer arithmetic: μ-law (even doc_id)
     // complements the byte then expands segment exp/mantissa with bias 132;
     // A-law (odd) XORs 0x55 and shifts segments; both are then normalized

@@ -500,6 +500,45 @@ object CurationOps {
           .otherwise(round(col("_s") / 1e6 / col("_n"), 4)).as("ce_nats"))
   }
 
+  /**
+   * CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): split each
+   * language's documents into head/middle/tail TERCILES by LM score (lower
+   * cross-entropy = cleaner text = head) — the quality tiers CCNet publishes
+   * and downstream corpora sample from. `scored` is lmCrossEntropy's output
+   * joined with a language column; returns it plus `ppl_bucket`.
+   *
+   * Exact integer contract (replayable cross-engine): with cum(v) = #docs of
+   * the language with score ≤ v and n the language total, the cutoffs are
+   * t1 = min{v : 3·cum(v) ≥ n} and t2 = min{v : 3·cum(v) ≥ 2n}; bucket =
+   * head iff score ≤ t1, middle iff score ≤ t2, else tail. All comparisons
+   * are integer (counts) or on the already-quantized score values.
+   *
+   * Scale shape: the q42 histogram trick per language — the window runs over
+   * groupBy(lang, score) COUNTS (bounded by the quantized value space, never
+   * corpus rows), so no per-language full sort of documents exists anywhere;
+   * the threshold frame is #languages rows and joins by size-based planning.
+   */
+  def perplexityBuckets(scored: DataFrame, ceCol: String, langCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(langCol).as("_lang"), col(ceCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wOrd = w.partitionBy(col("_lang")).orderBy(col("_v"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = w.partitionBy(col("_lang"))
+    val thr = hist
+      .withColumn("_cum", sum(col("_c")).over(wOrd))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .groupBy(col("_lang"))
+      .agg(min(when(col("_cum") * 3 >= col("_n"), col("_v"))).as("_t1"),
+        min(when(col("_cum") * 3 >= col("_n") * 2, col("_v"))).as("_t2"))
+    scored.join(thr, col(langCol) === col("_lang"))
+      .withColumn("ppl_bucket",
+        when(col(ceCol) <= col("_t1"), "head")
+          .when(col(ceCol) <= col("_t2"), "middle")
+          .otherwise("tail"))
+      .drop("_lang", "_t1", "_t2")
+  }
+
   /** Unicode text normalization (the ftfy/CCNet-style cleanup every published
     * pipeline runs before tokenization — typographic noise otherwise
     * fragments the token space): curly quotes → straight, en/em dashes → '-',

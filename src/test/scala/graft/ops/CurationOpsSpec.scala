@@ -139,6 +139,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3) == ((4L, "an unrelated document that stays intact", 0)))
   }
 
+  test("perplexityBuckets: per-language integer terciles, ties, uneven counts") {
+    // en: scores 1..6 -> cum*3>=6 at v=2 (t1), cum*3>=12 at v=4 (t2)
+    // de: five docs, three sharing the best score -> the tie crosses BOTH
+    //     cutoffs (cum(1.0)=3: 9>=5 and 9>=10 is false -> t2 comes later)
+    // fr: a single doc is its own head
+    val scored = Seq(
+      (1L, "en", 1.0), (2L, "en", 2.0), (3L, "en", 3.0),
+      (4L, "en", 4.0), (5L, "en", 5.0), (6L, "en", 6.0),
+      (10L, "de", 1.0), (11L, "de", 1.0), (12L, "de", 1.0),
+      (13L, "de", 2.0), (14L, "de", 3.0),
+      (20L, "fr", 9.0)
+    ).toDF("doc_id", "lang", "ce_nats")
+    val got = CurationOps.perplexityBuckets(scored, "ce_nats", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle", 5L -> "tail", 6L -> "tail",
+      // de: t1 = 1.0 (cum 3*3=9 >= 5), t2 = 2.0 (cum 4*3=12 >= 10)
+      10L -> "head", 11L -> "head", 12L -> "head", 13L -> "middle", 14L -> "tail",
+      20L -> "head"))
+  }
+
   test("gopherQualitySignals: hand-computed rules and keep verdicts") {
     val goodText = (1 to 60).map(i => s"word$i").mkString(" ") + " the of" // 62 words, all alpha
     val docs = Seq(
