@@ -255,6 +255,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(nWindows == 2, s"expected 2 Window nodes, saw $nWindows:\n${s.take(3000)}")
   }
 
+  test("semDedup: one cluster-id shuffle feeds the windows AND both join sides") {
+    // the Scaladoc claims the rank windows and the pair join shuffle ONCE on
+    // the cluster id — with broadcast off, the self-join's second side must be
+    // a ReusedExchange of the windowed subtree, never a rebuilt corpus scan
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val docs = (1L to 200L).map(i =>
+        (i, Seq(math.cos(i * 0.1), math.sin(i * 0.1), (i % 7) / 7.0))).toDF("id", "v")
+      val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+      val kept = ops.SimilarityOps.semDedup(docs, "v", "id", centroids, eps = 0.999)
+      kept.collect() // finalize the adaptive plan
+      val s = planString(kept)
+      assert(s.contains("ReusedExchange"), s.take(3000))
+      val clShuffles = s.linesIterator.count(
+        _.dropWhile(!_.isLetter).startsWith("Exchange hashpartitioning(_cl"))
+      assert(clShuffles == 1, s"expected 1 cluster-id shuffle, got $clShuffles:\n${s.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      oldAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("perplexityBuckets: the cutoff window runs over histogram COUNTS, not documents") {
+    import spark.implicits._
+    val scored = (1L to 500L).map(i => (i, s"l${i % 3}", (i % 40) / 10.0))
+      .toDF("doc_id", "lang", "ce_nats")
+    val out = ops.CurationOps.perplexityBuckets(scored, "ce_nats", "lang")
+    val s = planString(out)
+    // the Window node's subtree must contain the groupBy(lang, score)
+    // aggregate — i.e. an aggregation happens BELOW the window, so the sort
+    // the window needs is over distinct score values, never corpus rows
+    val lines = s.linesIterator.toList
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s.take(3000))
+    val aggBelow = lines.drop(winIdx).exists(_.contains("HashAggregate"))
+    assert(aggBelow, s"no aggregate below the Window:\n${s.take(3000)}")
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to
@@ -262,7 +307,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val bucketJoined = Seq("q13_minhash_near_dups", "q28_ann_lsh_bucketed",
       "q31_near_dup_pairs", "q32_simhash_near_dups", "q33_verified_near_dups",
       "q34_embedding_near_dups", "q37_ann_ivf", "q41_embedding_dedup_cc",
-      "q47_decontaminate", "q51_line_dedup", "q70_lm_filter", "q72_image_near_dups")
+      "q47_decontaminate", "q51_line_dedup", "q70_lm_filter", "q72_image_near_dups",
+      "q80_semdedup", "q81_remove_dup_spans", "q83_host_pagerank", "q84_ppl_buckets")
     bucketJoined.foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
