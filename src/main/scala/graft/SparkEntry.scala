@@ -1271,6 +1271,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // sequence packing (the GPT-style training-shard layout): doc token
+    // streams + EOS concatenated in doc_id order, split into 128-token
+    // chunks — offsets via the two-level prefix sum (bucketWidth 64 forces
+    // multiple buckets at every sf; the result is bucketWidth-invariant,
+    // spec-pinned). The oracle replays the offsets with a plain cumulative
+    // sum and the same floor-div chunk-span arithmetic.
+    "q85_pack_sequences" -> ((s, dir) =>
+      graft.ops.CurationOps.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", seqLen = 128, bucketWidth = 64)
+        .orderBy(col("chunk_id"))),
+
     // REAL companded-audio payload decode (ITU-T G.711 μ-law and A-law — WAV
     // format tags 7/6): the q46 flat-WAV pattern, every sample the same
     // companded byte k, expanded by WavDecode's closed-form segment
@@ -2339,6 +2351,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q70_lm_filter" -> q70OracleSql,
     "q84_ppl_buckets" -> q84OracleSql,
+    // offsets as a plain cumulative sum; chunk spans by BIGINT floor division
+    "q85_pack_sequences" ->
+      """WITH n AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) + 1 AS BIGINT) AS nt
+        |  FROM documents),
+        |o AS (SELECT doc_id, nt,
+        |    CAST(sum(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS off FROM n),
+        |spans AS (
+        |  SELECT doc_id, off, nt, unnest(range(off // 128, (off + nt - 1) // 128 + 1)) AS chunk
+        |  FROM o)
+        |SELECT CAST(chunk AS BIGINT) AS chunk_id,
+        |  CAST(sum(least((chunk + 1) * 128, off + nt) - greatest(chunk * 128, off)) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM spans GROUP BY chunk ORDER BY chunk""".stripMargin,
     // G.711 expansion replayed in integer arithmetic: μ-law (even doc_id)
     // complements the byte then expands segment exp/mantissa with bias 132;
     // A-law (odd) XORs 0x55 and shifts segments; both are then normalized

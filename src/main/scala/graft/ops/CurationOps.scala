@@ -539,6 +539,54 @@ object CurationOps {
       .drop("_lang", "_t1", "_t2")
   }
 
+  /**
+   * SEQUENCE PACKING — the training-shard layout stage (the GPT-2/3 input
+   * convention: document token streams concatenated with one EOS between
+   * docs, split into fixed seqLen chunks; Brown et al. 2020 §2.3 describe
+   * exactly this packing): maps every document to the chunk ids it occupies
+   * and rolls the corpus up per chunk. Tokens are whitespace runs (+1 EOS
+   * per doc); documents are ordered by `idCol` (must be distinct numeric
+   * ids). Returns (chunk_id, n_tokens, n_docs, first_doc, last_doc) — every
+   * chunk is exactly seqLen tokens except the last.
+   *
+   * Scale shape: a GLOBAL prefix sum without a global sort — the hostCap
+   * two-phase trick applied to offsets. Documents bucket by id range
+   * (id div bucketWidth); per-bucket token sums aggregate map-side; the
+   * bucket-level running offset is a window over the #buckets-row frame
+   * (metadata-sized); each doc's offset = bucket offset + a within-bucket
+   * running sum (window bounded by bucketWidth ids). The result is provably
+   * bucketWidth-invariant (spec-pinned), so the knob is purely a
+   * parallelism/skew choice. Chunk spans then explode to ≤ (nt/seqLen + 1)
+   * narrow rows per doc and aggregate on chunk_id — one shuffle.
+   */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+                    seqLen: Int, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
+    val w = org.apache.spark.sql.expressions.Window
+    val L = seqLen.toLong
+    val counts = docs.select(col(idCol).cast("long").as("_id"),
+      (size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)) + 1).cast("long").as("_nt"))
+    val bucketed = counts.withColumn("_bkt", expr(s"_id div $bucketWidth"))
+    val bPrefix = bucketed.groupBy(col("_bkt")).agg(sum(col("_nt")).as("_bsum"))
+      .withColumn("_boff", coalesce(sum(col("_bsum")).over(
+        w.orderBy(col("_bkt")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("_bkt"), col("_boff"))
+    val wIn = w.partitionBy(col("_bkt")).orderBy(col("_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val offs = bucketed.join(bPrefix, Seq("_bkt"))
+      .withColumn("_off", col("_boff") + sum(col("_nt")).over(wIn) - col("_nt"))
+    val spans = offs.select(col("_id"), col("_nt"), col("_off"),
+      explode(sequence(expr(s"_off div $L"), expr(s"(_off + _nt - 1) div $L"))).as("chunk_id"))
+    spans.groupBy(col("chunk_id"))
+      .agg(
+        sum(least(lit(L) * (col("chunk_id") + 1), col("_off") + col("_nt"))
+          - greatest(lit(L) * col("chunk_id"), col("_off"))).as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        min(col("_id")).as("first_doc"),
+        max(col("_id")).as("last_doc"))
+  }
+
   /** Unicode text normalization (the ftfy/CCNet-style cleanup every published
     * pipeline runs before tokenization — typographic noise otherwise
     * fragments the token space): curly quotes → straight, en/em dashes → '-',

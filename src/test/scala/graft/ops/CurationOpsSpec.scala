@@ -139,6 +139,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3) == ((4L, "an unrelated document that stays intact", 0)))
   }
 
+  test("packSequences: hand-computed chunk layout, doc-spanning boundaries") {
+    // token counts incl. EOS: doc1 -> 4, doc2 -> 3, doc3 -> 6; offsets 0, 4, 7
+    // seqLen 5: chunk0 = doc1(4) + doc2(1); chunk1 = doc2(2) + doc3(3);
+    // chunk2 = doc3(3, short last chunk)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i j")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.packSequences(docs, "text", "doc_id", seqLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 5L, 2L, 1L, 2L),
+      (1L, 5L, 2L, 2L, 3L),
+      (2L, 3L, 1L, 3L, 3L)))
+  }
+
+  test("packSequences: bucketWidth-invariant, token-conserving, all-full-but-last") {
+    val docs = (1L to 97L).map(i => (i * 3, ("w " * ((i % 13).toInt + 1)).trim)).toDF("doc_id", "text")
+    def run(bw: Long) = CurationOps.packSequences(docs, "text", "doc_id", 32, bw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val a = run(1L << 20)
+    assert(a == run(7) && a == run(1))
+    val totalTokens = (1L to 97L).map(i => i % 13 + 2).sum
+    assert(a.map(_._2).sum == totalTokens)
+    assert(a.dropRight(1).forall(_._2 == 32L), "every chunk but the last is full")
+    assert(a.map(_._1) == a.indices.map(_.toLong), "chunk ids are dense from 0")
+  }
+
   test("perplexityBuckets: per-language integer terciles, ties, uneven counts") {
     // en: scores 1..6 -> cum*3>=6 at v=2 (t1), cum*3>=12 at v=4 (t2)
     // de: five docs, three sharing the best score -> the tie crosses BOTH
