@@ -520,23 +520,23 @@ object CurationOps {
    */
   def perplexityBuckets(scored: DataFrame, ceCol: String, langCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val hist = scored.groupBy(col(langCol).as("_lang"), col(ceCol).as("_v"))
+    val hist = scored.groupBy(col(langCol).as("_graft_ppl_lang"), col(ceCol).as("_v"))
       .agg(count(lit(1)).as("_c"))
-    val wOrd = w.partitionBy(col("_lang")).orderBy(col("_v"))
+    val wOrd = w.partitionBy(col("_graft_ppl_lang")).orderBy(col("_v"))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val wAll = w.partitionBy(col("_lang"))
+    val wAll = w.partitionBy(col("_graft_ppl_lang"))
     val thr = hist
       .withColumn("_cum", sum(col("_c")).over(wOrd))
       .withColumn("_n", sum(col("_c")).over(wAll))
-      .groupBy(col("_lang"))
+      .groupBy(col("_graft_ppl_lang"))
       .agg(min(when(col("_cum") * 3 >= col("_n"), col("_v"))).as("_t1"),
         min(when(col("_cum") * 3 >= col("_n") * 2, col("_v"))).as("_t2"))
-    scored.join(thr, col(langCol) === col("_lang"))
+    scored.join(thr, col(langCol) === col("_graft_ppl_lang"))
       .withColumn("ppl_bucket",
         when(col(ceCol) <= col("_t1"), "head")
           .when(col(ceCol) <= col("_t2"), "middle")
           .otherwise("tail"))
-      .drop("_lang", "_t1", "_t2")
+      .drop("_graft_ppl_lang", "_t1", "_t2")
   }
 
   /**

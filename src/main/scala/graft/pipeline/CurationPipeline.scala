@@ -63,7 +63,8 @@ object CurationPipeline {
           gates: Set[String] = Set("gopher", "c4"),
           saltBuckets: Int = 64,
           lmTarget: Option[(DataFrame, String)] = None,
-          lmMaxCeNats: Double = 9.0): Result = {
+          lmMaxCeNats: Double = 9.0,
+          pplTerciles: Boolean = false): Result = {
     val norm = CurationOps.normalizeText(col(textCol))
     val quality = Seq(
       if (gates.contains("gopher")) Some(gopherKeep(norm)) else None,
@@ -132,10 +133,28 @@ object CurationPipeline {
     val keepIds = afterCapIds.filter(smp)
     val base = docs.select(col(idCol).as("_id"), col(urlCol).as("_url"), norm.as("_text"))
     val kept = base.join(keepIds, Seq("_id"), "left_semi")
-    val curated = CurationOps.dropDuplicatedLines(kept, "_text", "_id")
+    val curated0 = CurationOps.dropDuplicatedLines(kept, "_text", "_id")
       .join(kept.select(col("_id"), col("_url")), Seq("_id"))
       .select(col("_id").as(idCol), col("_url").as(urlCol),
         col("text_deduped").as(textCol))
+    // optional CCNet tiering (Wenzek §4.4): attach head/middle/tail terciles
+    // by LM score over the curated survivors — downstream corpora sample by
+    // tier instead of a hard LM cut. Scores are per-doc (independent of which
+    // rows are scored), so scoring only the survivors is both cheaper and
+    // consistent with the gate's scores; terciles use the histogram
+    // contract (never a survivor sort). Single-language contract here — a
+    // lang column would simply replace the constant key.
+    val curated = (pplTerciles, lmTarget) match {
+      case (true, Some((tgt, tcol))) =>
+        val normTgt = tgt.select(CurationOps.normalizeText(col(tcol)).as(tcol))
+        val scored = CurationOps.lmCrossEntropy(
+            kept.select(col("_id"), col("_text")), "_text", "_id", normTgt, tcol)
+          .withColumn("_tier_key", lit("all"))
+        val buckets = CurationOps.perplexityBuckets(scored, "ce_nats", "_tier_key")
+          .select(col("_id").as(idCol), col("ppl_bucket"))
+        curated0.join(buckets, Seq(idCol), "left")
+      case _ => curated0
+    }
     Result(curated, funnel)
   }
 

@@ -114,6 +114,35 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(r.curated.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("optional CCNet terciles attach ppl_bucket to curated survivors") {
+    // nine survivors with distinct LM scores -> exactly three per tercile;
+    // the best-scoring (most target-like) docs land in head
+    val texts = (1 to 9).map(i => goodText(s"v$i") +
+      (" zq" * i)) // progressively more alien bigrams = higher cross-entropy
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, s"http://h${i + 1}.example/x", t) }.toDF("id", "url", "text")
+    val target = Seq(goodText("t1"), goodText("t2"), goodText("t3")).toDF("t")
+    val r = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), lmTarget = Some((target, "t")), lmMaxCeNats = 100.0,
+      pplTerciles = true)
+    val rows = r.curated.select("id", "ppl_bucket").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(rows.size == 9)
+    assert(rows.values.toSeq.sorted.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // bucketing must follow the scores: re-derive them and compare tiers
+    val ces = graft.ops.CurationOps.lmCrossEntropy(
+        docs.select(col("id"), graft.ops.CurationOps.normalizeText(col("text")).as("text")),
+        "text", "id", target.select(graft.ops.CurationOps.normalizeText(col("t")).as("t")), "t")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val byScore = rows.keys.toSeq.sortBy(ces)
+    assert(byScore.take(3).forall(rows(_) == "head"), s"$ces / $rows")
+    assert(byScore.takeRight(3).forall(rows(_) == "tail"), s"$ces / $rows")
+    // and the column is absent when the stage is off
+    val off = CurationPipeline.run(docs, "text", "id", "url", gates = Set())
+    assert(!off.curated.columns.contains("ppl_bucket"))
+  }
+
   test("crash between commit groups resumes to byte-identical curated output (§5.3)") {
     val docs = (1L to 120L).map(i =>
       (i, s"http://h${i % 9}.example/$i", goodText(s"c$i"))).toDF("id", "url", "text")
