@@ -268,7 +268,7 @@ object CurationOps {
       .join(kept, Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("_clean"), lit("")).as("clean_text"),
-        (size(toksOf) - coalesce(col("_kept"), lit(0L)).cast("int"))
+        (coalesce(size(toksOf), lit(0)) - coalesce(col("_kept"), lit(0L)).cast("int"))
           .cast("int").as("removed_tokens"))
   }
 
@@ -531,7 +531,7 @@ object CurationOps {
       .groupBy(col("_graft_ppl_lang"))
       .agg(min(when(col("_cum") * 3 >= col("_n"), col("_v"))).as("_t1"),
         min(when(col("_cum") * 3 >= col("_n") * 2, col("_v"))).as("_t2"))
-    scored.join(thr, col(langCol) === col("_graft_ppl_lang"))
+    scored.join(thr, col(langCol) <=> col("_graft_ppl_lang"))
       .withColumn("ppl_bucket",
         when(col(ceCol) <= col("_t1"), "head")
           .when(col(ceCol) <= col("_t2"), "middle")

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
  * of the (host, rank:long) frame against the narrow edge list + one groupBy
  * on dst — never a collect, never a cross join. The rank frame is two
  * columns at any graph size. Iterations are a FIXED small count (the
- * analytics-prior use; convergence-driven loops should localCheckpoint every
- * ~10 iterations to truncate lineage — same stance as connectedComponents).
+ * analytics-prior use); the rank frame localCheckpoints every 10 iterations
+ * so deep runs don't bloat plan lineage — same stance as connectedComponents.
  */
 object GraphOps {
 
@@ -47,6 +47,9 @@ object GraphOps {
     var ranks = nodes.withColumn("rank_micro", lit(InitRank))
     var it = 0
     while (it < iters) {
+      // truncate lineage periodically: 50 chained join+agg plans would bloat
+      // analysis/optimization time long before the data is the problem
+      if (it > 0 && it % 10 == 0) ranks = ranks.localCheckpoint(true)
       val contrib = withDeg
         .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
         .select(col("_dst"), expr("rank_micro div _deg").as("_c"))

@@ -146,6 +146,7 @@ object SimilarityOps {
                maxClusterSize: Int = 1 << 13): DataFrame = {
     require(keeper == "low_centroid_sim" || keeper == "min_id",
       s"unknown keeper rule: $keeper")
+    require(centroids.nonEmpty, "semDedup needs at least one centroid")
     val unit = centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)

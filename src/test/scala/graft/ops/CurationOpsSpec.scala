@@ -168,6 +168,16 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.map(_._1) == a.indices.map(_.toLong), "chunk ids are dense from 0")
   }
 
+  test("perplexityBuckets: a null-language slice keeps its rows and tiers among itself") {
+    val scored = Seq[(Long, Option[String], Double)](
+      (1L, None, 1.0), (2L, None, 2.0), (3L, None, 3.0),
+      (4L, Some("en"), 5.0)
+    ).toDF("doc_id", "lang", "ce_nats")
+    val got = CurationOps.perplexityBuckets(scored, "ce_nats", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got == Map(1L -> "head", 2L -> "middle", 3L -> "tail", 4L -> "head"))
+  }
+
   test("perplexityBuckets: per-language integer terciles, ties, uneven counts") {
     // en: scores 1..6 -> cum*3>=6 at v=2 (t1), cum*3>=12 at v=4 (t2)
     // de: five docs, three sharing the best score -> the tie crosses BOTH

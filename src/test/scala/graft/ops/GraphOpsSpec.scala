@@ -53,6 +53,17 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
   }
 
+  test("deep runs stay computable (the every-10-iterations lineage checkpoint)") {
+    // 25 iterations on a cycle: total rank is conserved by the recurrence up
+    // to floor truncation, and the run must not blow up analysis time
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = GraphOps.pageRank(e, "src", "dst", iters = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // a 3-cycle with outdeg 1 everywhere sits exactly AT the fixed point:
+    // r = 150000 + 850*1000000 div 1000 = 1000000, no truncation drift
+    assert(got.values.toSet == Set(1000000L), got.toString)
+  }
+
   test("null endpoints drop out of the edge set") {
     val e = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
       .toDF("src", "dst")
