@@ -1107,6 +1107,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // anchor-text harvest (the retrieval-signal side of the link graph —
+    // anchor text describes the TARGET page): nested inline tags contribute
+    // their text, entities decode, whitespace collapses, a new <a>
+    // auto-closes the previous one (the browser rule — the unclosed anchor
+    // case is in-fixture), and dropped pseudo-links contribute no row
+    "q86_anchor_text" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val m = (col("doc_id") % 50).cast("string")
+      val url = concat(lit("https://h"), k, lit(".example/dir/page"))
+      val html = concat(
+        lit("<html><body><a href=\"/p/"), m, lit("\">read   <b>doc "), m,
+        lit("</b> now</a> <a href=\"mailto:x@y\">not a link</a> "),
+        lit("<a href=\"/unclosed/"), m, lit("\">first &amp; unclosed "),
+        lit("<a href=\"https://t"), m, lit(".example/\">second</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(html_anchors(encode(html, "UTF-8"), url)).as(Seq("pos", "a")))
+        .select(col("doc_id"), col("pos"), col("a.href").as("href"), col("a.text").as("text"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // host-level PageRank over the extracted link graph (GraphOps.pageRank):
     // end-to-end extract_links -> host edges -> 2 fixed-point iterations in
     // Long micro-units (floor division — bit-identical across engines, the
@@ -2154,6 +2174,20 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 2, 'https://cdn.example/r/' || m FROM d
         |  UNION ALL SELECT doc_id, 3, 'https://abs' || m || '.example/z?q=' || m || '&r=1' FROM d
         |  UNION ALL SELECT doc_id, 4, 'https://h' || k || '.example/dir/page' || j || '?only=' || m FROM d
+        |) ORDER BY doc_id, pos""".stripMargin,
+    // three anchors closed-form: collapsed nested-inline text, the entity in
+    // the auto-closed anchor, the final closed one; the mailto never lands
+    "q86_anchor_text" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(doc_id % 7 AS VARCHAR) AS k, CAST(doc_id % 50 AS VARCHAR) AS m FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, href, text FROM (
+        |  SELECT doc_id, 0 AS pos,
+        |    'https://h' || k || '.example/p/' || m AS href,
+        |    'read doc ' || m || ' now' AS text FROM d
+        |  UNION ALL SELECT doc_id, 1,
+        |    'https://h' || k || '.example/unclosed/' || m, 'first & unclosed' FROM d
+        |  UNION ALL SELECT doc_id, 2,
+        |    'https://t' || m || '.example/', 'second' FROM d
         |) ORDER BY doc_id, pos""".stripMargin,
     // the closed-form edge set (hK self-loop, hK->cdn, hK->absM) + the same
     // two fixed-point iterations unrolled — BIGINT floor division throughout

@@ -134,6 +134,29 @@ case class ExtractLinks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object HtmlAnchors {
+  val elementType: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+}
+
+/** (resolved href, anchor text) pairs — anchor text is the retrieval-signal
+  * side of the link graph (HtmlLinks.extractWithText). */
+case class HtmlAnchors(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(HtmlAnchors.elementType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(html: Any, url: Any): Any =
+    new GenericArrayData(
+      graft.html.HtmlLinks.extractWithText(html.asInstanceOf[Array[Byte]],
+          url.asInstanceOf[UTF8String].toString)
+        .map { case (h, t) =>
+          InternalRow(UTF8String.fromString(h), UTF8String.fromString(t)): Any
+        })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HtmlAnchors =
+    copy(left = newLeft, right = newRight)
+}
+
 object ParsePdfSpans {
   /** hOCR word-span analog: (page, bbox, word) — reference ocr_combined.py:73-82. */
   val elementType: StructType = StructType(Seq(

@@ -40,6 +40,11 @@ object functions {
   def extract_links(html: Column, url: Column): Column =
     ColumnBridge.column(ExtractLinks(expr(html), expr(url)))
 
+  /** (href, anchor text) structs for the same links — the anchor-text
+    * harvest (entity-decoded, whitespace-collapsed, capped). */
+  def html_anchors(html: Column, url: Column): Column =
+    ColumnBridge.column(HtmlAnchors(expr(html), expr(url)))
+
   /** Block-level analysis of HTML: array<struct(idx,tag,text,words,link_words,is_content)>. */
   def extract_blocks(html: Column): Column =
     ColumnBridge.column(ExtractBlocks(expr(html)))

@@ -34,17 +34,41 @@ object HtmlLinks {
     * an unbounded scan; HtmlExtract.decode already bounds the decode. */
   private val MaxScan = 2 << 20
 
-  def extract(bytes: Array[Byte], baseUrl: String): Array[String] = {
+  def extract(bytes: Array[Byte], baseUrl: String): Array[String] =
+    extractWithText(bytes, baseUrl).map(_._1)
+
+  /** Anchor-text cap (chars, post-collapse): link text beyond this is
+    * navigation noise, and hostile pages must not grow unbounded strings. */
+  val MaxAnchorText = 256
+
+  /** (resolved href, anchor text) pairs in document order — anchor text is
+    * the text between the anchor and its close (nested inline tags
+    * contribute their text; a new `<a` auto-closes the previous one, the
+    * browser rule), entity-decoded, whitespace-collapsed, capped. */
+  def extractWithText(bytes: Array[Byte], baseUrl: String): Array[(String, String)] = {
     try {
-      if (bytes == null || bytes.length == 0) return Array.empty[String]
+      if (bytes == null || bytes.length == 0) return Array.empty[(String, String)]
       val s0 = HtmlExtract.decode(bytes)
       val s = if (s0.length > MaxScan) s0.substring(0, MaxScan) else s0
       val base = parseBase(baseUrl)
-      val out = new scala.collection.mutable.ArrayBuffer[String](16)
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String)](16)
+      var pendingHref: String = null
+      val pendingText = new java.lang.StringBuilder
+      def finish(): Unit = {
+        if (pendingHref != null) {
+          val t0 = collapseWs(HtmlMeta.decodeEntities(pendingText.toString))
+          val t = if (t0.length > MaxAnchorText) t0.substring(0, MaxAnchorText) else t0
+          out += ((pendingHref, t))
+          pendingHref = null
+        }
+        pendingText.setLength(0)
+      }
       val n = s.length
       var i = 0
       while (i < n && out.length < MaxLinks) {
         val lt = s.indexOf('<', i)
+        if (pendingHref != null && pendingText.length <= MaxAnchorText * 4)
+          pendingText.append(s, i, if (lt < 0) n else math.min(lt, n))
         if (lt < 0 || lt + 1 >= n) i = n
         else if (s.startsWith("<!--", lt)) {
           val e = s.indexOf("-->", lt + 4)
@@ -56,23 +80,47 @@ object HtmlLinks {
           while (j < n && isNameChar(s.charAt(j))) j += 1
           val name = HtmlMeta.lowerSub(s, nameStart, j)
           if (name.isEmpty) i = lt + 1
-          else if (name == "a" && s.charAt(lt + 1) != '/') {
+          else if (name == "a" && s.charAt(lt + 1) == '/') {
+            finish()
+            i = HtmlMeta.skipTag(s, j)
+          } else if (name == "a") {
+            finish() // a new <a> auto-closes any open one
             val (attrs, end) = HtmlMeta.parseAttrs(s, j)
             val href = attrs("href")
             if (href != null) {
               val r = resolve(base, HtmlMeta.decodeEntities(href).trim)
-              if (r != null) out += r
+              if (r != null) pendingHref = r
             }
             i = end
           } else if ((name == "script" || name == "style") && s.charAt(lt + 1) != '/') {
             val end = HtmlMeta.skipTag(s, j)
             val close = HtmlMeta.indexOfIgnoreCase(s, "</" + name, end)
-            i = if (close < 0) n else close + 2 + name.length
+            // past the WHOLE closing tag (its '>') — stopping after the name
+            // would leak "> " into a collecting anchor's text
+            i = if (close < 0) n else HtmlMeta.skipTag(s, close + 2 + name.length)
           } else i = HtmlMeta.skipTag(s, j)
         }
       }
+      finish()
       out.toArray
-    } catch { case NonFatal(_) => Array.empty[String] }
+    } catch { case NonFatal(_) => Array.empty[(String, String)] }
+  }
+
+  private def collapseWs(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var pending = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= ' ') { if (b.length > 0) pending = true }
+      else {
+        if (pending) { b.append(' '); pending = false }
+        b.append(c)
+      }
+      i += 1
+    }
+    b.toString
   }
 
   /** (scheme, "scheme://authority", path, query-with-?) of the base url, or

@@ -84,6 +84,28 @@ class HtmlLinksSpec extends AnyFunSuite {
       "https://h.example/CAPS"))
   }
 
+  test("anchor text: nested inline tags, auto-close, EOF-close, entities, cap") {
+    def anchors(h: String) = HtmlLinks.extractWithText(
+      h.getBytes(java.nio.charset.StandardCharsets.UTF_8), "https://h.example/d/p").toSeq
+    assert(anchors("""<a href="/x">read  <b>the&nbsp;doc</b> now</a>""") ==
+      Seq(("https://h.example/x", "read the doc now")))
+    // a new <a> auto-closes the previous one (browser rule)
+    assert(anchors("""<a href="/one">first <a href="/two">second</a>""") ==
+      Seq(("https://h.example/one", "first"), ("https://h.example/two", "second")))
+    // EOF closes an open anchor
+    assert(anchors("""<a href="/open">dangling text""") ==
+      Seq(("https://h.example/open", "dangling text")))
+    // pseudo-links contribute neither a row nor captured text
+    assert(anchors("""<a href="mailto:x@y">mail</a><a href="/r">real</a>""") ==
+      Seq(("https://h.example/r", "real")))
+    // script inside an anchor contributes no text
+    assert(anchors("""<a href="/s">ok<script>var x='<b>no</b>';</script> fine</a>""") ==
+      Seq(("https://h.example/s", "ok fine")))
+    // cap: text truncates at MaxAnchorText
+    val long = anchors(s"""<a href="/l">${"word " * 200}</a>""")
+    assert(long.head._2.length == HtmlLinks.MaxAnchorText)
+  }
+
   test("hostile-input cap and totality") {
     val many = "<a href=\"/x\">l</a>" * (HtmlLinks.MaxLinks + 100)
     assert(links(many).length == HtmlLinks.MaxLinks)
