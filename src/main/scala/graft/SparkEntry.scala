@@ -1127,6 +1127,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // nofollow extraction (the PageRank-edge exclusion flag): rel is a
+    // case-insensitive space-separated token LIST — "ugc nofollow" flags,
+    // "sponsored" and the non-token "nofollowed" do not; unquoted rel and
+    // absent rel covered
+    "q87_nofollow_links" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val url = concat(lit("https://h"), (col("doc_id") % 7).cast("string"), lit(".example/"))
+      val html = concat(
+        lit("<html><body><a href=\"/n/"), m, lit("\" rel=\"nofollow\">n</a>"),
+        lit("<a href=\"/u/"), m, lit("\" rel=\"UGC nofollow\">u</a>"),
+        lit("<a href=\"/q/"), m, lit("\" rel=nofollow>q</a>"),
+        lit("<a href=\"/s/"), m, lit("\" rel=\"sponsored\">s</a>"),
+        lit("<a href=\"/x/"), m, lit("\" rel=\"nofollowed\">x</a>"),
+        lit("<a href=\"/p/"), m, lit("\">p</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(html_anchors(encode(html, "UTF-8"), url)).as(Seq("pos", "a")))
+        .select(col("doc_id"), col("pos"), col("a.href").as("href"), col("a.nofollow").as("nofollow"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // host-level PageRank over the extracted link graph (GraphOps.pageRank):
     // end-to-end extract_links -> host edges -> 2 fixed-point iterations in
     // Long micro-units (floor division — bit-identical across engines, the
@@ -2175,6 +2195,15 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 3, 'https://abs' || m || '.example/z?q=' || m || '&r=1' FROM d
         |  UNION ALL SELECT doc_id, 4, 'https://h' || k || '.example/dir/page' || j || '?only=' || m FROM d
         |) ORDER BY doc_id, pos""".stripMargin,
+    // six anchors, flags per the rel token-list rule
+    "q87_nofollow_links" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(doc_id % 7 AS VARCHAR) AS k, CAST(doc_id % 50 AS VARCHAR) AS m FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  'https://h' || k || '.example/' || seg || '/' || m AS href, nf AS nofollow
+        |FROM d CROSS JOIN (VALUES (0, 'n', true), (1, 'u', true), (2, 'q', true),
+        |  (3, 's', false), (4, 'x', false), (5, 'p', false)) v(pos, seg, nf)
+        |ORDER BY doc_id, pos""".stripMargin,
     // three anchors closed-form: collapsed nested-inline text, the entity in
     // the auto-closed anchor, the final closed one; the mailto never lands
     "q86_anchor_text" ->

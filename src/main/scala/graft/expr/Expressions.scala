@@ -137,11 +137,13 @@ case class ExtractLinks(left: Expression, right: Expression)
 object HtmlAnchors {
   val elementType: StructType = StructType(Seq(
     StructField("href", StringType, nullable = false),
-    StructField("text", StringType, nullable = false)))
+    StructField("text", StringType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false)))
 }
 
-/** (resolved href, anchor text) pairs — anchor text is the retrieval-signal
-  * side of the link graph (HtmlLinks.extractWithText). */
+/** (resolved href, anchor text, nofollow) structs — anchor text is the
+  * retrieval-signal side of the link graph, nofollow the endorsement flag
+  * PageRank-style consumers exclude edges on (HtmlLinks.extractWithText). */
 case class HtmlAnchors(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(HtmlAnchors.elementType, containsNull = false)
@@ -150,8 +152,9 @@ case class HtmlAnchors(left: Expression, right: Expression)
     new GenericArrayData(
       graft.html.HtmlLinks.extractWithText(html.asInstanceOf[Array[Byte]],
           url.asInstanceOf[UTF8String].toString)
-        .map { case (h, t) =>
-          InternalRow(UTF8String.fromString(h), UTF8String.fromString(t)): Any
+        .map { a =>
+          InternalRow(UTF8String.fromString(a.href), UTF8String.fromString(a.text),
+            a.nofollow): Any
         })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HtmlAnchors =
     copy(left = newLeft, right = newRight)

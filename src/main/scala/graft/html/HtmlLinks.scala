@@ -35,30 +35,36 @@ object HtmlLinks {
   private val MaxScan = 2 << 20
 
   def extract(bytes: Array[Byte], baseUrl: String): Array[String] =
-    extractWithText(bytes, baseUrl).map(_._1)
+    extractWithText(bytes, baseUrl).map(_.href)
 
   /** Anchor-text cap (chars, post-collapse): link text beyond this is
     * navigation noise, and hostile pages must not grow unbounded strings. */
   val MaxAnchorText = 256
 
-  /** (resolved href, anchor text) pairs in document order — anchor text is
-    * the text between the anchor and its close (nested inline tags
-    * contribute their text; a new `<a` auto-closes the previous one, the
-    * browser rule), entity-decoded, whitespace-collapsed, capped. */
-  def extractWithText(bytes: Array[Byte], baseUrl: String): Array[(String, String)] = {
+  /** One extracted anchor: resolved href, its text, and whether the source
+    * page disclaims endorsement (`rel` contains the nofollow token — the
+    * flag link-graph consumers like PageRank exclude edges on). */
+  final case class Anchor(href: String, text: String, nofollow: Boolean)
+
+  /** Anchors in document order — anchor text is the text between the anchor
+    * and its close (nested inline tags contribute their text; a new `<a`
+    * auto-closes the previous one, the browser rule), entity-decoded,
+    * whitespace-collapsed, capped. */
+  def extractWithText(bytes: Array[Byte], baseUrl: String): Array[Anchor] = {
     try {
-      if (bytes == null || bytes.length == 0) return Array.empty[(String, String)]
+      if (bytes == null || bytes.length == 0) return Array.empty[Anchor]
       val s0 = HtmlExtract.decode(bytes)
       val s = if (s0.length > MaxScan) s0.substring(0, MaxScan) else s0
       val base = parseBase(baseUrl)
-      val out = new scala.collection.mutable.ArrayBuffer[(String, String)](16)
+      val out = new scala.collection.mutable.ArrayBuffer[Anchor](16)
       var pendingHref: String = null
+      var pendingNofollow = false
       val pendingText = new java.lang.StringBuilder
       def finish(): Unit = {
         if (pendingHref != null) {
           val t0 = collapseWs(HtmlMeta.decodeEntities(pendingText.toString))
           val t = if (t0.length > MaxAnchorText) t0.substring(0, MaxAnchorText) else t0
-          out += ((pendingHref, t))
+          out += Anchor(pendingHref, t, pendingNofollow)
           pendingHref = null
         }
         pendingText.setLength(0)
@@ -89,7 +95,12 @@ object HtmlLinks {
             val href = attrs("href")
             if (href != null) {
               val r = resolve(base, HtmlMeta.decodeEntities(href).trim)
-              if (r != null) pendingHref = r
+              if (r != null) {
+                pendingHref = r
+                // rel is a space-separated token list, case-insensitive
+                pendingNofollow = Option(attrs("rel")).exists(
+                  _.toLowerCase.split("\\s+").contains("nofollow"))
+              }
             }
             i = end
           } else if ((name == "script" || name == "style") && s.charAt(lt + 1) != '/') {
@@ -103,7 +114,7 @@ object HtmlLinks {
       }
       finish()
       out.toArray
-    } catch { case NonFatal(_) => Array.empty[(String, String)] }
+    } catch { case NonFatal(_) => Array.empty[Anchor] }
   }
 
   private def collapseWs(s: String): String = {

@@ -85,25 +85,40 @@ class HtmlLinksSpec extends AnyFunSuite {
   }
 
   test("anchor text: nested inline tags, auto-close, EOF-close, entities, cap") {
+    import HtmlLinks.Anchor
     def anchors(h: String) = HtmlLinks.extractWithText(
       h.getBytes(java.nio.charset.StandardCharsets.UTF_8), "https://h.example/d/p").toSeq
     assert(anchors("""<a href="/x">read  <b>the&nbsp;doc</b> now</a>""") ==
-      Seq(("https://h.example/x", "read the doc now")))
+      Seq(Anchor("https://h.example/x", "read the doc now", nofollow = false)))
     // a new <a> auto-closes the previous one (browser rule)
     assert(anchors("""<a href="/one">first <a href="/two">second</a>""") ==
-      Seq(("https://h.example/one", "first"), ("https://h.example/two", "second")))
+      Seq(Anchor("https://h.example/one", "first", nofollow = false),
+        Anchor("https://h.example/two", "second", nofollow = false)))
     // EOF closes an open anchor
     assert(anchors("""<a href="/open">dangling text""") ==
-      Seq(("https://h.example/open", "dangling text")))
+      Seq(Anchor("https://h.example/open", "dangling text", nofollow = false)))
     // pseudo-links contribute neither a row nor captured text
     assert(anchors("""<a href="mailto:x@y">mail</a><a href="/r">real</a>""") ==
-      Seq(("https://h.example/r", "real")))
+      Seq(Anchor("https://h.example/r", "real", nofollow = false)))
     // script inside an anchor contributes no text
     assert(anchors("""<a href="/s">ok<script>var x='<b>no</b>';</script> fine</a>""") ==
-      Seq(("https://h.example/s", "ok fine")))
+      Seq(Anchor("https://h.example/s", "ok fine", nofollow = false)))
     // cap: text truncates at MaxAnchorText
     val long = anchors(s"""<a href="/l">${"word " * 200}</a>""")
-    assert(long.head._2.length == HtmlLinks.MaxAnchorText)
+    assert(long.head.text.length == HtmlLinks.MaxAnchorText)
+  }
+
+  test("nofollow: rel token-list semantics, case-insensitive, reset per anchor") {
+    def flags(h: String) = HtmlLinks.extractWithText(
+      h.getBytes(java.nio.charset.StandardCharsets.UTF_8), "https://h.example/")
+      .toSeq.map(a => (a.href, a.nofollow))
+    assert(flags(
+      """<a href="/a" rel="nofollow">1</a><a href="/b" rel="ugc NOFOLLOW">2</a>
+        |<a href="/c" rel=nofollow>3</a><a href="/d" rel="sponsored">4</a>
+        |<a href="/e" rel="nofollowed">5</a><a href="/f">6</a>""".stripMargin) ==
+      Seq(("https://h.example/a", true), ("https://h.example/b", true),
+        ("https://h.example/c", true), ("https://h.example/d", false),
+        ("https://h.example/e", false), ("https://h.example/f", false)))
   }
 
   test("hostile-input cap and totality") {
