@@ -1127,6 +1127,53 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // JSON-LD structured data (schema.org): the custom byte-level extractor
+    // pulls raw ld+json blocks (type attr case/params variants, script
+    // raw-text bodies, decoy plain-script skipped), then Spark's own
+    // from_json parses them — the idiomatic custom-expression + built-in
+    // composition. Two blocks per page pin multiplicity and order.
+    "q88_ldjson" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val html = concat(
+        lit("<html><head><script>var notLd = {\"@type\":\"Decoy\"};</script>"),
+        lit("<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":\"story "), m,
+        lit("\",\"wordCount\":"), m, lit("}</script>"),
+        lit("<script type='APPLICATION/LD+JSON; charset=utf-8'>{\"@type\":\"Product\",\"name\":\"item "), m,
+        lit("\"}</script></head><body>b</body></html>"))
+      val schema = "STRUCT<`@type`: STRING, headline: STRING, wordCount: INT>"
+      t(s, dir, "documents")
+        .withColumn("blocks", ldjson_blocks(encode(html, "UTF-8")))
+        .withColumn("first", expr(s"from_json(blocks[0], '$schema')"))
+        .select(col("doc_id"),
+          size(col("blocks")).as("n_blocks"),
+          col("first.`@type`").as("type"),
+          col("first.headline").as("headline"),
+          col("first.wordCount").as("word_count"))
+    }),
+
+    // RFC 9309 robots.txt evaluation: group selection (named agent vs *,
+    // case-insensitive), wildcard + $ anchors, longest-match-wins, Allow on
+    // ties — six paths per doc against a two-group policy, agent alternating
+    "q89_robots" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val robots = lit("# policy\nUser-agent: graftbot\nDisallow: /g-only\n\n" +
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok$\n" +
+        "Disallow: /t*.pdf$\nSitemap: https://x.example/s.xml\n")
+      val agent = when(col("doc_id") % 2 === 0, lit("GraftBot")).otherwise(lit("otherbot"))
+      val paths = array(
+        concat(lit("/public/"), m),
+        concat(lit("/private/"), m),
+        lit("/private/ok"),
+        concat(lit("/t"), m, lit(".pdf")),
+        concat(lit("/t"), m, lit(".pdfx")),
+        concat(lit("/g-only/"), m))
+      t(s, dir, "documents")
+        .select(col("doc_id"), agent.as("agent"), posexplode(paths).as(Seq("pos", "path")))
+        .withColumn("allowed", robots_allowed(robots, col("agent"), col("path")))
+        .select(col("doc_id"), col("pos"), col("allowed"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // nofollow extraction (the PageRank-edge exclusion flag): rel is a
     // case-insensitive space-separated token LIST — "ugc nofollow" flags,
     // "sponsored" and the non-token "nofollowed" do not; unquoted rel and
@@ -2195,6 +2242,22 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 3, 'https://abs' || m || '.example/z?q=' || m || '&r=1' FROM d
         |  UNION ALL SELECT doc_id, 4, 'https://h' || k || '.example/dir/page' || j || '?only=' || m FROM d
         |) ORDER BY doc_id, pos""".stripMargin,
+    // both ld+json blocks land (the decoy script does not); the first parses
+    // to the closed-form Article fields
+    "q88_ldjson" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_blocks, 'Article' AS type,
+        |  'story ' || CAST(doc_id % 50 AS VARCHAR) AS headline,
+        |  CAST(doc_id % 50 AS INT) AS word_count
+        |FROM documents""".stripMargin,
+    // named-agent group excludes the * rules; * group evaluates prefix,
+    // $-anchored wildcard, and the longest-match Allow override
+    "q89_robots" ->
+      """SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE WHEN doc_id % 2 = 0 THEN gb ELSE ob END AS allowed
+        |FROM documents CROSS JOIN (VALUES
+        |  (0, true, true), (1, true, false), (2, true, true),
+        |  (3, true, false), (4, true, true), (5, false, true)) v(pos, gb, ob)
+        |ORDER BY doc_id, pos""".stripMargin,
     // six anchors, flags per the rel token-list rule
     "q87_nofollow_links" ->
       """WITH d AS (SELECT doc_id,

@@ -134,6 +134,19 @@ case class ExtractLinks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw JSON-LD block texts from HTML bytes (JsonLd.blocks — document order,
+  * hostile-input capped); parse with Spark's from_json downstream. */
+case class LdJsonBlocks(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.html.JsonLd.blocks(input.asInstanceOf[Array[Byte]])
+        .map(b => UTF8String.fromString(b): Any))
+  override protected def withNewChildInternal(newChild: Expression): LdJsonBlocks =
+    copy(child = newChild)
+}
+
 object HtmlAnchors {
   val elementType: StructType = StructType(Seq(
     StructField("href", StringType, nullable = false),

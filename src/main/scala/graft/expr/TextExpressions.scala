@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -136,4 +136,21 @@ case class RollingFingerprint(child: Expression, n: Int) extends UnaryExpression
     defineCodeGen(ctx, ev, c => s"graft.expr.TextExprRuntime.rollingFingerprint($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
+}
+
+/** RFC 9309 robots.txt evaluation: is `path` fetchable for `agent` under
+  * `robots`? (graft.text.RobotsTxt — group selection, wildcard/$ patterns,
+  * longest-match-wins, Allow on ties.) */
+case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(robots: Any, agent: Any, path: Any): Any =
+    graft.text.RobotsTxt.isAllowed(
+      robots.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString,
+      path.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): RobotsAllowed =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

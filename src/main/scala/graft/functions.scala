@@ -45,6 +45,16 @@ object functions {
   def html_anchors(html: Column, url: Column): Column =
     ColumnBridge.column(HtmlAnchors(expr(html), expr(url)))
 
+  /** Raw JSON-LD (schema.org) block texts of an HTML page, document order;
+    * compose with from_json for typed structured data. */
+  def ldjson_blocks(html: Column): Column =
+    ColumnBridge.column(LdJsonBlocks(expr(html)))
+
+  /** RFC 9309: is `path` fetchable for `agent` under `robots` (robots.txt
+    * text)? Longest-match rules, wildcard/$ patterns, Allow wins ties. */
+  def robots_allowed(robots: Column, agent: Column, path: Column): Column =
+    ColumnBridge.column(graft.expr.RobotsAllowed(expr(robots), expr(agent), expr(path)))
+
   /** Block-level analysis of HTML: array<struct(idx,tag,text,words,link_words,is_content)>. */
   def extract_blocks(html: Column): Column =
     ColumnBridge.column(ExtractBlocks(expr(html)))

@@ -1,0 +1,101 @@
+package graft.text
+
+/**
+ * robots.txt evaluation per RFC 9309 (the Robots Exclusion Protocol) — the
+ * crawl-policy gate every serious corpus applies at collection time and
+ * re-checks at curation time (takedown/etiquette audits re-evaluate stored
+ * policies against stored urls).
+ *
+ * Semantics implemented (RFC 9309 §2):
+ *  - groups: consecutive `User-agent` lines share one group; `Allow`/
+ *    `Disallow` lines attach to the current group; a `User-agent` line after
+ *    rules starts a new group; rules before any group are ignored; other
+ *    directives (Sitemap, Crawl-delay) are ignored; `#` starts a comment.
+ *  - group selection: all groups naming the crawler's product token
+ *    (case-insensitive) combine; when none match, the `*` groups apply.
+ *  - path matching: byte-literal prefix match with `*` (any sequence) and a
+ *    trailing `$` (end anchor). The MOST SPECIFIC matching rule wins —
+ *    longest pattern in octets — and ties break to Allow (least
+ *    restrictive). An empty pattern matches nothing (the classic
+ *    "Disallow:" = allow-all). No matching rule = allowed.
+ *
+ * Pure JVM, total on arbitrary text, linear in input size (wildcard
+ * placement is a forward scan, never backtracking exponentially).
+ */
+object RobotsTxt {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parsed groups in file order: (lowercased agent tokens, rules). */
+  def parse(txt: String): Seq[(Seq[String], Seq[Rule])] = {
+    if (txt == null) return Nil
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Rule])]
+    var agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += ((agents.toSeq, rules.toSeq))
+      agents = scala.collection.mutable.ArrayBuffer.empty[String]
+      rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+      inRules = false
+    }
+    txt.split("\n", -1).foreach { line0 =>
+      val line = { val h = line0.indexOf('#'); if (h < 0) line0 else line0.substring(0, h) }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents += value.toLowerCase
+          case "allow" if agents.nonEmpty => rules += Rule(allow = true, value); inRules = true
+          case "disallow" if agents.nonEmpty => rules += Rule(allow = false, value); inRules = true
+          case _ => // sitemap, crawl-delay, unknown: ignored
+        }
+      }
+    }
+    flush()
+    groups.toSeq
+  }
+
+  /** RFC 9309 §2.2.3 pattern match: anchored-prefix with `*` and trailing `$`. */
+  private[text] def matches(pattern0: String, path: String): Boolean = {
+    var pattern = pattern0
+    var anchored = false
+    if (pattern.endsWith("$")) { anchored = true; pattern = pattern.substring(0, pattern.length - 1) }
+    val parts = pattern.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    var k = 1
+    while (k < parts.length) {
+      val p = parts(k)
+      if (p.isEmpty) {
+        // consecutive '*' collapse; a TRAILING '*' eats the rest (incl. for $)
+        if (k == parts.length - 1) pos = path.length
+      } else if (anchored && k == parts.length - 1) {
+        // the last literal must END the path, at or after the cursor
+        if (!(path.endsWith(p) && path.length - p.length >= pos)) return false
+        pos = path.length
+      } else {
+        val idx = path.indexOf(p, pos)
+        if (idx < 0) return false
+        pos = idx + p.length
+      }
+      k += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** Is `path` fetchable for `agent` under this robots.txt? */
+  def isAllowed(txt: String, agent: String, path: String): Boolean = {
+    val groups = parse(txt)
+    val a = if (agent == null) "*" else agent.toLowerCase
+    val mine = groups.filter(_._1.contains(a))
+    val eff = if (mine.nonEmpty) mine else groups.filter(_._1.contains("*"))
+    val matching = eff.flatMap(_._2)
+      .filter(r => r.pattern.nonEmpty && matches(r.pattern, if (path == null) "/" else path))
+    if (matching.isEmpty) true
+    else matching.maxBy(r => (r.pattern.length, r.allow)).allow
+  }
+}
