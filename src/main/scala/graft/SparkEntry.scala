@@ -1127,6 +1127,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // RSS 2.0 + Atom feed extraction: docs alternate dialects — RSS items
+    // carry element-text links and CDATA titles; Atom entries carry
+    // href-attribute links (the rel=alternate preference is in-fixture via a
+    // leading rel=self link that must NOT win) and <updated> dates
+    "q90_feed_items" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val rss = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel><title>c</title>"),
+        lit("<item><title><![CDATA[story "), m, lit("]]></title>"),
+        lit("<link>https://r.example/p/"), m, lit("</link><pubDate>Mon, 0"), (col("doc_id") % 9 + 1).cast("string"),
+        lit(" Jan 2024 00:00:00 GMT</pubDate></item>"),
+        lit("<item><title>plain &amp; second</title><link>https://r.example/q/"), m,
+        lit("</link></item></channel></rss>"))
+      val atom = concat(
+        lit("<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/2005/Atom\">"),
+        lit("<entry><title>entry   "), m, lit("</title>"),
+        lit("<link rel=\"self\" href=\"https://a.example/self\"/>"),
+        lit("<link rel=\"alternate\" href=\"https://a.example/e/"), m, lit("\"/>"),
+        lit("<updated>2024-01-0"), (col("doc_id") % 9 + 1).cast("string"), lit("T00:00:00Z</updated>"),
+        lit("</entry></feed>"))
+      val payload = encode(when(col("doc_id") % 2 === 0, rss).otherwise(atom), "UTF-8")
+      t(s, dir, "documents")
+        .select(col("doc_id"), feed_kind(payload).as("kind"),
+          posexplode(feed_items(payload)).as(Seq("pos", "it")))
+        .select(col("doc_id"), col("kind"), col("pos"),
+          col("it.title").as("title"), col("it.link").as("link"), col("it.date").as("date"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // JSON-LD structured data (schema.org): the custom byte-level extractor
     // pulls raw ld+json blocks (type attr case/params variants, script
     // raw-text bodies, decoy plain-script skipped), then Spark's own
@@ -2241,6 +2270,21 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 2, 'https://cdn.example/r/' || m FROM d
         |  UNION ALL SELECT doc_id, 3, 'https://abs' || m || '.example/z?q=' || m || '&r=1' FROM d
         |  UNION ALL SELECT doc_id, 4, 'https://h' || k || '.example/dir/page' || j || '?only=' || m FROM d
+        |) ORDER BY doc_id, pos""".stripMargin,
+    // RSS docs emit two items (CDATA title; entity title; absent pubDate ->
+    // NULL); Atom docs emit one (alternate link beats the leading self link)
+    "q90_feed_items" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,
+        |  CAST(doc_id % 9 + 1 AS VARCHAR) AS dd FROM documents)
+        |SELECT doc_id, kind, CAST(pos AS INT) AS pos, title, link, "date" FROM (
+        |  SELECT doc_id, 'rss' AS kind, 0 AS pos, 'story ' || m AS title,
+        |    'https://r.example/p/' || m AS link,
+        |    'Mon, 0' || dd || ' Jan 2024 00:00:00 GMT' AS "date" FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 'rss', 1, 'plain & second',
+        |    'https://r.example/q/' || m, NULL FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 'atom', 0, 'entry ' || m,
+        |    'https://a.example/e/' || m,
+        |    '2024-01-0' || dd || 'T00:00:00Z' FROM d WHERE doc_id % 2 = 1
         |) ORDER BY doc_id, pos""".stripMargin,
     // both ld+json blocks land (the decoy script does not); the first parses
     // to the closed-form Article fields

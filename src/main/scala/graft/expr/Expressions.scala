@@ -134,6 +134,41 @@ case class ExtractLinks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object FeedItems {
+  val elementType: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("link", StringType, nullable = true),
+    StructField("date", StringType, nullable = true)))
+}
+
+/** RSS/Atom feed items (FeedExtract.items): title, link, date per item in
+  * document order — feeds are content AND frontier in a web corpus. */
+case class FeedItems(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FeedItems.elementType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    new GenericArrayData(
+      graft.html.FeedExtract.items(input.asInstanceOf[Array[Byte]])
+        .map(it => InternalRow(u(it.title), u(it.link), u(it.date)): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): FeedItems =
+    copy(child = newChild)
+}
+
+/** "rss" | "atom" | null — the feed dispatch sniff (FeedExtract.kind). */
+case class FeedKind(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val k = graft.html.FeedExtract.kind(input.asInstanceOf[Array[Byte]])
+    if (k == null) null else UTF8String.fromString(k)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FeedKind =
+    copy(child = newChild)
+}
+
 /** Raw JSON-LD block texts from HTML bytes (JsonLd.blocks — document order,
   * hostile-input capped); parse with Spark's from_json downstream. */
 case class LdJsonBlocks(child: Expression) extends UnaryExpression with CodegenFallback {

@@ -50,6 +50,14 @@ object functions {
   def ldjson_blocks(html: Column): Column =
     ColumnBridge.column(LdJsonBlocks(expr(html)))
 
+  /** RSS/Atom items — array<struct<title, link, date>> in document order. */
+  def feed_items(payload: Column): Column =
+    ColumnBridge.column(FeedItems(expr(payload)))
+
+  /** "rss" | "atom" | null — the feed dispatch sniff. */
+  def feed_kind(payload: Column): Column =
+    ColumnBridge.column(FeedKind(expr(payload)))
+
   /** RFC 9309: is `path` fetchable for `agent` under `robots` (robots.txt
     * text)? Longest-match rules, wildcard/$ patterns, Allow wins ties. */
   def robots_allowed(robots: Column, agent: Column, path: Column): Column =
