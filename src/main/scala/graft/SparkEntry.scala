@@ -1127,6 +1127,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // base-href re-basing + meta-refresh redirect extraction: the first
+    // <base href> (itself document-resolved) re-bases relative links; the
+    // refresh target comes from html_meta's refresh_url (delay; url= syntax,
+    // quotes optional) — both crawl-graph correctness details
+    "q91_base_refresh" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val url = concat(lit("https://h"), (col("doc_id") % 7).cast("string"), lit(".example/dir/page"))
+      val html = concat(
+        lit("<html><head><base href=\"https://b"), m, lit(".example/x/\">"),
+        lit("<meta http-equiv=\"refresh\" content=\"0; URL='/go/"), m, lit("'\">"),
+        lit("</head><body><a href=\"a"), m, lit("\">r</a></body></html>"))
+      val payload = encode(html, "UTF-8")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          col("doc_id").cast("string").as("mcheck"),
+          html_meta(payload).getField("refresh_url").as("refresh_url"),
+          element_at(extract_links(payload, url), 1).as("first_link"))
+        .drop("mcheck")
+        .orderBy(col("doc_id"))
+    }),
+
     // RSS 2.0 + Atom feed extraction: docs alternate dialects — RSS items
     // carry element-text links and CDATA titles; Atom entries carry
     // href-attribute links (the rel=alternate preference is in-fixture via a
@@ -2271,6 +2292,13 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 3, 'https://abs' || m || '.example/z?q=' || m || '&r=1' FROM d
         |  UNION ALL SELECT doc_id, 4, 'https://h' || k || '.example/dir/page' || j || '?only=' || m FROM d
         |) ORDER BY doc_id, pos""".stripMargin,
+    // refresh target and re-based first link, both closed-form
+    "q91_base_refresh" ->
+      """SELECT doc_id,
+        |  '/go/' || CAST(doc_id % 50 AS VARCHAR) AS refresh_url,
+        |  'https://b' || CAST(doc_id % 50 AS VARCHAR) || '.example/x/a'
+        |    || CAST(doc_id % 50 AS VARCHAR) AS first_link
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // RSS docs emit two items (CDATA title; entity title; absent pubDate ->
     // NULL); Atom docs emit one (alternate link beats the leading self link)
     "q90_feed_items" ->

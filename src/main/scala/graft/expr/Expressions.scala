@@ -99,7 +99,8 @@ object HtmlMetaExpr {
     StructField("robots", StringType, nullable = true),
     StructField("lang", StringType, nullable = true),
     StructField("og_title", StringType, nullable = true),
-    StructField("description", StringType, nullable = true)
+    StructField("description", StringType, nullable = true),
+    StructField("refresh_url", StringType, nullable = true)
   ))
 }
 
@@ -112,7 +113,8 @@ case class HtmlMetaExpr(child: Expression) extends UnaryExpression with CodegenF
   override protected def nullSafeEval(input: Any): Any = {
     val m = graft.html.HtmlMeta.parse(input.asInstanceOf[Array[Byte]])
     def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
-    InternalRow(u(m.title), u(m.canonical), u(m.robots), u(m.lang), u(m.ogTitle), u(m.description))
+    InternalRow(u(m.title), u(m.canonical), u(m.robots), u(m.lang), u(m.ogTitle),
+      u(m.description), u(m.refreshUrl))
   }
   override protected def withNewChildInternal(newChild: Expression): HtmlMetaExpr =
     copy(child = newChild)

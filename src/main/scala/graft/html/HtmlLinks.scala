@@ -55,7 +55,8 @@ object HtmlLinks {
       if (bytes == null || bytes.length == 0) return Array.empty[Anchor]
       val s0 = HtmlExtract.decode(bytes)
       val s = if (s0.length > MaxScan) s0.substring(0, MaxScan) else s0
-      val base = parseBase(baseUrl)
+      var base = parseBase(baseUrl)
+      var baseSeen = false
       val out = new scala.collection.mutable.ArrayBuffer[Anchor](16)
       var pendingHref: String = null
       var pendingNofollow = false
@@ -100,6 +101,20 @@ object HtmlLinks {
                 // rel is a space-separated token list, case-insensitive
                 pendingNofollow = Option(attrs("rel")).exists(
                   _.toLowerCase.split("\\s+").contains("nofollow"))
+              }
+            }
+            i = end
+          } else if (name == "base" && s.charAt(lt + 1) != '/') {
+            // <base href>: the FIRST one re-bases every later relative link
+            // (HTML spec); itself resolved against the document url
+            val (attrs, end) = HtmlMeta.parseAttrs(s, j)
+            val href = attrs("href")
+            if (!baseSeen && href != null) {
+              baseSeen = true
+              val r = resolve(base, HtmlMeta.decodeEntities(href).trim)
+              if (r != null) {
+                val nb = parseBase(r)
+                if (nb != null) base = nb
               }
             }
             i = end

@@ -34,9 +34,10 @@ object HtmlMeta {
   /** Absent fields are null. `robots` is lowercased+trimmed; others keep
     * their source spelling (title whitespace-collapsed, entity-decoded). */
   final case class Meta(title: String, canonical: String, robots: String,
-                        lang: String, ogTitle: String, description: String)
+                        lang: String, ogTitle: String, description: String,
+                        refreshUrl: String)
 
-  private val Empty = Meta(null, null, null, null, null, null)
+  private val Empty = Meta(null, null, null, null, null, null, null)
 
   /** Scan cap: head metadata past 64 KiB of markup is not metadata. */
   private val MaxScan = 65536
@@ -52,6 +53,7 @@ object HtmlMeta {
       var lang: String = null
       var ogTitle: String = null
       var description: String = null
+      var refreshUrl: String = null
       val n = s.length
       var i = 0
       var stop = false
@@ -98,11 +100,14 @@ object HtmlMeta {
               val (attrs, end) = parseAttrs(s, j)
               val nm = Option(attrs("name")).map(_.trim.toLowerCase).orNull
               val prop = Option(attrs("property")).map(_.trim.toLowerCase).orNull
+              val equiv = Option(attrs("http-equiv")).map(_.trim.toLowerCase).orNull
               val content = attrs("content")
               if (nm == "robots" && robots == null && content != null)
                 robots = content.trim.toLowerCase
               else if (nm == "description" && description == null) description = content
               if (prop == "og:title" && ogTitle == null) ogTitle = content
+              if (equiv == "refresh" && refreshUrl == null && content != null)
+                refreshUrl = refreshTarget(content)
               i = end
             case "script" | "style" => // raw text: skip to the closing tag
               val end = skipTag(s, j)
@@ -113,8 +118,22 @@ object HtmlMeta {
           }
         }
       }
-      Meta(title, canonical, robots, lang, ogTitle, description)
+      Meta(title, canonical, robots, lang, ogTitle, description, refreshUrl)
     } catch { case NonFatal(_) => Empty }
+  }
+
+  /** The url of a meta-refresh content value ("5; url=/next" — delay then an
+    * optional case-insensitive url= part, quotes optional); null when the
+    * refresh has no url (a pure reload is not a redirect edge). */
+  private def refreshTarget(content: String): String = {
+    val semi = content.indexOf(';')
+    if (semi < 0) return null
+    val after = content.substring(semi + 1).trim
+    if (after.length < 4 || !after.substring(0, 4).equalsIgnoreCase("url=")) return null
+    var v = after.substring(4).trim
+    if (v.length >= 2 && ((v.head == '"' && v.last == '"') || (v.head == '\'' && v.last == '\'')))
+      v = v.substring(1, v.length - 1).trim
+    if (v.isEmpty) null else v
   }
 
   @inline private def isNameChar(c: Char): Boolean =

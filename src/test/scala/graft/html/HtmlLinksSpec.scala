@@ -108,6 +108,22 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(long.head.text.length == HtmlLinks.MaxAnchorText)
   }
 
+  test("base href: the first <base> re-bases relative links (absolute links unaffected)") {
+    val got = links(
+      """<html><head><base href="https://other.example/dir/"></head><body>
+        |<a href="rel">1</a> <a href="/root">2</a> <a href="https://abs.example/a">3</a>
+        |<base href="https://second.example/ignored/">
+        |<a href="rel2">4</a></body></html>""".stripMargin)
+    assert(got == Seq(
+      "https://other.example/dir/rel",
+      "https://other.example/root",
+      "https://abs.example/a",
+      "https://other.example/dir/rel2"))
+    // a RELATIVE base href resolves against the document url first
+    val rel = links("""<base href="sub/"><a href="x">1</a>""", "https://h.example/d/p")
+    assert(rel == Seq("https://h.example/d/sub/x"))
+  }
+
   test("nofollow: rel token-list semantics, case-insensitive, reset per anchor") {
     def flags(h: String) = HtmlLinks.extractWithText(
       h.getBytes(java.nio.charset.StandardCharsets.UTF_8), "https://h.example/")

@@ -46,7 +46,7 @@ class HtmlMetaSpec extends AnyFunSuite {
 
   test("absent head yields all nulls; </head> stops the scan") {
     val m = p("<html><body>no head at all</body></html>")
-    assert(m == HtmlMeta.Meta(null, null, null, null, null, null))
+    assert(m == HtmlMeta.Meta(null, null, null, null, null, null, null))
     val m2 = p("""<html><head></head><meta name=robots content=noindex>""")
     assert(m2.robots == null)
   }
@@ -60,5 +60,16 @@ class HtmlMetaSpec extends AnyFunSuite {
     HtmlMeta.parse(Array[Byte](-1, -2, -3, 0x3c, 0x61))
     val unterminated = "<head><title>x".getBytes
     assert(HtmlMeta.parse(unterminated).title == "x")
+  }
+
+  test("meta refresh: delay + url variants, pure reload is not a redirect") {
+    assert(p("""<meta http-equiv="refresh" content="5; url=/next">""").refreshUrl == "/next")
+    assert(p("""<meta HTTP-EQUIV="Refresh" content="0;URL='https://x.example/n'">""").refreshUrl
+      == "https://x.example/n")
+    assert(p("""<meta http-equiv="refresh" content="30">""").refreshUrl == null)
+    assert(p("""<meta http-equiv="refresh" content="5; url=">""").refreshUrl == null)
+    // first wins
+    assert(p("""<meta http-equiv=refresh content="1;url=/a"><meta http-equiv=refresh content="1;url=/b">""")
+      .refreshUrl == "/a")
   }
 }
