@@ -1141,10 +1141,8 @@ object SparkEntry {
       val payload = encode(html, "UTF-8")
       t(s, dir, "documents")
         .select(col("doc_id"),
-          col("doc_id").cast("string").as("mcheck"),
           html_meta(payload).getField("refresh_url").as("refresh_url"),
           element_at(extract_links(payload, url), 1).as("first_link"))
-        .drop("mcheck")
         .orderBy(col("doc_id"))
     }),
 

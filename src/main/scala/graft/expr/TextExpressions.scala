@@ -114,6 +114,19 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Whitespace tokens under the TextHash.tokenBounds contract — the position
+  * source for every op that must align token indices with ngram_hashes
+  * window positions (EXACTSUBSTR removal). */
+case class WsTokens(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.wsTokens(input.asInstanceOf[UTF8String].toString)
+      .map(t => UTF8String.fromString(t): Any))
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
 /** splitmix64 finalizer over a long column — the deterministic sampling key
   * (reproducible across runs and partitionings, unlike rand()). */
 case class SplitMix64(child: Expression) extends UnaryExpression {

@@ -194,6 +194,24 @@ object functions {
   def exif_meta(bytes: Column): Column =
     ColumnBridge.column(ExifMetaExpr(expr(bytes)))
 
+  /** True iff `host` (lowercased by the caller) equals or is a subdomain of
+    * any broadcast domain — the blocklist gate's scale shape (hash-set probe
+    * per row; the list ships once per executor, never as plan nodes). */
+  def host_in_domain_set(host: Column, domains: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
+    ColumnBridge.column(HostInDomainSet(expr(host), domains))
+
+  /** True iff the string contains ANY broadcast pattern — Aho-Corasick,
+    * O(length) per row at any pattern count (vs O(patterns·length) for a
+    * `contains` chain). */
+  def contains_any_pattern(s: Column, patterns: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
+    ColumnBridge.column(ContainsAnyPattern(expr(s), patterns))
+
+  /** Whitespace tokens by the TextHash.tokenBounds contract
+    * (Character.isWhitespace — the SAME tokenizer ngram_hashes positions are
+    * counted in; a regex "\\s+" split disagrees on Unicode whitespace). */
+  def ws_tokens(text: Column): Column =
+    ColumnBridge.column(WsTokens(expr(text)))
+
   /** Cosine similarity of two array<double> embedding columns — a native
     * codegen'd expression (one fused loop). The earlier builtin-composition
     * form (aggregate+zip_with ×3) was interpreted per pair and dominated the

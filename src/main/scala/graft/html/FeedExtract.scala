@@ -78,9 +78,11 @@ object FeedExtract {
       Item(title, cap(trimOrNull(elementText(body, "link"))),
         cap(trimOrNull(elementText(body, "pubDate"))))
     } else {
+      // trim BEFORE the fallback: a whitespace-only <updated></updated> is
+      // "absent" and must fall through to <published>
       Item(title, cap(atomLink(body)),
-        cap(trimOrNull(Option(elementText(body, "updated"))
-          .getOrElse(elementText(body, "published")))))
+        cap(Option(trimOrNull(elementText(body, "updated")))
+          .getOrElse(trimOrNull(elementText(body, "published")))))
     }
   }
 

@@ -187,10 +187,16 @@ object HtmlLinks {
     }
     if (base == null) return null
     if (ref.startsWith("//")) {
-      // network-path reference: base scheme + given authority
+      // network-path reference: base scheme + given authority; §5.2.2 still
+      // applies removeDotSegments to the reference's own path
       val after = ref.substring(2)
       if (after.isEmpty || after.charAt(0) == '/' || after.charAt(0) == '?') return null
-      return base.scheme + ":" + ref
+      var j = 0
+      while (j < after.length && { val c = after.charAt(j); c != '/' && c != '?' }) j += 1
+      val auth = after.substring(0, j)
+      val rest = after.substring(j)
+      val norm = if (rest.isEmpty || rest.charAt(0) == '?') rest else removeDotSegments(rest)
+      return base.scheme + "://" + auth + norm
     }
     if (ref.charAt(0) == '/') return base.root + removeDotSegments(ref)
     if (ref.charAt(0) == '?') return base.root + base.path + ref

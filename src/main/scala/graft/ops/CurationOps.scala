@@ -81,23 +81,32 @@ object CurationOps {
    * than any text inspection, so it runs first): drop documents whose host
    * matches a blocked domain (exact or any-subdomain suffix) or whose url
    * matches a blocked substring (the published lists are adult/fraud domains
-   * plus path fragments like "/tag/", "?replytocom="). The domain list is a
-   * plan constant (these lists are 10^4-10^6 entries — broadcastable
-   * always); matching is pure per-row column math, no shuffle, no UDF.
-   * Returns the surviving rows unchanged.
+   * plus path fragments like "/tag/", "?replytocom="). Lists are 10^4-10^6
+   * entries, so per-entry Column terms are out (an O(n)-node expression tree
+   * blows codegen's 64KB method limit at 10^4 and the driver's analysis at
+   * 10^6): both sides ship ONCE per executor as a TorrentBroadcast and probe
+   * per row — a hash-set over host dot-suffixes (O(labels) per row) and an
+   * Aho-Corasick automaton over the url (O(length) per row, any pattern
+   * count). Still a narrow per-row filter: no corpus explode, no join, no
+   * UDF, pushdown-safe. Returns the surviving rows unchanged.
    */
   def urlBlocklistFilter(docs: DataFrame, urlCol: String,
                          blockedDomains: Seq[String],
                          blockedSubstrings: Seq[String] = Nil): DataFrame = {
     // NULL url must SURVIVE (the quarantine-downstream stance every other
-    // gate takes): contains(lower(NULL), …) is NULL, and a NULL predicate
-    // filters the row — so both match sides run over a ""-coalesced url
+    // gate takes): probes are null-intolerant, so match sides run over a
+    // ""-coalesced url
+    val sc = docs.sparkSession.sparkContext
     val u = lower(coalesce(col(urlCol), lit("")))
     val host = lower(coalesce(url_host(col(urlCol)), lit("")))
-    val domainHit = blockedDomains.map(_.toLowerCase).map(d =>
-      host === d || host.endsWith("." + d)).reduceOption(_ || _).getOrElse(lit(false))
-    val substrHit = blockedSubstrings.map(s =>
-      contains(u, lit(s.toLowerCase))).reduceOption(_ || _).getOrElse(lit(false))
+    val domainHit =
+      if (blockedDomains.isEmpty) lit(false)
+      else host_in_domain_set(host,
+        sc.broadcast(blockedDomains.map(_.toLowerCase).toArray))
+    val substrHit =
+      if (blockedSubstrings.isEmpty) lit(false)
+      else contains_any_pattern(u,
+        sc.broadcast(blockedSubstrings.map(_.toLowerCase).toArray))
     docs.filter(!domainHit && !substrHit)
   }
 
@@ -248,7 +257,11 @@ object CurationOps {
   def removeDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
                             n: Int = 13): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
-    val toksOf = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // ws_tokens, NOT split("\\s+"): gram positions come from ngram_hashes'
+    // tokenBounds (Character.isWhitespace) — a regex split disagrees on
+    // Unicode whitespace (U+2028, U+3000) and would misalign coverage,
+    // removing the WRONG tokens
+    val toksOf = ws_tokens(col(textCol))
     val starts = docs
       .select(col(idCol).as("_id"),
         posexplode(ngramHashes(col(textCol), n)).as(Seq("_pos", "_g")))

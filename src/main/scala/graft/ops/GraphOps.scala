@@ -32,34 +32,69 @@ object GraphOps {
 
   val InitRank = 1000000L
 
+  /** @param convergeDelta stop early once max |Δrank_micro| over all nodes
+    *   falls to ≤ this value (0 disables — exactly `iters` iterations run,
+    *   the replayable-oracle contract). The convergence probe is one extra
+    *   metadata-cheap agg per iteration, so it is opt-in. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 2): DataFrame = {
+               iters: Int = 2, convergeDelta: Long = 0L): DataFrame = {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(srcCol).cast("string").as("_src"),
         col(dstCol).cast("string").as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
     val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    // (src, dst, deg) — built once, reused by every iteration
-    val withDeg = e.join(deg, Seq("_src"))
+    // (src, dst, deg) — PERSISTED across iterations: a lazy frame would
+    // re-execute the edge distinct + degree agg in every iteration's plan
+    // (ReusedExchange cannot cross the per-iteration localCheckpoint), which
+    // at link-graph scale is 10-20 redundant full-edge shuffles
+    val withDeg = e.join(deg, Seq("_src")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("_src").as("host"))
       .unionByName(e.select(col("_dst").as("host"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank_micro", lit(InitRank))
     var it = 0
-    while (it < iters) {
-      // truncate lineage periodically: 50 chained join+agg plans would bloat
-      // analysis/optimization time long before the data is the problem
-      if (it > 0 && it % 10 == 0) ranks = ranks.localCheckpoint(true)
-      val contrib = withDeg
-        .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
-        .select(col("_dst"), expr("rank_micro div _deg").as("_c"))
-        .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
-      ranks = nodes.join(contrib.withColumnRenamed("_dst", "host"), Seq("host"), "left")
-        .select(col("host"),
-          (lit(150000L) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"))
-      it += 1
+    var converged = false
+    var prevStep: DataFrame = null
+    try {
+      while (it < iters && !converged) {
+        // truncate lineage periodically: 50 chained join+agg plans would bloat
+        // analysis/optimization time long before the data is the problem
+        if (it > 0 && it % 10 == 0) ranks = ranks.localCheckpoint(true)
+        val contrib = withDeg
+          .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
+          .select(col("_dst"), expr("rank_micro div _deg").as("_c"))
+          .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
+        val next = nodes.join(contrib.withColumnRenamed("_dst", "host"), Seq("host"), "left")
+          .select(col("host"),
+            (lit(150000L) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"))
+        if (convergeDelta > 0L && it + 1 < iters) {
+          // materialize the step once, probe the max delta on the (host,
+          // rank) frames — two-column rows, never the edge set
+          val stepped = next.localCheckpoint(true)
+          val delta = stepped.withColumnRenamed("rank_micro", "_new")
+            .join(ranks.withColumnRenamed("rank_micro", "_old"), Seq("host"))
+            .agg(max(abs(col("_new") - col("_old")))).first()
+          converged = delta.isNullAt(0) || delta.getLong(0) <= convergeDelta
+          // the superseded step's checkpoint blocks are dead once the delta
+          // probe has read them
+          if (prevStep != null) prevStep.unpersist(blocking = false)
+          prevStep = stepped
+          ranks = stepped
+        } else ranks = next
+        it += 1
+      }
+      // materialize the result WHILE the iteration frames are still cached
+      // (the loop is lazy — without this, unpersist would silently discard
+      // the reuse and the first action would rebuild every iteration)
+      val out = ranks.localCheckpoint(true)
+      if (prevStep != null) prevStep.unpersist(blocking = false)
+      out
+    } finally {
+      withDeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    ranks
   }
 
   /** Host in/out-degree rollup over the deduped edge set — the cheap

@@ -160,6 +160,19 @@ object TextHash {
   /** Public splitmix64 finalizer (deterministic sampling keys). */
   def mix64(z: Long): Long = mix(z)
 
+  /** The tokens tokenBounds delimits, as strings — THE token model every
+    * position-indexed op must share with ngramHashes (a regex "\\s+" split
+    * disagrees on Unicode whitespace like U+2028/U+3000 and silently
+    * misaligns token indices against gram positions). */
+  def wsTokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val b = tokenBounds(text)
+    val out = new Array[String](b.length / 2)
+    var t = 0
+    while (t < b.length) { out(t / 2) = text.substring(b(t), b(t + 1)); t += 2 }
+    out
+  }
+
   /** ALL token n-gram hashes in document order (decontamination overlap,
     * repetition statistics). STRICT window semantics: fewer than n tokens →
     * EMPTY (unlike rollingFingerprint's forced single shortened gram — a

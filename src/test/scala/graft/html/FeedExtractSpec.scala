@@ -48,6 +48,18 @@ class FeedExtractSpec extends AnyFunSuite {
       Item("three", "https://a/enc", null)))
   }
 
+  test("Atom: a blank <updated> falls through to <published>") {
+    val feed =
+      """<feed><entry><title>blank</title><link href="https://a/b"/>
+        |  <updated>  </updated><published>2024-03-03T00:00:00Z</published></entry>
+        |<entry><title>empty</title><link href="https://a/c"/>
+        |  <updated></updated><published>2024-04-04T00:00:00Z</published></entry>
+        |</feed>""".stripMargin
+    assert(items(feed) == Seq(
+      Item("blank", "https://a/b", "2024-03-03T00:00:00Z"),
+      Item("empty", "https://a/c", "2024-04-04T00:00:00Z")))
+  }
+
   test("item-tag boundary: <itemref> is not an <item>; unclosed last item kept") {
     val feed =
       """<rss><channel><itemref>nope</itemref>

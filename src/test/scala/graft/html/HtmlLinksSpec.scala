@@ -35,6 +35,17 @@ class HtmlLinksSpec extends AnyFunSuite {
       assert(HtmlLinks.resolve(base, ref) == want, s"ref '$ref'")
   }
 
+  test("network-path references get section 5.2.2 dot-segment removal too") {
+    val cases = Seq(
+      "//host/a/../b" -> "http://host/b",
+      "//host/./x" -> "http://host/x",
+      "//host/a/b/../../c?q=1" -> "http://host/c?q=1",
+      "//host?q" -> "http://host?q",
+      "//host/a/../.." -> "http://host/")
+    for ((ref, want) <- cases)
+      assert(HtmlLinks.resolve(base, ref) == want, s"ref '$ref'")
+  }
+
   test("RFC 3986 section 5.4.2 abnormal examples: dot segments never climb past root") {
     val cases = Seq(
       "../../../g" -> "http://a/g",

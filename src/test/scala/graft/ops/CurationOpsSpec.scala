@@ -139,6 +139,25 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3) == ((4L, "an unrelated document that stays intact", 0)))
   }
 
+  test("removeDuplicatedSpans: Unicode whitespace cannot desync token positions") {
+    // U+3000 (ideographic space) and U+2028 (line separator) are
+    // Character.isWhitespace (so ngram_hashes token positions count them as
+    // separators) but NOT Java-regex \s — the round-5 split("\\s+") token
+    // side counted them as token characters, shifting indices and removing
+    // the WRONG tokens. Both sides now share ws_tokens.
+    val docs = Seq(
+      (1L, "a　p q r s b"), // same token stream as doc 2 inside p q r s
+      (2L, "c p　q r s d"),
+      (3L, "solo unique tokens only here")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.removeDuplicatedSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    // p q r / q r s duplicated across docs 1-2 → positions 1..4 covered
+    assert(got(0) == ((1L, "a b", 4)))
+    assert(got(1) == ((2L, "c d", 4)))
+    assert(got(2) == ((3L, "solo unique tokens only here", 0)))
+  }
+
   test("packSequences: hand-computed chunk layout, doc-spanning boundaries") {
     // token counts incl. EOS: doc1 -> 4, doc2 -> 3, doc3 -> 6; offsets 0, 4, 7
     // seqLen 5: chunk0 = doc1(4) + doc2(1); chunk1 = doc2(2) + doc3(3);

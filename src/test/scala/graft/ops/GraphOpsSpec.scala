@@ -64,6 +64,69 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.toSet == Set(1000000L), got.toString)
   }
 
+  test("iterations reuse the persisted edge frame — raw input scans stay constant in iters") {
+    // the raw edge input rides in via an accumulator-counting RDD: if each
+    // iteration's plan re-executed the edge distinct + degree agg (the lazy
+    // round-5 shape), raw scans would grow with the iteration count
+    def scansFor(iters: Int): Long = {
+      val acc = spark.sparkContext.longAccumulator(s"edge-scans-$iters")
+      val rdd = spark.sparkContext
+        .parallelize((0L until 400L).map(i => org.apache.spark.sql.Row(s"h${i % 20}", s"h${(i * 7 + 3) % 20}")), 4)
+        .mapPartitions { it => acc.add(1); it }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.StringType)))
+      val df = spark.createDataFrame(rdd, schema)
+      GraphOps.pageRank(df, "src", "dst", iters = iters).collect()
+      acc.value
+    }
+    val s2 = scansFor(2)
+    val s8 = scansFor(8)
+    assert(s8 == s2, s"raw edge input scanned $s8 partition-times at 8 iters vs $s2 at 2 — iteration reuse broken")
+  }
+
+  test("pageRank leaves no iteration caches persisted behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    GraphOps.pageRank(edges, "src", "dst", iters = 3).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the RESULT's localCheckpoint may linger; withDeg/nodes must not
+    assert(after - before <= 1, s"persisted-RDD delta ${after - before} — unpersist leak")
+  }
+
+  test("convergence stop: a graph at its fixed point stops early with identical ranks") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    // stage count is the honest iteration probe: the full run is ONE lazy
+    // mega-plan (few jobs, ~3 stages per iteration); the converged run must
+    // execute a small constant number of iterations' worth of stages
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    def run(delta: Long): (Map[String, Long], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      stages.set(0)
+      val got = GraphOps.pageRank(e, "src", "dst", iters = 25, convergeDelta = delta)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      Thread.sleep(500) // listener bus drain (single-digit-ms in practice)
+      spark.sparkContext.removeSparkListener(listener)
+      (got, stages.get())
+    }
+    val (full, stagesFull) = run(0L)
+    val (conv, stagesConv) = run(1L)
+    assert(full == conv, "early stop changed the fixed-point result")
+    assert(full.values.toSet == Set(1000000L))
+    assert(stagesConv < stagesFull / 2,
+      s"converged run executed $stagesConv stages vs $stagesFull for the full run — early stop not firing")
+  }
+
+  test("convergence probe off the last step: delta>0 with iters=2 matches the unrolled result") {
+    val got = GraphOps.pageRank(edges, "src", "dst", iters = 2, convergeDelta = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
+  }
+
   test("null endpoints drop out of the edge set") {
     val e = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
       .toDF("src", "dst")

@@ -64,4 +64,27 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .select(countDistinct(col("_salt"))).collect()(0).getLong(0)
     assert(tailSalts == 1)
   }
+
+  test("the driver collect is the HEAD, not the distinct-host count") {
+    import spark.implicits._
+    // 10_000 one-row hosts + 2 heavy hosts: the unfiltered count frame has
+    // 10_002 rows, but the share filter runs IN-FRAME, so the collected head
+    // is bounded by 2·targetPartitions (shares sum to 1) — the invariant that
+    // keeps the extraction hot path alive at 10^7-10^8 crawl hosts
+    val tp = 8
+    val rows =
+      (0 until 10000).map(i => s"http://t$i.example/p") ++
+        (0 until 4000).map(i => s"http://heavy-a.example/p$i") ++
+        (0 until 4000).map(i => s"http://heavy-b.example/p$i")
+    val df = rows.toDF("url").withColumn("_host", url_host(col("url")))
+    val counts = SkewSalting.sampledHostCounts(df, col("_host"), 1.0, 7L)
+    val total = counts.agg(sum(col("_c"))).first().getLong(0)
+    assert(counts.count() == 10002L)
+    val headRows = SkewSalting.headFrame(counts, total, tp).count()
+    assert(headRows <= 2L * tp, s"head frame has $headRows rows — the share filter is not in-frame")
+    assert(headRows >= 2L, "the two heavy hosts must be in the head")
+    val salts = SkewSalting.headHostSalts(df, col("_host"), tp, sampleFraction = 1.0)
+    assert(salts.contains("heavy-a.example") && salts.contains("heavy-b.example"))
+    assert(salts.size <= 2 * tp)
+  }
 }
