@@ -289,6 +289,41 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q92: language-ID replay — the trained model interpolates as (gram,
+    * lang, micro-nat logp) literals (LangId froze every logarithm to an
+    * integer at train time), DuckDB re-extracts code-point bigrams of the
+    * padded text with substr (character semantics = the Scala code-point
+    * contract), sums Longs per language, and argmaxes with the same
+    * score-DESC-lang-ASC tie-break. */
+  private def q92OracleSql: String = {
+    import graft.text.LangId
+    def esc(s: String) = s.replace("'", "''")
+    val model = LangId.modelRows
+      .map { case (g, l, lp) => s"('${esc(g)}','$l',${lp}::BIGINT)" }
+      .mkString(",\n    ")
+    val oov = LangId.oovRows.map { case (l, lp) => s"('$l',${lp}::BIGINT)" }.mkString(", ")
+    val txts = LangId.HeldOut.zipWithIndex
+      .map { case ((_, s0), i) => s"($i, '${esc(s0)}')" }.mkString(",\n    ")
+    s"""WITH model(g, l, lp) AS (VALUES
+       |    $model),
+       |  oov(l, olp) AS (VALUES $oov),
+       |  txt(k, s) AS (VALUES
+       |    $txts),
+       |  padded AS (SELECT k, ' ' || substr(s, 1, ${LangId.MaxCodePoints}) || ' ' AS p FROM txt),
+       |  pos AS (SELECT k, p, unnest(range(1, length(p))) AS i FROM padded),
+       |  grams AS (SELECT k, substr(p, CAST(i AS BIGINT), 2) AS g FROM pos),
+       |  scores AS (SELECT k, o.l AS l, CAST(sum(coalesce(m.lp, o.olp)) AS BIGINT) AS sc
+       |    FROM grams gr CROSS JOIN oov o
+       |    LEFT JOIN model m ON m.g = gr.g AND m.l = o.l
+       |    GROUP BY k, o.l),
+       |  best AS (SELECT k, l, sc,
+       |      row_number() OVER (PARTITION BY k ORDER BY sc DESC, l ASC) AS rn
+       |    FROM scores)
+       |SELECT d.doc_id, b.l AS pred_lang, b.sc AS score_micro
+       |FROM documents d JOIN best b ON b.k = d.doc_id % ${LangId.HeldOut.size} AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q70: the hashed-bigram LM cross-entropy replayed exactly — token hashes
     * (ngram_hashes seed), unigram-gram splitmix fold → B buckets, packed
     * consecutive-bucket keys, add-one-smoothed target counts, per-key costs
@@ -1143,6 +1178,26 @@ object SparkEntry {
         .select(col("doc_id"),
           html_meta(payload).getField("refresh_url").as("refresh_url"),
           element_at(extract_links(payload, url), 1).as("first_link"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // real language ID (the CCNet §4.3 classifier gate): char-bigram Naive
+    // Bayes over 11 languages / 4 scripts with integer micro-nat scores —
+    // texts are held-out sentences rotated per doc_id % 11, and the oracle
+    // RE-CLASSIFIES from the interpolated model table (no closed-form answer
+    // key: DuckDB recomputes every gram lookup, the Long sum, and the argmax)
+    "q92_langid_nb" -> ((s, dir) => {
+      val cases = graft.text.LangId.HeldOut
+      val k = pmod(col("doc_id"), lit(cases.size.toLong))
+      val txt = cases.zipWithIndex.drop(1).foldLeft(
+        when(k === 0, lit(cases.head._2))) { case (acc, ((_, sent), i)) =>
+        acc.when(k === i, lit(sent))
+      }.otherwise(lit(""))
+      val lid = lang_id(txt)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          lid.getField("lang").as("pred_lang"),
+          lid.getField("score_micro").as("score_micro"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2297,6 +2352,8 @@ object SparkEntry {
         |  'https://b' || CAST(doc_id % 50 AS VARCHAR) || '.example/x/a'
         |    || CAST(doc_id % 50 AS VARCHAR) AS first_link
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // language-ID: full model-table replay (no closed-form answer key)
+    "q92_langid_nb" -> q92OracleSql,
     // RSS docs emit two items (CDATA title; entity title; absent pubDate ->
     // NULL); Atom docs emit one (alternate link beats the leading self link)
     "q90_feed_items" ->

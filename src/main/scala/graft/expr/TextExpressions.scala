@@ -127,6 +127,24 @@ case class WsTokens(child: Expression) extends UnaryExpression with CodegenFallb
     copy(child = newChild)
 }
 
+/** Language identification: struct(lang, score_micro) from the embedded
+  * char-bigram Naive Bayes (graft.text.LangId). Integer micro-nat scores —
+  * the DuckDB oracle replays a prediction from the interpolated model table
+  * without ever computing a logarithm. The model is a JVM-wide singleton
+  * (trains once per executor from the embedded seed corpus). */
+case class LangIdExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score_micro", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val (lang, score) = graft.text.LangId.classify(input.asInstanceOf[UTF8String].toString)
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(lang), score)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 /** splitmix64 finalizer over a long column — the deterministic sampling key
   * (reproducible across runs and partitionings, unlike rand()). */
 case class SplitMix64(child: Expression) extends UnaryExpression {

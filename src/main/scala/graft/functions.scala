@@ -206,6 +206,12 @@ object functions {
   def contains_any_pattern(s: Column, patterns: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
     ColumnBridge.column(ContainsAnyPattern(expr(s), patterns))
 
+  /** Language ID: struct(lang, score_micro) — char-bigram Naive Bayes over
+    * 11 languages / 4 scripts (graft.text.LangId), integer micro-nat scores
+    * so oracles replay predictions bit-for-bit. */
+  def lang_id(text: Column): Column =
+    ColumnBridge.column(LangIdExpr(expr(text)))
+
   /** Whitespace tokens by the TextHash.tokenBounds contract
     * (Character.isWhitespace — the SAME tokenizer ngram_hashes positions are
     * counted in; a regex "\\s+" split disagrees on Unicode whitespace). */

@@ -58,13 +58,20 @@ object CurationPipeline {
     * gates see (normalization noise must not shift docs across the
     * threshold), and a doc too short to score (<2 tokens, n_bigrams = 0) is
     * LM-neutral — the length gates own that judgment. */
+  /** `langFromText = true` derives a `lang` column on the curated output via
+    * the embedded char-bigram classifier (graft.text.LangId — the CCNet §4.3
+    * gate; no lang input column is trusted or required), and when
+    * `pplTerciles` is also set the head/middle/tail split runs PER PREDICTED
+    * LANGUAGE (CCNet computes terciles per language, not globally). Per-row
+    * expression over the survivors' one rescan — no extra shuffle. */
   def run(docs: DataFrame, textCol: String, idCol: String, urlCol: String,
           hostCapK: Int = 100000, samplePct: Int = 100,
           gates: Set[String] = Set("gopher", "c4"),
           saltBuckets: Int = 64,
           lmTarget: Option[(DataFrame, String)] = None,
           lmMaxCeNats: Double = 9.0,
-          pplTerciles: Boolean = false): Result = {
+          pplTerciles: Boolean = false,
+          langFromText: Boolean = false): Result = {
     val norm = CurationOps.normalizeText(col(textCol))
     val quality = Seq(
       if (gates.contains("gopher")) Some(gopherKeep(norm)) else None,
@@ -133,23 +140,35 @@ object CurationPipeline {
     val keepIds = afterCapIds.filter(smp)
     val base = docs.select(col(idCol).as("_id"), col(urlCol).as("_url"), norm.as("_text"))
     val kept = base.join(keepIds, Seq("_id"), "left_semi")
-    val curated0 = CurationOps.dropDuplicatedLines(kept, "_text", "_id")
-      .join(kept.select(col("_id"), col("_url")), Seq("_id"))
-      .select(col("_id").as(idCol), col("_url").as(urlCol),
-        col("text_deduped").as(textCol))
+    val withLang =
+      if (langFromText)
+        CurationOps.dropDuplicatedLines(kept, "_text", "_id")
+          .join(kept.select(col("_id"), col("_url"),
+            lang_id(col("_text")).getField("lang").as("lang")), Seq("_id"))
+      else
+        CurationOps.dropDuplicatedLines(kept, "_text", "_id")
+          .join(kept.select(col("_id"), col("_url")), Seq("_id"))
+    val curated0 = withLang.select(
+      Seq(col("_id").as(idCol), col("_url").as(urlCol),
+        col("text_deduped").as(textCol)) ++
+        (if (langFromText) Seq(col("lang")) else Nil): _*)
     // optional CCNet tiering (Wenzek §4.4): attach head/middle/tail terciles
     // by LM score over the curated survivors — downstream corpora sample by
     // tier instead of a hard LM cut. Scores are per-doc (independent of which
     // rows are scored), so scoring only the survivors is both cheaper and
     // consistent with the gate's scores; terciles use the histogram
-    // contract (never a survivor sort). Single-language contract here — a
-    // lang column would simply replace the constant key.
+    // contract (never a survivor sort). The tier key is the PREDICTED
+    // language when langFromText is on (CCNet's per-language terciles);
+    // otherwise the single-language constant.
     val curated = (pplTerciles, lmTarget) match {
       case (true, Some((tgt, tcol))) =>
         val normTgt = tgt.select(CurationOps.normalizeText(col(tcol)).as(tcol))
+        val tierKey =
+          if (langFromText) lang_id(col("_text")).getField("lang")
+          else lit("all")
         val scored = CurationOps.lmCrossEntropy(
             kept.select(col("_id"), col("_text")), "_text", "_id", normTgt, tcol)
-          .withColumn("_tier_key", lit("all"))
+          .join(kept.select(col("_id"), tierKey.as("_tier_key")), Seq("_id"))
         val buckets = CurationOps.perplexityBuckets(scored, "ce_nats", "_tier_key")
           .select(col("_id").as(idCol), col("ppl_bucket"))
         curated0.join(buckets, Seq(idCol), "left")

@@ -143,6 +143,42 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!off.curated.columns.contains("ppl_bucket"))
   }
 
+  test("langFromText: classifier lang rides the curated output and keys the terciles") {
+    // two language families, LM gates off: the classifier must label the
+    // curated rows, and with terciles on the head/middle/tail split must run
+    // PER LANGUAGE (CCNet's contract), not over one global pool
+    // score spreaders stay IN-LANGUAGE (off-target bigrams raise the LM
+    // cross-entropy monotonically in i without flipping the classifier)
+    val en = (1 to 6).map(i => goodText(s"en$i") + (" jolly walrus whimsy" * i))
+    val de = (1 to 6).map(i =>
+      ((1 to 6).map(j => s"der schnelle braune fuchs von wirt g$i springt über hund$j.").mkString("\n")) +
+        (" seltsames walross wunder" * i))
+    val docs = (en ++ de).zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, s"http://h${i + 1}.example/x", t) }.toDF("id", "url", "text")
+    val target = Seq(goodText("t1"), "der schnelle braune fuchs springt über den faulen hund.")
+      .toDF("t")
+    val r = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), lmTarget = Some((target, "t")), lmMaxCeNats = 100.0,
+      pplTerciles = true, langFromText = true)
+    val rows = r.curated.select("id", "lang", "ppl_bucket").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    assert(rows.length == 12)
+    val langs = rows.map(r0 => r0._1 -> r0._2).toMap
+    assert((1L to 6L).forall(langs(_) == "en"), langs.toString)
+    assert((7L to 12L).forall(langs(_) == "de"), langs.toString)
+    // per-language terciles: each 6-doc language pool splits 2/2/2
+    Seq(1L to 6L, 7L to 12L).foreach { ids =>
+      val tiers = rows.filter(r0 => ids.contains(r0._1)).map(_._3)
+      assert(tiers.sorted.toSeq == Seq("head", "head", "middle", "middle", "tail", "tail"),
+        tiers.mkString(","))
+    }
+    // without terciles, lang still rides the output
+    val noTier = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), langFromText = true)
+    assert(noTier.curated.columns.contains("lang"))
+    assert(!noTier.curated.columns.contains("ppl_bucket"))
+  }
+
   test("crash between commit groups resumes to byte-identical curated output (§5.3)") {
     val docs = (1L to 120L).map(i =>
       (i, s"http://h${i % 9}.example/$i", goodText(s"c$i"))).toDF("id", "url", "text")
