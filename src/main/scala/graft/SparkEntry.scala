@@ -1498,6 +1498,44 @@ object SparkEntry {
           round(element_at(col("f"), 5).cast("double"), 4).as("var_c0"))
     }),
 
+    // REAL Vorbis payload decode (in-band codebooks → Huffman → floor1 →
+    // residue VQ → iMDCT → lapped windows; VorbisDecode): 200 fixture
+    // streams rotate channels, block plans (incl. long/short window
+    // switching), rates, and floor Y values; the VQ delta is zero, so the
+    // decoded PCM is EXACTLY silent and every output is an integer —
+    // n_samples replays the lapping arithmetic (frame i contributes
+    // n(i-1)/4 + n(i)/4, clamped by the end granule), floor_y_sum replays
+    // the Huffman-decoded per-frame/per-channel floor values, and
+    // sum_abs_micro = 0 certifies the silence byte-for-byte
+    "q93_vorbis_pcm" -> ((s, dir) => {
+      import graft.media.VorbisEncode
+      import graft.media.VorbisEncode.Frame
+      val hexes = (0 until 200).map { m =>
+        val ch = 1 + m % 2
+        val (y0, y1, y2) = (m % 256, (m * 3) % 256, m % 4)
+        def fr(long: Boolean) = Frame(long, y0, y1, y2)
+        val (plan, clamp) = (m % 4) match {
+          case 0 => (Seq(fr(false), fr(false), fr(false), fr(false)), -1L)
+          case 1 => (Seq(fr(false), fr(true), fr(true), fr(false)), -1L)
+          case 2 => (Seq(fr(true), fr(true), fr(true), fr(true), fr(true)), -1L)
+          case _ => (Seq(fr(false), fr(false), fr(false)), 50L)
+        }
+        VorbisEncode.stream(8000 + 100 * (m % 7), ch, 64, 256, plan,
+          granuleOverride = clamp).map(x => f"${x & 0xff}%02X").mkString
+      }
+      val v = vorbis_features(unhex(
+        element_at(array(hexes.map(lit): _*), (col("doc_id") % 200 + 1).cast("int"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          v.getField("sample_rate").as("sample_rate"),
+          v.getField("channels").as("channels"),
+          v.getField("n_samples").as("n_samples"),
+          v.getField("n_packets").as("n_packets"),
+          v.getField("floor_y_sum").as("floor_y_sum"),
+          v.getField("sum_abs_micro").as("sum_abs_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual image dedup by 64-bit difference hash (the crawl-pipeline
     // near-dup key: same composition re-encoded or RESIZED hashes
     // identically). Fixture: vertical-stripe BMPs on the dHash 9-column grid
@@ -2643,6 +2681,21 @@ object SparkEntry {
         |                 xor(doc_id % 200, 85) AS a FROM documents)
         |  )
         |)""".stripMargin,
+    // Vorbis fixtures are silent by construction (zero VQ delta), so every
+    // column is integer closed-form: the lapped sample count per block plan
+    // (joins of n/4 + n/4, end-granule clamp on pattern 3) and the floor-Y
+    // sum the decoder recovers through the in-band Huffman codebooks
+    "q93_vorbis_pcm" ->
+      """SELECT doc_id,
+        |  CAST(8000 + 100 * (m % 7) AS INT) AS sample_rate,
+        |  CAST(1 + m % 2 AS INT) AS channels,
+        |  CAST(CASE m % 4 WHEN 0 THEN 96 WHEN 1 THEN 288 WHEN 2 THEN 512 ELSE 50 END AS BIGINT) AS n_samples,
+        |  CAST(CASE m % 4 WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 3 END AS INT) AS n_packets,
+        |  CAST((CASE m % 4 WHEN 2 THEN 5 WHEN 3 THEN 3 ELSE 4 END) * (1 + m % 2)
+        |       * ((m % 256) + ((m * 3) % 256) + (m % 4)) AS BIGINT) AS floor_y_sum,
+        |  CAST(0 AS BIGINT) AS sum_abs_micro
+        |FROM (SELECT doc_id, doc_id % 200 AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // dHash replay: stripes land exactly on the 9×8 grid cells, bright tone
     // (BT.601 luma ≈ 159) for pattern bit 1, dark (≈ 21) for 0, so bit
     // cy·8+cx is set iff p has a 1→0 transition at cx — one byte per grid row

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.media.{AvMeta, ExifMeta, MediaSniff}
+import graft.media.{AvMeta, ExifMeta, MediaSniff, VorbisDecode}
 
 object ExifMetaExpr {
   val structType: StructType = StructType(Seq(
@@ -91,6 +91,37 @@ case class ImageDhash(child: Expression) extends UnaryExpression with CodegenFal
   override protected def nullSafeEval(input: Any): Any =
     MediaSniff.dhash64(input.asInstanceOf[Array[Byte]]).map(Long.box).orNull
   override protected def withNewChildInternal(newChild: Expression): ImageDhash =
+    copy(child = newChild)
+}
+
+object VorbisFeaturesExpr {
+  val structType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_packets", IntegerType, nullable = false),
+    StructField("floor_y_sum", LongType, nullable = false),
+    StructField("sum_abs_micro", LongType, nullable = false),
+    StructField("peak_micro", LongType, nullable = false)
+  ))
+}
+
+/** REAL Vorbis payload decode (VorbisDecode — in-band codebooks, floor1,
+  * residue, iMDCT, lapped windows): PCM length after granule clamping plus
+  * integer decode evidence — floor_y_sum proves the Huffman/floor bitstream
+  * machinery, sum_abs/peak quantize the decoded float signal to micro-units.
+  * NULL for non-Vorbis or undecodable payloads. */
+case class VorbisFeaturesExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = VorbisFeaturesExpr.structType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VorbisDecode.decode(input.asInstanceOf[Array[Byte]]) match {
+      case Some(p) => InternalRow(p.sampleRate, p.channels, p.frames,
+        p.nPackets, p.floorYSum, p.sumAbsMicro, p.peakMicro)
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): VorbisFeaturesExpr =
     copy(child = newChild)
 }
 

@@ -171,9 +171,10 @@ object functions {
   def media_sniff(bytes: Column): Column =
     ColumnBridge.column(MediaSniffExpr(expr(bytes)))
 
-  /** Media features: array<float>[8]. REAL per-channel mean/variance for PNG
-    * (PngDecode: inflate + un-filter); deterministic hash-sketch STUB for
-    * formats with no JVM codec (JPEG/GIF/audio/video). */
+  /** Media features: array<float>[8]. REAL per-channel mean/variance for the
+    * decodable formats (PNG/JPEG/GIF/BMP/TIFF/WebP-lossless images; WAV
+    * incl. G.711, FLAC, Ogg/Vorbis audio); deterministic hash-sketch STUB
+    * only for the table-data codecs (MP3/AAC/Opus/video — see README). */
   def media_features(bytes: Column): Column =
     ColumnBridge.column(MediaFeatures(expr(bytes)))
 
@@ -193,6 +194,13 @@ object functions {
     * APP1 or bare TIFF bytes — has_gps is the image-side location-PII flag. */
   def exif_meta(bytes: Column): Column =
     ColumnBridge.column(ExifMetaExpr(expr(bytes)))
+
+  /** REAL Vorbis payload decode: struct(sample_rate, channels, n_samples,
+    * n_packets, floor_y_sum, sum_abs_micro, peak_micro) — in-band codebook
+    * Huffman decode, floor1 synthesis, residue VQ, iMDCT, lapped windows
+    * (VorbisDecode). NULL for non-Vorbis payloads. */
+  def vorbis_features(bytes: Column): Column =
+    ColumnBridge.column(VorbisFeaturesExpr(expr(bytes)))
 
   /** True iff `host` (lowercased by the caller) equals or is a subdomain of
     * any broadcast domain — the blocklist gate's scale shape (hash-set probe

@@ -263,6 +263,7 @@ object MediaSniff {
       decodeImage(b).map { case (w, h, ch, s, _) => (w.toLong * h, ch, s) }
         .orElse(WavDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
         .orElse(FlacDecode.decode(b).map(s => (s.frames.toLong, s.channels, s.data)))
+        .orElse(VorbisDecode.decode(b).map(p => (p.frames, p.channels, p.data)))
     decoded match {
       case Some((n, channels, samples)) =>
         val sums = new Array[Double](4)
