@@ -856,6 +856,23 @@ object SparkEntry {
         centroids, k = 5, nProbe = 16)
     }),
 
+    // IVF-PQ (Jégou 2011) — the compressed-vector 100 TB ANN shape: the
+    // inverted file carries M-byte PQ codes instead of dim doubles, the
+    // candidate stage ranks by asymmetric-distance cosine over codes alone
+    // (spec-metered ≥4× shuffle-byte reduction), and only the k·refine
+    // shortlist re-ranks against exact floats. nProbe = k + refine ≥ corpus
+    // makes the result bit-identical to brute force (the q37 oracle
+    // contract); the lossy recall curve is pinned in IvfPqSpec.
+    "q94_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id",
+        k = 16, iters = 3, sampleDenominator = 4)
+      val pq = graft.ops.IvfPq.trainPq(emb, "embedding", "vec_id", dim = 64,
+        m = 8, ksub = 16, iters = 2, sampleDenominator = 4)
+      graft.ops.IvfPq.topK(emb, "embedding", "vec_id", col("vec_id") < 20,
+        centroids, pq, k = 5, nProbe = 16, refine = 1 << 16)
+    }),
+
     // ---------------- extraction round-trips (the engine core, oracle-checked) ----------------
     "q17_extract_html_roundtrip" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2148,6 +2165,17 @@ object SparkEntry {
         |) WHERE rank <= 5""".stripMargin,
     // IVF at nProbe=k is exhaustive → must equal the brute-force baseline
     "q37_ann_ivf" ->
+      """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        |) WHERE rank <= 5""".stripMargin,
+    // IVF-PQ at nProbe=k with refine covering the corpus: the exact float
+    // re-rank over an exhaustive shortlist ≡ brute force, independent of
+    // codebook quality (the q37 contract, now through the PQ candidate path)
+    "q94_ann_ivfpq" ->
       """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,

@@ -65,6 +65,81 @@ object VectorExprRuntime {
     best
   }
 
+  /** Index of the min-L2 centroid (plain Lloyd assignment — PQ subspace
+    * quantizers are Euclidean, NOT cosine); ties keep the first index. */
+  def argMinL2(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val p = cs(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.numElements(), p.length)
+      while (i < n) { val x = v.getDouble(i) - p(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization encode: per subspace s the argmin-L2 code against
+    * books(s) (ties → first index), one byte per subspace. Subspace s covers
+    * vector positions [s·dsub, (s+1)·dsub). */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val out = new Array[Byte](books.length)
+    var off = 0
+    var s = 0
+    while (s < books.length) {
+      val cb = books(s)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (off + i < v.numElements()) v.getDouble(off + i) else 0.0) - cb(c)(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      off += dsub
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance cosine: the float query against a PQ-coded
+    * neighbor — Σ_s dot(q_s, c_s[code_s]) / ‖concat(c_s[code_s])‖. The
+    * query's own norm is constant per query and dropped (ordering only). */
+  def pqAdcCosine(q: ArrayData, codes: Array[Byte], books: Array[Array[Array[Double]]]): Double = {
+    var acc = 0.0
+    var nrm = 0.0
+    var off = 0
+    var s = 0
+    val m = math.min(books.length, codes.length)
+    while (s < m) {
+      val cb = books(s)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      val cvec = cb((codes(s) & 0xff) % math.max(1, cb.length))
+      var i = 0
+      while (i < dsub) {
+        val cx = cvec(i)
+        acc += (if (off + i < q.numElements()) q.getDouble(off + i) else 0.0) * cx
+        nrm += cx * cx
+        i += 1
+      }
+      off += dsub
+      s += 1
+    }
+    if (nrm == 0.0) 0.0 else acc / math.sqrt(nrm)
+  }
+
   /** The nProbe centroid indices by descending dot, ties by ascending index —
     * the array_sort(struct(-dot, idx)) convention this replaces. */
   def topDotIndices(v: ArrayData, cs: Array[Array[Double]], nProbe: Int): ArrayData = {
@@ -169,6 +244,72 @@ case class ArgMaxDotExpr(child: Expression, matrix: Seq[Seq[Double]])
   }
   override protected def withNewChildInternal(newChild: Expression): ArgMaxDotExpr =
     copy(child = newChild)
+}
+
+/** min-L2 assignment against constant centroids (PQ subspace Lloyd). */
+case class ArgMinL2Expr(child: Expression, matrix: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with MatrixExpr {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"argmin_l2 expects array<double>, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    VectorExprRuntime.argMinL2(input.asInstanceOf[ArrayData], matrixArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrixArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorExprRuntime.argMinL2($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMinL2Expr =
+    copy(child = newChild)
+}
+
+/** Base for expressions carrying constant PQ codebooks (m × ksub × dsub) as
+  * a referenced plan object — same rationale as MatrixExpr. */
+sealed trait BooksExpr extends Expression {
+  def books: Seq[Seq[Seq[Double]]]
+  @transient protected lazy val booksArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+}
+
+/** PQ encode: one byte per subspace (argmin-L2 code) — the compressed
+  * vector the candidate join shuffles instead of dim doubles. */
+case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with BooksExpr {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<double>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorExprRuntime.pqEncode(input.asInstanceOf[ArrayData], booksArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", booksArr, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorExprRuntime.pqEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance cosine of a float query against a PQ code. */
+case class PqAdcCosineExpr(left: Expression, right: Expression, books: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with BooksExpr {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_cosine expects (array<double>, binary), got $l and $r")
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorExprRuntime.pqAdcCosine(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]], booksArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", booksArr, "double[][][]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorExprRuntime.pqAdcCosine($a, $b, $ref)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcCosineExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Top-nProbe centroid indices by dot (IVF probe lists). */
