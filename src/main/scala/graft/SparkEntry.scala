@@ -1198,6 +1198,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // crawl-frontier composition (FrontierOps): anchors + meta-refresh +
+    // feed items from ONE payload scan, gated by RFC 9309 robots (even
+    // hosts disallow /p/), the broadcast blocklist (spam.example), and a
+    // seen anti-join (even-m t-targets already fetched), deduplicated on
+    // the canonical url with the min-struct keeper — every surviving row
+    // is closed-form from (doc_id % 50, doc_id % 7); every 10th m the page
+    // IS an RSS feed, exercising the feed branch
+    "q95_frontier" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val h = (col("doc_id") % 7).cast("string")
+      val url = concat(lit("https://h"), h, lit(".example/dir/page"))
+      val html = concat(
+        lit("<html><head><meta http-equiv=\"refresh\" content=\"1; url=/go/"), m,
+        lit("\"></head><body><a href=\"/p/"), m,
+        lit("\">a</a> <a rel=\"nofollow\" href=\"/nf/"), m,
+        lit("\">n</a> <a href=\"https://spam.example/x"), m,
+        lit("\">s</a> <a href=\"https://t"), m,
+        lit(".example/only\">t</a></body></html>"))
+      val rss = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel><title>c</title>"),
+        lit("<item><title>i</title><link>https://f"), m,
+        lit(".example/item</link></item></channel></rss>"))
+      val payload = encode(when(col("doc_id") % 50 % 10 === 9, rss).otherwise(html), "UTF-8")
+      val pages = t(s, dir, "documents").select(url.as("url"), payload.as("payload"))
+      val robots = s.range(7).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example")).as("host"),
+        when(col("id") % 2 === 0, lit("User-agent: *\nDisallow: /p/"))
+          .otherwise(lit("User-agent: *\nDisallow:")).as("robots_txt"))
+      val seen = s.range(50).filter(col("id") % 2 === 0)
+        .select(concat(lit("https://t"), col("id").cast("string"),
+          lit(".example/only")).as("url"))
+      graft.ops.FrontierOps.frontier(pages, "url", "payload",
+        robots = Some(robots), blockedDomains = Seq("spam.example"),
+        seen = Some(seen), seenUrlCol = "url")
+        .select(col("url"), col("host"), col("kind"), col("discovered_from"))
+        .orderBy(col("url"), col("kind"))
+    }),
+
     // real language ID (the CCNet §4.3 classifier gate): char-bigram Naive
     // Bayes over 11 languages / 4 scripts with integer micro-nat scores —
     // texts are held-out sentences rotated per doc_id % 11, and the oracle
@@ -2418,6 +2456,36 @@ object SparkEntry {
         |  'https://b' || CAST(doc_id % 50 AS VARCHAR) || '.example/x/a'
         |    || CAST(doc_id % 50 AS VARCHAR) AS first_link
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frontier replay: the four candidate families from the distinct
+    // (m, h) grid, each WHERE clause one gate — odd h passes robots for
+    // /p/, refreshes always pass, odd-m t-targets are unseen, feeds ride
+    // the m%10=9 RSS pages; keeper = min discoverer (h0 exists for every m)
+    "q95_frontier" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 50 AS m, doc_id % 7 AS h FROM documents),
+        |cand AS (
+        |  SELECT 'https://h' || CAST(h AS VARCHAR) || '.example/p/' || CAST(m AS VARCHAR) AS url,
+        |         'h' || CAST(h AS VARCHAR) || '.example' AS host, 'anchor' AS kind,
+        |         'https://h' || CAST(h AS VARCHAR) || '.example/dir/page' AS dfrom
+        |  FROM d WHERE m % 10 <> 9 AND h % 2 = 1
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(h AS VARCHAR) || '.example/go/' || CAST(m AS VARCHAR),
+        |         'h' || CAST(h AS VARCHAR) || '.example', 'refresh',
+        |         'https://h' || CAST(h AS VARCHAR) || '.example/dir/page'
+        |  FROM d WHERE m % 10 <> 9
+        |  UNION ALL
+        |  SELECT 'https://t' || CAST(m AS VARCHAR) || '.example/only',
+        |         't' || CAST(m AS VARCHAR) || '.example', 'anchor',
+        |         'https://h' || CAST(h AS VARCHAR) || '.example/dir/page'
+        |  FROM d WHERE m % 10 <> 9 AND m % 2 = 1
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(m AS VARCHAR) || '.example/item',
+        |         'f' || CAST(m AS VARCHAR) || '.example', 'feed',
+        |         'https://h' || CAST(h AS VARCHAR) || '.example/dir/page'
+        |  FROM d WHERE m % 10 = 9
+        |)
+        |SELECT url, host, kind, min(dfrom) AS discovered_from
+        |FROM cand GROUP BY url, host, kind
+        |ORDER BY url, kind""".stripMargin,
     // language-ID: full model-table replay (no closed-form answer key)
     "q92_langid_nb" -> q92OracleSql,
     // RSS docs emit two items (CDATA title; entity title; absent pubDate ->

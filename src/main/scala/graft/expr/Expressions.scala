@@ -136,6 +136,23 @@ case class ExtractLinks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** RFC 3986 §5.2 resolution of a reference against a base url (HtmlLinks
+  * .resolveUrl) — for refs that arrive outside an href: meta-refresh
+  * targets, redirect locations. NULL when the result is not http(s). */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(base: Any, ref: Any): Any = {
+    val r = graft.html.HtmlLinks.resolveUrl(
+      base.asInstanceOf[UTF8String].toString, ref.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ResolveUrl =
+    copy(left = newLeft, right = newRight)
+}
+
 object FeedItems {
   val elementType: StructType = StructType(Seq(
     StructField("title", StringType, nullable = true),

@@ -40,6 +40,11 @@ object functions {
   def extract_links(html: Column, url: Column): Column =
     ColumnBridge.column(ExtractLinks(expr(html), expr(url)))
 
+  /** RFC 3986 §5.2: resolve `ref` against `base` (meta-refresh targets,
+    * redirect locations — refs outside an href). NULL if not http(s). */
+  def resolve_url(base: Column, ref: Column): Column =
+    ColumnBridge.column(ResolveUrl(expr(base), expr(ref)))
+
   /** (href, anchor text) structs for the same links — the anchor-text
     * harvest (entity-decoded, whitespace-collapsed, capped). */
   def html_anchors(html: Column, url: Column): Column =

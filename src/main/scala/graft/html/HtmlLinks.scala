@@ -37,6 +37,13 @@ object HtmlLinks {
   def extract(bytes: Array[Byte], baseUrl: String): Array[String] =
     extractWithText(bytes, baseUrl).map(_.href)
 
+  /** Public RFC 3986 §5.2 resolution of one reference against a base url —
+    * the same machinery the anchor walk uses, for refs that arrive OUTSIDE
+    * an href (meta-refresh targets, redirect headers). null = not a
+    * fetchable http(s) target. */
+  def resolveUrl(baseUrl: String, ref: String): String =
+    resolve(parseBase(baseUrl), ref)
+
   /** Anchor-text cap (chars, post-collapse): link text beyond this is
     * navigation noise, and hostile pages must not grow unbounded strings. */
   val MaxAnchorText = 256

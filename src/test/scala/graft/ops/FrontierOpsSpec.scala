@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.pipeline.FrontierPipeline
+
+class FrontierOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def htmlPage(links: String): Array[Byte] =
+    s"<html><head></head><body>$links</body></html>".getBytes("UTF-8")
+
+  test("composes anchors, refresh, and feed items; respects nofollow") {
+    import spark.implicits._
+    val html = htmlPage(
+      """<a href="/p/1">a</a> <a rel="nofollow" href="/nf/1">n</a>
+        |<a href="https://other.example/x">b</a>""".stripMargin) ++
+      "".getBytes
+    val withRefresh =
+      ("""<html><head><meta http-equiv="refresh" content="0; url=/go/7"></head>""" +
+        """<body><a href="/p/2">c</a></body></html>""").getBytes("UTF-8")
+    val rss =
+      ("""<?xml version="1.0"?><rss version="2.0"><channel><title>t</title>""" +
+        """<item><title>i</title><link>https://feed.example/item1</link></item>""" +
+        """</channel></rss>""").getBytes("UTF-8")
+    val pages = Seq(
+      ("https://h1.example/dir/page", html),
+      ("https://h2.example/a", withRefresh),
+      ("https://h3.example/feed.xml", rss)
+    ).toDF("url", "payload")
+    val got = FrontierOps.frontier(pages, "url", "payload")
+      .select("url", "host", "kind", "discovered_from")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("https://h1.example/p/1", "h1.example", "anchor", "https://h1.example/dir/page"),
+      ("https://other.example/x", "other.example", "anchor", "https://h1.example/dir/page"),
+      ("https://h2.example/p/2", "h2.example", "anchor", "https://h2.example/a"),
+      ("https://h2.example/go/7", "h2.example", "refresh", "https://h2.example/a"),
+      ("https://feed.example/item1", "feed.example", "feed", "https://h3.example/feed.xml")),
+      got.toString)
+  }
+
+  test("gate order: robots and blocklist filter BEFORE dedup; seen anti-joins after") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/", htmlPage(
+        """<a href="https://t.example/p/9">x</a> <a href="https://t.example/ok">y</a>
+          |<a href="https://spam.example/z">s</a> <a href="https://t.example/seen">w</a>""".stripMargin))
+    ).toDF("url", "payload")
+    val robots = Seq(("t.example", "User-agent: *\nDisallow: /p/")).toDF("host", "robots_txt")
+    val seen = Seq("https://t.example/seen").toDF("url")
+    val got = FrontierOps.frontier(pages, "url", "payload",
+      robots = Some(robots), blockedDomains = Seq("spam.example"), seen = Some(seen))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(got == Set("https://t.example/ok"), got.toString)
+  }
+
+  test("canonical dedup keeps one row with the min-struct keeper") {
+    import spark.implicits._
+    // the same target discovered from two pages and with a tracking-noise
+    // variant: one output row, keeper = lexicographically smallest
+    // (kind, discovered_from, url)
+    val pages = Seq(
+      ("https://b.example/", htmlPage("""<a href="https://t.example/page#frag">x</a>""")),
+      ("https://a.example/", htmlPage("""<a href="https://t.example/page">x</a>"""))
+    ).toDF("url", "payload")
+    val got = FrontierOps.frontier(pages, "url", "payload")
+      .select("url", "discovered_from").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == 1)
+    assert(got.head._2 == "https://a.example/", got.head.toString)
+  }
+
+  test("politeness key is stable per host and bounded by shards") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/", htmlPage(
+        """<a href="https://t.example/1">x</a> <a href="https://t.example/2">y</a>
+          |<a href="https://u.example/3">z</a>""".stripMargin))
+    ).toDF("url", "payload")
+    val got = FrontierOps.frontier(pages, "url", "payload", shards = 8)
+      .select("host", "politeness_key").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.forall { case (_, k) => k >= 0 && k < 8 })
+    assert(got.filter(_._1 == "t.example").map(_._2).distinct.length == 1)
+  }
+
+  test("pipeline: crash between commit groups resumes to byte-identical frontier") {
+    import spark.implicits._
+    val pages = (1 to 60).map { i =>
+      (s"https://h${i % 5}.example/p$i",
+        htmlPage((1 to 4).map(j => s"""<a href="/l/${i}_$j">x</a>""").mkString(" ")))
+    }.toDF("url", "payload")
+    def digests(dir: String): Map[Int, String] = {
+      val lin = spark.read.parquet(s"$dir/lineage")
+      lin.groupBy(col("bucket")).agg(max(col("digest")).as("d"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    }
+    val clean = java.nio.file.Files.createTempDirectory("frontier-clean").toString
+    FrontierPipeline.runJob(spark, pages, clean, "url", "payload",
+      nBuckets = 8, commitGroups = 4)
+    val crash = java.nio.file.Files.createTempDirectory("frontier-crash").toString
+    intercept[IllegalStateException] {
+      FrontierPipeline.runJob(spark, pages, crash, "url", "payload",
+        nBuckets = 8, commitGroups = 4, failAfterGroups = Some(2))
+    }
+    val resumed = FrontierPipeline.runJob(spark, pages, crash, "url", "payload",
+      nBuckets = 8, commitGroups = 4)
+    assert(resumed.resumedBuckets > 0, "resume must skip committed buckets")
+    assert(digests(crash) == digests(clean), "resumed bytes must equal uninterrupted")
+    assert(resumed.nTargets == 240)
+  }
+
+  test("crawl-loop idempotence: last round's output as seen yields nothing new") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/", htmlPage("""<a href="/x">x</a> <a href="/y">y</a>"""))
+    ).toDF("url", "payload")
+    val round1 = FrontierOps.frontier(pages, "url", "payload")
+    assert(round1.count() == 2)
+    val round2 = FrontierOps.frontier(pages, "url", "payload",
+      seen = Some(round1.select("url")))
+    assert(round2.count() == 0)
+  }
+}
