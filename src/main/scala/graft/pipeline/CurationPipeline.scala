@@ -63,7 +63,24 @@ object CurationPipeline {
     * gate; no lang input column is trusted or required), and when
     * `pplTerciles` is also set the head/middle/tail split runs PER PREDICTED
     * LANGUAGE (CCNet computes terciles per language, not globally). Per-row
-    * expression over the survivors' one rescan — no extra shuffle. */
+    * expression over the survivors' one rescan — no extra shuffle.
+    *
+    * Optional near-dup stages (all off by default; all keep the one-job
+    * checkpoint shape):
+    *  - `imagePayloadCol`: perceptual image dedup — one more window on the
+    *    flag frame keyed by `image_dhash(payload)`: among exact-dup
+    *    survivors, the min-id doc per hash keeps; docs whose payload is not
+    *    a decodable image (NULL dhash) pass. Funnel gains
+    *    n_after_image_dedup.
+    *  - `semDedup` = (embCol, unit centroids, eps): SemDeDup — the verdict
+    *    is computed by SimilarityOps.semDedup over the FULL input (its
+    *    min-id keeper/earlier-member drop rule is corpus-wide; scoping it
+    *    to prior-stage survivors would need a second checkpointed job) and
+    *    joins the narrow flag frame on the id BEFORE the checkpoint — the
+    *    LM-gate shape. Funnel gains n_after_semdedup.
+    *  - `spanDedup`: EXACTSUBSTR removal — a TRANSFORM of the curated text
+    *    (corpus-duplicated 13-token windows removed AFTER line dedup), part
+    *    of the curated-output action, not a flag. */
   def run(docs: DataFrame, textCol: String, idCol: String, urlCol: String,
           hostCapK: Int = 100000, samplePct: Int = 100,
           gates: Set[String] = Set("gopher", "c4"),
@@ -71,7 +88,10 @@ object CurationPipeline {
           lmTarget: Option[(DataFrame, String)] = None,
           lmMaxCeNats: Double = 9.0,
           pplTerciles: Boolean = false,
-          langFromText: Boolean = false): Result = {
+          langFromText: Boolean = false,
+          imagePayloadCol: Option[String] = None,
+          semDedup: Option[(String, Seq[Seq[Double]], Double)] = None,
+          spanDedup: Boolean = false): Result = {
     val norm = CurationOps.normalizeText(col(textCol))
     val quality = Seq(
       if (gates.contains("gopher")) Some(gopherKeep(norm)) else None,
@@ -83,12 +103,13 @@ object CurationPipeline {
     // the narrow flag frame: text/url are scanned ONCE here and not carried —
     // only ids, the window keys, and per-row verdicts flow into the windows,
     // and only (id, host, flags) survives into the checkpoint
-    val perRow = docs.select(
+    val perRow = docs.select(Seq(
       col(idCol).as("_id"),
       url_host(col(urlCol)).as("_host"),
       coalesce(canonical_url(col(urlCol)), col(urlCol)).as("_curl"),
       text_digest(norm).as("_digest"),
-      quality.as("_qrow"))
+      quality.as("_qrow")) ++
+      imagePayloadCol.map(p => image_dhash(col(p)).as("_dhash")).toSeq: _*)
     val withLm = lmTarget match {
       case Some((tgt, tcol)) =>
         val normDocs = docs.select(col(idCol),
@@ -98,18 +119,40 @@ object CurationPipeline {
           .select(col(idCol).as("_id"),
             (col("n_bigrams") === 0 || col("ce_nats") <= lmMaxCeNats).as("_lmok"))
         perRow.join(ce, Seq("_id"), "left")
-          .select(col("_id"), col("_host"), col("_curl"), col("_digest"),
-            (col("_qrow") && coalesce(col("_lmok"), lit(true))).as("_qrow"))
+          .withColumn("_qrow2", col("_qrow") && coalesce(col("_lmok"), lit(true)))
+          .drop("_qrow", "_lmok").withColumnRenamed("_qrow2", "_qrow")
       case None => perRow
     }
-    val flagged = withLm
+    // SemDeDup verdict (full-input contract, see Scaladoc) joins the narrow
+    // frame by id before the checkpoint — the LM-gate shape
+    val withSem = semDedup match {
+      case Some((embCol, centroids, eps)) =>
+        val keep = graft.ops.SimilarityOps.semDedup(
+            docs.select(col(idCol), col(embCol)), embCol, idCol,
+            centroids, eps, keeper = "min_id")
+          .select(col(idCol).as("_id"), lit(true).as("_semok"))
+        withLm.join(keep, Seq("_id"), "left")
+          .withColumn("_semok", coalesce(col("_semok"), lit(false)))
+      case None => withLm.withColumn("_semok", lit(true))
+    }
+    val dhashW = Window.partitionBy(col("_dhash"))
+    val imgKeep =
+      if (imagePayloadCol.isDefined)
+        col("_dig_keep") && (col("_dhash").isNull ||
+          col("_id") === min(when(col("_dig_keep"), col("_id"))).over(dhashW))
+      else col("_dig_keep")
+    val flagged = withSem
       .withColumnRenamed("_qrow", "_q")
       .withColumn("_url_keep", col("_id") === min(col("_id")).over(urlW))
       // exact-dup keeper AMONG url survivors: min id with _url_keep per digest
       .withColumn("_dig_keep", col("_url_keep") &&
         col("_id") === min(when(col("_url_keep"), col("_id"))).over(digW))
-      .withColumn("_q_keep", col("_dig_keep") && col("_q"))
-      .select(col("_id"), col("_host"), col("_url_keep"), col("_dig_keep"), col("_q_keep"))
+      // perceptual image dedup among exact-dup survivors (NULL dhash passes)
+      .withColumn("_img_keep", imgKeep)
+      .withColumn("_sem_keep", col("_img_keep") && col("_semok"))
+      .withColumn("_q_keep", col("_sem_keep") && col("_q"))
+      .select(col("_id"), col("_host"), col("_url_keep"), col("_dig_keep"),
+        col("_img_keep"), col("_sem_keep"), col("_q_keep"))
       .localCheckpoint(true)
 
     // ---- stage 5: two-phase host cap among quality survivors -------------
@@ -124,30 +167,49 @@ object CurationPipeline {
 
     // ---- stage 6 + funnel -------------------------------------------------
     val smp = pmod(splitmix64(col("_id").cast("long").bitwiseXOR(lit(0x5eedL))), lit(100)) < samplePct
+    // optional near-dup stages report their own funnel columns (between the
+    // exact-dedup and quality counts); schema is unchanged when they're off
+    val optNames =
+      (if (imagePayloadCol.isDefined) Seq("n_after_image_dedup") else Nil) ++
+      (if (semDedup.isDefined) Seq("n_after_semdedup") else Nil)
+    def optCounts = Seq(
+      "n_after_image_dedup" -> col("_img_keep"),
+      "n_after_semdedup" -> col("_sem_keep"))
+      .filter { case (n, _) => optNames.contains(n) }
+      .map { case (n, f) => coalesce(sum(when(f, 1L)), lit(0L)).as(n) }
     val aggAll = flagged.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(sum(when(col("_url_keep"), 1L)), lit(0L)).as("n_after_url_dedup"),
-      coalesce(sum(when(col("_dig_keep"), 1L)), lit(0L)).as("n_after_exact_dedup"),
-      coalesce(sum(when(col("_q_keep"), 1L)), lit(0L)).as("n_after_quality"))
+      Seq(coalesce(sum(when(col("_url_keep"), 1L)), lit(0L)).as("n_after_url_dedup"),
+        coalesce(sum(when(col("_dig_keep"), 1L)), lit(0L)).as("n_after_exact_dedup")) ++
+        optCounts :+
+        coalesce(sum(when(col("_q_keep"), 1L)), lit(0L)).as("n_after_quality"): _*)
     val aggCap = afterCapIds.agg(
       count(lit(1)).as("n_after_host_cap"),
       coalesce(sum(when(smp, 1L)), lit(0L)).as("n_curated"))
     val funnel = aggAll.crossJoin(aggCap).select(
-      col("n_docs"), col("n_after_url_dedup"), col("n_after_exact_dedup"),
-      col("n_after_quality"), col("n_after_host_cap"), col("n_curated"))
+      Seq(col("n_docs"), col("n_after_url_dedup"), col("n_after_exact_dedup")) ++
+        optNames.map(col) ++
+        Seq(col("n_after_quality"), col("n_after_host_cap"), col("n_curated")): _*)
 
     // ---- curated output: keep-set ids → one per-row rescan of the corpus --
     val keepIds = afterCapIds.filter(smp)
     val base = docs.select(col(idCol).as("_id"), col(urlCol).as("_url"), norm.as("_text"))
     val kept = base.join(keepIds, Seq("_id"), "left_semi")
+    val lineDeduped = CurationOps.dropDuplicatedLines(kept, "_text", "_id")
+    // optional EXACTSUBSTR removal (Lee 2022 §4.1) of the line-deduped text:
+    // corpus-duplicated 13-token windows vanish from the curated output —
+    // a transform inside the curated action, not a flag
+    val textFrame =
+      if (spanDedup)
+        CurationOps.removeDuplicatedSpans(lineDeduped, "text_deduped", "_id")
+          .select(col("_id"), col("clean_text").as("text_deduped"))
+      else lineDeduped
     val withLang =
       if (langFromText)
-        CurationOps.dropDuplicatedLines(kept, "_text", "_id")
-          .join(kept.select(col("_id"), col("_url"),
-            lang_id(col("_text")).getField("lang").as("lang")), Seq("_id"))
+        textFrame.join(kept.select(col("_id"), col("_url"),
+          lang_id(col("_text")).getField("lang").as("lang")), Seq("_id"))
       else
-        CurationOps.dropDuplicatedLines(kept, "_text", "_id")
-          .join(kept.select(col("_id"), col("_url")), Seq("_id"))
+        textFrame.join(kept.select(col("_id"), col("_url")), Seq("_id"))
     val curated0 = withLang.select(
       Seq(col("_id").as(idCol), col("_url").as(urlCol),
         col("text_deduped").as(textCol)) ++

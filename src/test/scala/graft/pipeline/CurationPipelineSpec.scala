@@ -179,6 +179,76 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!noTier.curated.columns.contains("ppl_bucket"))
   }
 
+  test("image-dedup stage: same composition at two resolutions keeps min id; non-images pass") {
+    // docs 1 and 2 render the SAME stripe pattern at different resolutions
+    // (dHash is resolution-invariant) → doc 1 keeps; doc 3 is a different
+    // pattern; doc 4's payload is not an image (NULL dhash passes)
+    val img = (p: Int, w: Int, h: Int) =>
+      graft.media.ImageEncode.bmpVStripes(w, h, p, (200, 150, 100), (10, 30, 5))
+    val docs = Seq(
+      (1L, "http://h1.example/a", goodText("a1"), img(5, 18, 16)),
+      (2L, "http://h2.example/b", goodText("b2"), img(5, 36, 32)),
+      (3L, "http://h3.example/c", goodText("c3"), img(9, 18, 16)),
+      (4L, "http://h4.example/d", goodText("d4"), "not an image".getBytes("UTF-8"))
+    ).toDF("id", "url", "text", "payload")
+    val r = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), imagePayloadCol = Some("payload"))
+    val funnel = r.funnel.collect().head
+    assert(r.funnel.columns.toSeq.contains("n_after_image_dedup"))
+    assert(funnel.getAs[Long]("n_after_exact_dedup") == 4L)
+    assert(funnel.getAs[Long]("n_after_image_dedup") == 3L)
+    val ids = r.curated.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L), ids.toString)
+    // off by default: no extra column
+    val off = CurationPipeline.run(docs, "text", "id", "url", gates = Set())
+    assert(!off.funnel.columns.contains("n_after_image_dedup"))
+  }
+
+  test("semDedup stage: verdict equals the standalone op; funnel column appears") {
+    val dim = 8
+    def v(axis: Int, eps: Double): Seq[Float] =
+      (0 until dim).map(d => if (d == axis) 1.0f else eps.toFloat)
+    val docs = Seq(
+      (1L, "http://h1.example/a", goodText("a1"), v(0, 0.0)),
+      (2L, "http://h2.example/b", goodText("b2"), v(0, 0.001)), // ~dup of 1
+      (3L, "http://h3.example/c", goodText("c3"), v(4, 0.0))
+    ).toDF("id", "url", "text", "emb")
+    val centroids = Seq(v(0, 0.0).map(_.toDouble), v(4, 0.0).map(_.toDouble))
+    val r = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), semDedup = Some(("emb", centroids, 0.99)))
+    val funnel = r.funnel.collect().head
+    assert(funnel.getAs[Long]("n_after_semdedup") == 2L)
+    val ids = r.curated.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), ids.toString)
+    // the pipeline's verdict must be the op's verdict
+    val direct = graft.ops.SimilarityOps.semDedup(
+      docs.select(col("id"), col("emb")), "emb", "id", centroids, 0.99, keeper = "min_id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == direct)
+  }
+
+  test("spanDedup stage: corpus-duplicated token windows vanish from curated text") {
+    val boiler = (1 to 15).map(i => s"boilerplate$i").mkString(" ")
+    val docs = Seq(
+      (1L, "http://h1.example/a", goodText("a1") + " " + boiler),
+      (2L, "http://h2.example/b", goodText("b2") + " " + boiler),
+      (3L, "http://h3.example/c", goodText("c3"))
+    ).toDF("id", "url", "text")
+    val r = CurationPipeline.run(docs, "text", "id", "url",
+      gates = Set(), spanDedup = true)
+    val texts = r.curated.select("id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(texts.size == 3)
+    assert(!texts(1L).contains("boilerplate7"), texts(1L))
+    assert(!texts(2L).contains("boilerplate7"), texts(2L))
+    assert(texts(3L).nonEmpty && !texts(3L).contains("boilerplate"))
+    // without the stage the boilerplate stays
+    val off = CurationPipeline.run(docs, "text", "id", "url", gates = Set())
+    val offTexts = off.curated.select("id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(offTexts(1L).contains("boilerplate7"))
+  }
+
   test("crash between commit groups resumes to byte-identical curated output (§5.3)") {
     val docs = (1L to 120L).map(i =>
       (i, s"http://h${i % 9}.example/$i", goodText(s"c$i"))).toDF("id", "url", "text")
