@@ -867,8 +867,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id",
         k = 16, iters = 3, sampleDenominator = 4)
+      // one Lloyd pass: the exhaustive-probe oracle contract is independent
+      // of codebook quality (the exact re-rank decides), and each extra PQ
+      // iteration is m=8 more collect jobs of pure training cost
       val pq = graft.ops.IvfPq.trainPq(emb, "embedding", "vec_id", dim = 64,
-        m = 8, ksub = 16, iters = 2, sampleDenominator = 4)
+        m = 8, ksub = 16, iters = 1, sampleDenominator = 4)
       graft.ops.IvfPq.topK(emb, "embedding", "vec_id", col("vec_id") < 20,
         centroids, pq, k = 5, nProbe = 16, refine = 1 << 16)
     }),

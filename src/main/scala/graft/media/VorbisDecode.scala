@@ -747,10 +747,17 @@ object VorbisDecode {
 
   // ------------------------------------------------------------------ iMDCT
 
-  /** Inverse MDCT (spec §4.3.7): n time samples from n/2 spectral values,
-    * y[j] = Σ_k X[k]·cos(π/(2n)·(2j+1+n/2)·(2k+1)). Direct O(n²) in double
-    * precision — exact enough for the ≤8192 block sizes Vorbis allows, and
-    * the independent formula the spec test can also state. */
+  /** Inverse MDCT dispatch: the O(n log n) FFT path for long blocks, the
+    * direct sum for short ones (FFT overhead isn't worth it below ~512 and
+    * the direct form doubles as the spec's independent oracle). Both
+    * evaluate y[j] = Σ_k X[k]·cos(π/(2n)·(2j+1+n/2)·(2k+1)) (spec §4.3.7);
+    * VorbisDecodeSpec pins their agreement across all legal block sizes. */
+  private[media] def imdct(x: Array[Float], n: Int): Array[Float] =
+    if (n >= 512) imdctFft(x, n) else imdctDirect(x, n)
+
+  /** Direct O(n²) inverse MDCT in double precision — exact enough for the
+    * ≤8192 block sizes Vorbis allows, and the independent formula the spec
+    * test can also state. */
   private[media] def imdctDirect(x: Array[Float], n: Int): Array[Float] = {
     val n2 = n / 2
     val out = new Array[Float](n)
@@ -768,6 +775,99 @@ object VorbisDecode {
       j += 1
     }
     out
+  }
+
+  /** O(n log n) inverse MDCT: a DCT-IV via one n/4-point complex FFT plus
+    * the IMDCT's reflection extensions.
+    *
+    * Derivation (no table data — pure identities): with M = n/2 spectral
+    * lines, y[j] = Z'[j + M/2] where Z is the M-point DCT-IV of X and Z'
+    * its extension Z'[t] = −Z[2M−1−t] on [M, 2M), Z'[t] = −Z'[t−2M] beyond
+    * (from cos(π−x) = −cos x and the 2π(k+1/2) period). The DCT-IV itself:
+    * pack g[p] = X[2p] + i·X[M−1−2p], rotate h[p] = g[p]·e^{−iπp/M}, take
+    * H = FFT_{M/2}(h), rotate s[q] = H[q]·e^{−iπ(4q+1)/(4M)}; then
+    * Z[2q] = Re s[q] and Z[M−1−2q] = −Im s[q] (split the sum over even and
+    * reversed-odd k; the reversed half turns into the sine term that the
+    * complex product carries). */
+  private[media] def imdctFft(x: Array[Float], n: Int): Array[Float] = {
+    val m = n / 2
+    if (m < 4 || (m & (m - 1)) != 0) return imdctDirect(x, n)
+    val p = m / 2
+    val re = new Array[Double](p)
+    val im = new Array[Double](p)
+    var k = 0
+    while (k < p) {
+      val ge = x(2 * k).toDouble
+      val go = x(m - 1 - 2 * k).toDouble
+      val a = -StrictMath.PI * k / m
+      val c = StrictMath.cos(a); val s = StrictMath.sin(a)
+      re(k) = ge * c - go * s
+      im(k) = go * c + ge * s
+      k += 1
+    }
+    fftInPlace(re, im)
+    val z = new Array[Double](m)
+    var q = 0
+    while (q < p) {
+      val a = -StrictMath.PI * (4 * q + 1) / (4.0 * m)
+      val c = StrictMath.cos(a); val s = StrictMath.sin(a)
+      val sr = re(q) * c - im(q) * s
+      val si = im(q) * c + re(q) * s
+      z(2 * q) = sr
+      z(m - 1 - 2 * q) = -si
+      q += 1
+    }
+    val out = new Array[Float](n)
+    val h = m / 2
+    var j = 0
+    while (j < h) { out(j) = z(j + h).toFloat; j += 1 }           // t ∈ [M/2, M)
+    while (j < h + m) { out(j) = (-z(3 * h - 1 - j)).toFloat; j += 1 } // t ∈ [M, 2M)
+    while (j < n) { out(j) = (-z(j - 3 * h)).toFloat; j += 1 }    // t ∈ [2M, 2M+M/2)
+    out
+  }
+
+  /** In-place iterative radix-2 complex FFT (kernel e^{−2πi·jk/N}); length
+    * must be a power of two. */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    if (n <= 1) return
+    // bit reversal
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang); val wi = StrictMath.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = bi * cr + br * ci
+          re(base + k) = ar + tr; im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr; im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = ci * wr + cr * wi
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
   }
 
   /** Vorbis window (spec §4.3.1) applied in place over the n-sample frame;
@@ -995,7 +1095,7 @@ object VorbisDecode {
               var k = 0
               while (k < n2) { spec(k) = curves(c)(k) * residueVec(c)(k); k += 1 }
             }
-            val t = imdctDirect(spec, n)
+            val t = imdct(spec, n)
             applyWindow(t, n, prevUsed, nextUsed)
             windowed(c) = t
             c += 1

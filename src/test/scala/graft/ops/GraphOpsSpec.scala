@@ -80,9 +80,12 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       GraphOps.pageRank(df, "src", "dst", iters = iters).collect()
       acc.value
     }
-    val s2 = scansFor(2)
+    // the persist engages at iters >= 3 (at <=2 the doubled lazy scan is
+    // cheaper than cache materialization — see GraphOps); compare two
+    // persisted depths: scans must not grow with the iteration count
+    val s3 = scansFor(3)
     val s8 = scansFor(8)
-    assert(s8 == s2, s"raw edge input scanned $s8 partition-times at 8 iters vs $s2 at 2 — iteration reuse broken")
+    assert(s8 == s3, s"raw edge input scanned $s8 partition-times at 8 iters vs $s3 at 3 — iteration reuse broken")
   }
 
   test("pageRank leaves no iteration caches persisted behind") {
