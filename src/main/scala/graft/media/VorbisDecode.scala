@@ -22,8 +22,9 @@ import scala.util.control.NonFatal
  * Totality: all reads are bounds-checked (a truncated packet decodes what
  * it can, per spec §1.1.3 "end-of-packet is not an error"), structural
  * caps bound memory on hostile headers (channels ≤ 16, blocksize ≤ 8192,
- * codebook entries ≤ 1<<20, total output samples ≤ `maxSamples`), and any
- * malformed structure yields None, never a throw.
+ * codebook entries ≤ 1<<20, total interleaved output values — frames ×
+ * channels — ≤ `maxSamples`), and any malformed structure yields None,
+ * never a throw.
  */
 object VorbisDecode {
 
@@ -1002,7 +1003,9 @@ object VorbisDecode {
     var prevWindowed: Array[Array[Float]] = null // per channel
     var prevN = 0
     var pi = 3
-    while (pi < packets.length && emitted < maxSamples) {
+    // the cap bounds TOTAL interleaved values (frames × channels): a hostile
+    // 16-channel stream must not grow the buffer 16× past the limit
+    while (pi < packets.length && emitted * ch < maxSamples) {
       val r = new BitReader(packets(pi))
       if (r.readBit() == 0) { // audio packet (type bit 0)
         val modeIdx = if (modeBits == 0) 0 else r.read(modeBits)
