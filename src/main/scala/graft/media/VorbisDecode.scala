@@ -617,12 +617,16 @@ object VorbisDecode {
       val room = math.min(highroom, lowroom) * 2
       if (v != 0) {
         step2(lo) = true; step2(hi) = true; step2(i) = true
-        finalY(i) =
+        val raw =
           if (v >= room) {
             if (highroom > lowroom) v - lowroom + predicted
             else predicted - (v - highroom) - 1
           } else if ((v & 1) == 1) predicted - ((v + 1) >> 1)
           else predicted + (v >> 1)
+        // clamp into the multiplier range: an out-of-room codebook value
+        // must not feed later render_point predictions (or the dB index)
+        // with an escaped amplitude
+        finalY(i) = math.max(0, math.min(range - 1, raw))
       } else { step2(i) = false; finalY(i) = predicted }
       i += 1
     }

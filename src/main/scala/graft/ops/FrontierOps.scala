@@ -78,8 +78,11 @@ object FrontierOps {
     // robots gate on the TARGET host; RFC 9309 matches path + optional query
     val gated = robots match {
       case Some(r) =>
+        // one row per host (deterministic min) — a duplicate-host robots
+        // frame must not duplicate candidates through the join
         val rr = r.select(lower(col(robotsHostCol)).as("_host"),
           col(robotsTxtCol).as("_robots"))
+          .groupBy(col("_host")).agg(min(col("_robots")).as("_robots"))
         val p0 = F.try_parse_url(col("_url"), lit("PATH"))
         val q0 = F.try_parse_url(col("_url"), lit("QUERY"))
         val path = concat(

@@ -135,7 +135,13 @@ object CurationPipeline {
           .withColumn("_semok", coalesce(col("_semok"), lit(false)))
       case None => withLm.withColumn("_semok", lit(true))
     }
-    val dhashW = Window.partitionBy(col("_dhash"))
+    // window key = (is-null flag, dhash-or-id): NULL-dhash rows (most of a
+    // crawl corpus is not an image) get SINGLETON partitions keyed by their
+    // own id instead of one giant all-nulls window partition — the skew
+    // killer this two-column key avoids; the flag column keeps an id value
+    // from ever colliding with a real dhash value
+    val dhashW = Window.partitionBy(col("_dhash").isNull,
+      coalesce(col("_dhash"), col("_id").cast("long")))
     val imgKeep =
       if (imagePayloadCol.isDefined)
         col("_dig_keep") && (col("_dhash").isNull ||

@@ -300,6 +300,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(aggBelow, s"no aggregate below the Window:\n${s.take(3000)}")
   }
 
+  test("frontier: the page payload is scanned ONCE (one explode feeds all three extractors)") {
+    // FrontierOps claims the anchor/refresh/feed extractors project into one
+    // array column exploded once — a per-kind union would rescan the payload
+    // relation three times
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit-frontier").toString
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/", "<html><body><a href=\"/x\">x</a></body></html>".getBytes("UTF-8"))
+    ).toDF("url", "payload")
+    pages.write.parquet(s"$dir/pages")
+    val onDisk = spark.read.parquet(s"$dir/pages")
+    val df = ops.FrontierOps.frontier(onDisk, "url", "payload")
+    df.collect()
+    val s = planString(df)
+    val scans = "Scan parquet".r.findAllIn(s).length
+    assert(scans == 1, s"frontier plan scans the pages relation $scans times:\n$s")
+    assert("Generate explode".r.findAllIn(s).length <= 1, s)
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to

@@ -48,12 +48,16 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestBase {
         """<a href="https://t.example/p/9">x</a> <a href="https://t.example/ok">y</a>
           |<a href="https://spam.example/z">s</a> <a href="https://t.example/seen">w</a>""".stripMargin))
     ).toDF("url", "payload")
-    val robots = Seq(("t.example", "User-agent: *\nDisallow: /p/")).toDF("host", "robots_txt")
+    // the duplicate robots row must not duplicate candidates (host-deduped
+    // with a deterministic min before the join)
+    val robots = Seq(
+      ("t.example", "User-agent: *\nDisallow: /p/"),
+      ("t.example", "User-agent: *\nDisallow: /p/")).toDF("host", "robots_txt")
     val seen = Seq("https://t.example/seen").toDF("url")
     val got = FrontierOps.frontier(pages, "url", "payload",
       robots = Some(robots), blockedDomains = Seq("spam.example"), seen = Some(seen))
-      .select("url").collect().map(_.getString(0)).toSet
-    assert(got == Set("https://t.example/ok"), got.toString)
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("https://t.example/ok"), got.toString)
   }
 
   test("canonical dedup keeps one row with the min-struct keeper") {
