@@ -1201,6 +1201,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // empty-user-password PDF recovery (PdfCrypto — ISO 32000-1 §7.6.3
+    // standard handler, RC4 V1/40 and V2/128 alternating): the fixture
+    // encrypts a known one-page PDF; every 10th variant carries a corrupted
+    // /U (a REAL user password) and must stay locked. The decrypted bytes
+    // flow through the normal extractor — recovered text is the closed-form
+    // plaintext, locked rows extract nothing
+    "q96_pdf_decrypt" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets
+      val hexes = (0 until 200).map { m =>
+        val text = s"Recovered secret $m"
+        val content = s"BT /F1 12 Tf 72 720 Td ($text) Tj ET"
+        val clear = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+          "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+          "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+          s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+          .getBytes(StandardCharsets.US_ASCII)
+        graft.pdf.PdfCrypto.encryptRc4(clear, v = 1 + m % 2, idSeed = 42L + m,
+          corruptU = m % 10 == 3).map(x => f"${x & 0xff}%02X").mkString
+      }
+      val payload = unhex(
+        element_at(array(hexes.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))
+      val dec = pdf_decrypt(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          dec.isNotNull.as("recovered"),
+          when(dec.isNotNull, parse_pdf_text(dec)).otherwise(lit("")).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // crawl-frontier composition (FrontierOps): anchors + meta-refresh +
     // feed items from ONE payload scan, gated by RFC 9309 robots (even
     // hosts disallow /p/), the broadcast blocklist (spam.example), and a
@@ -2458,6 +2487,13 @@ object SparkEntry {
         |  '/go/' || CAST(doc_id % 50 AS VARCHAR) AS refresh_url,
         |  'https://b' || CAST(doc_id % 50 AS VARCHAR) || '.example/x/a'
         |    || CAST(doc_id % 50 AS VARCHAR) AS first_link
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // empty-password recovery: every 10th variant is genuinely locked
+    "q96_pdf_decrypt" ->
+      """SELECT doc_id,
+        |  (doc_id % 200) % 10 <> 3 AS recovered,
+        |  CASE WHEN (doc_id % 200) % 10 <> 3
+        |    THEN 'Recovered secret ' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     // frontier replay: the four candidate families from the distinct
     // (m, h) grid, each WHERE clause one gate — odd h passes robots for

@@ -54,6 +54,20 @@ case class ParsePdfText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Empty-user-password PDF decryption (PdfCrypto: standard security
+  * handler, RC4 V1/V2): the clear bytes when the empty password opens the
+  * file, NULL otherwise (not encrypted / unsupported scheme / a real
+  * password) — `coalesce(pdf_decrypt(b), b)` is the recovery composition. */
+case class PdfDecrypt(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.pdf.PdfCrypto.tryDecrypt(input.asInstanceOf[Array[Byte]]).orNull
+  override protected def withNewChildInternal(newChild: Expression): PdfDecrypt =
+    copy(child = newChild)
+}
+
 /** Magic-byte dispatch: PDF payloads → ParsePdfText, anything else → ExtractMainContent. */
 case class ExtractAnyText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

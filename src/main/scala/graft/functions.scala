@@ -82,6 +82,12 @@ object functions {
     ColumnBridge.column(ParseHocrSpans(expr(html)))
 
   /** Security preflight: struct(is_pdf,version,encrypted,embedded,issues). */
+  /** Empty-user-password PDF decryption (standard handler, RC4 V1/V2):
+    * clear bytes or NULL — `coalesce(pdf_decrypt(b), b)` recovers the
+    * owner-password-only subset of encrypted crawl PDFs. */
+  def pdf_decrypt(bytes: Column): Column =
+    ColumnBridge.column(PdfDecrypt(expr(bytes)))
+
   def pdf_preflight(bytes: Column): Column =
     ColumnBridge.column(PdfPreflightExpr(expr(bytes)))
 

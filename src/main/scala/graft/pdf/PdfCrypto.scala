@@ -1,0 +1,350 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.util.control.NonFatal
+
+/**
+ * PDF standard security handler (ISO 32000-1 §7.6.3) for the EMPTY user
+ * password — the case that matters for crawl data: owner-password-only
+ * "protected" PDFs are readable by every conforming reader, and a large
+ * share of encrypted PDFs in the wild are exactly that. V1/V2 (RC4 40-128
+ * bit), revisions 2 and 3. The reference pipeline quarantines every
+ * encrypted PDF (security_validator.py:417-439); this recovers the
+ * readable subset first.
+ *
+ * Everything here is formula-defined from the public spec: the 32-byte
+ * padding string (§7.6.3.3), the MD5/RC4 key-derivation algorithms 1-5
+ * (MD5 from the JDK, RC4 is ten lines of state machine), and the
+ * length-preserving property of RC4 that makes IN-PLACE stream decryption
+ * sound — offsets, /Length values, and xref tables stay valid, so the
+ * existing scan-based extractor reads the decrypted copy unchanged. V ≥ 4
+ * (crypt filters / AES) returns None and stays on the quarantine path. */
+object PdfCrypto {
+
+  /** The spec's password padding string (§7.6.3.3). */
+  private[pdf] val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (symmetric — encrypts and decrypts). */
+  private[pdf] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Parsed /Encrypt dictionary (standard handler, V ≤ 2). */
+  final case class StdCrypt(v: Int, r: Int, lengthBits: Int,
+                            o: Array[Byte], u: Array[Byte], p: Int,
+                            id0: Array[Byte])
+
+  /** Algorithm 2: the file encryption key for the EMPTY user password. */
+  private[pdf] def fileKey(c: StdCrypt): Array[Byte] = {
+    val n = math.max(5, math.min(16, c.lengthBits / 8))
+    val pLe = Array((c.p & 0xff).toByte, ((c.p >> 8) & 0xff).toByte,
+      ((c.p >> 16) & 0xff).toByte, ((c.p >> 24) & 0xff).toByte)
+    var digest = md5(Pad, c.o, pLe, c.id0)
+    if (c.r >= 3) {
+      var i = 0
+      while (i < 50) { digest = md5(digest.take(n)); i += 1 }
+    }
+    digest.take(n)
+  }
+
+  /** Algorithms 4/5: does the EMPTY user password open this file? */
+  private[pdf] def emptyUserPasswordOk(c: StdCrypt): Boolean = {
+    val key = fileKey(c)
+    if (c.r == 2) java.util.Arrays.equals(rc4(key, Pad), c.u)
+    else {
+      var u = md5(Pad, c.id0)
+      u = rc4(key, u)
+      var i = 1
+      while (i <= 19) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      c.u.length >= 16 && java.util.Arrays.equals(u.take(16), c.u.take(16))
+    }
+  }
+
+  /** Algorithm 1: the per-object RC4 key. */
+  private[pdf] def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(key, ext).take(math.min(key.length + 5, 16))
+  }
+
+  // ------------------------------------------------------------- decryption
+
+  /** Attempt empty-user-password decryption: returns the clear bytes (every
+    * stream payload RC4-decrypted in place — RC4 is length-preserving, so
+    * offsets, /Length values, and xref tables stay valid) or None when the
+    * file is not encrypted, uses an unsupported scheme (V ≥ 4 AES, crypt
+    * filters), or genuinely requires a user password. Never throws. */
+  def tryDecrypt(bytes: Array[Byte]): Option[Array[Byte]] =
+    try tryDecryptImpl(bytes) catch { case NonFatal(_) => None }
+
+  private def latin1(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, math.max(0, until - from), StandardCharsets.ISO_8859_1)
+
+  private def tryDecryptImpl(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 64) return None
+    val s = latin1(bytes, 0, bytes.length)
+    val encAt = s.lastIndexOf("/Encrypt")
+    if (encAt < 0) return None
+    val refM = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+      .findFirstMatchIn(s.substring(encAt, math.min(s.length, encAt + 64)))
+      .getOrElse(return None)
+    val (eNum, eGen) = (refM.group(1).toInt, refM.group(2).toInt)
+    val frame = objectFrame(s, eNum, eGen).getOrElse(return None)
+    if (!frame.contains("/Standard")) return None
+    def intVal(key: String, dflt: Int): Int =
+      (key + """\s+(-?\d+)""").r.findFirstMatchIn(frame).map(_.group(1).toInt).getOrElse(dflt)
+    val v = intVal("/V", 0)
+    val r = intVal("/R", 2)
+    if (v < 1 || v > 2 || r < 2 || r > 3) return None // AES/crypt-filter era: unsupported here
+    val lengthBits = intVal("/Length", 40)
+    val o = pdfString(frame, "/O").getOrElse(return None)
+    val u = pdfString(frame, "/U").getOrElse(return None)
+    if (o.length < 32 || u.length < 16) return None
+    val p = intVal("/P", -1)
+    // first /ID string from the last trailer-ish occurrence
+    val idAt = s.lastIndexOf("/ID")
+    val id0 =
+      if (idAt >= 0) pdfString(s.substring(idAt, math.min(s.length, idAt + 200)), "/ID")
+        .getOrElse(Array.emptyByteArray)
+      else Array.emptyByteArray
+    val crypt = StdCrypt(v, r, lengthBits, o.take(32), u, p, id0)
+    if (!emptyUserPasswordOk(crypt)) return None
+    val key = fileKey(crypt)
+    val out = bytes.clone()
+    // decrypt every stream payload in place (strings are not needed for
+    // text extraction — content text lives in streams; ObjStm members are
+    // covered by decrypting the ObjStm payload itself)
+    walkFrames(s) { (num, gen, dictText, payloadStart, payloadEnd) =>
+      // the Encrypt dict's own strings are plaintext; xref streams are
+      // never encrypted (§7.5.8.2)
+      if ((num != eNum || gen != eGen) && !dictText.contains("/XRef") &&
+          payloadEnd > payloadStart) {
+        val enc = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)
+        val dec = rc4(objectKey(key, num, gen), enc)
+        System.arraycopy(dec, 0, out, payloadStart, dec.length)
+      }
+    }
+    // the recovered file must not re-trip the "encrypted" preflight gate:
+    // rewrite the trailer's /Encrypt key to /Decrypt (one byte, offsets
+    // unchanged — a harmless unknown dict key that doubles as the recovery
+    // breadcrumb). Head-window occurrences (linearized files) get the same
+    // treatment; both sit outside stream payloads.
+    out(encAt + 1) = 'D'.toByte
+    var h = s.indexOf("/Encrypt")
+    while (h >= 0 && h < 2048) {
+      out(h + 1) = 'D'.toByte
+      h = s.indexOf("/Encrypt", h + 1)
+    }
+    Some(out)
+  }
+
+  /** Sequential `num gen obj` frame walk that JUMPS PAST stream payloads —
+    * a whole-file regex scan would also match byte sequences INSIDE
+    * encrypted stream data and corrupt them with a spurious second pass.
+    * Calls `f(num, gen, dictText, payloadStart, payloadEnd)` per frame
+    * (payloadStart == payloadEnd when the frame has no stream). */
+  private def walkFrames(s: String)(f: (Int, Int, String, Int, Int) => Unit): Unit = {
+    val objRe = """(\d+)\s+(\d+)\s+obj""".r
+    var pos = 0
+    while (pos < s.length) {
+      objRe.findFirstMatchIn(s.substring(pos, math.min(s.length, pos + (1 << 20)))) match {
+        case None =>
+          // nothing in this window: advance (overlap guards a match split
+          // across the window edge)
+          if (pos + (1 << 20) >= s.length) return
+          pos += (1 << 20) - 32
+        case Some(m0) =>
+          val mStart = pos + m0.start
+          val mEnd = pos + m0.end
+          val num = m0.group(1).toInt
+          val gen = m0.group(2).toInt
+          val stRel = s.indexOf("stream", mEnd)
+          val endRel = s.indexOf("endobj", mEnd)
+          if (endRel >= 0 && (stRel < 0 || endRel < stRel)) {
+            // streamless frame
+            f(num, gen, s.substring(mEnd, endRel), endRel, endRel)
+            pos = endRel + "endobj".length
+          } else if (stRel >= 0) {
+            var ps = stRel + "stream".length
+            if (ps < s.length && s.charAt(ps) == '\r') ps += 1
+            if (ps < s.length && s.charAt(ps) == '\n') ps += 1
+            val dictText = s.substring(mEnd, stRel)
+            val lenM = """/Length\s+(\d+)(?!\s*\d+\s+R)""".r.findFirstMatchIn(dictText)
+            val pe = lenM match {
+              case Some(lm) => math.min(ps + lm.group(1).toLong, s.length.toLong).toInt
+              case None =>
+                val es = s.indexOf("endstream", ps)
+                if (es < 0) s.length
+                else {
+                  var e = es
+                  if (e > ps && s.charAt(e - 1) == '\n') e -= 1
+                  if (e > ps && s.charAt(e - 1) == '\r') e -= 1
+                  e
+                }
+            }
+            f(num, gen, dictText, ps, pe)
+            val eo = s.indexOf("endobj", pe)
+            pos = if (eo < 0) pe else eo + "endobj".length
+          } else {
+            f(num, gen, s.substring(mEnd), mEnd, mEnd)
+            return
+          }
+      }
+    }
+  }
+
+  /** Last `num gen obj … endobj` frame body (newest revision wins). */
+  private def objectFrame(s: String, num: Int, gen: Int): Option[String] = {
+    val pat = s"""(?s)(?<![0-9])$num\\s+$gen\\s+obj\\b""".r
+    val ms = pat.findAllMatchIn(s).toSeq
+    if (ms.isEmpty) return None
+    val m = ms.last
+    val end = s.indexOf("endobj", m.end)
+    Some(s.substring(m.end, if (end < 0) s.length else end))
+  }
+
+  /** First string value after `key` in `dict` text: <hex> or (literal with
+    * backslash escapes incl. octal). */
+  private def pdfString(dict: String, key: String): Option[Array[Byte]] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && (dict.charAt(i).isWhitespace || dict.charAt(i) == '[')) i += 1
+    if (i >= dict.length) return None
+    dict.charAt(i) match {
+      case '<' =>
+        val end = dict.indexOf('>', i + 1)
+        if (end < 0) return None
+        val hex = dict.substring(i + 1, end).filterNot(_.isWhitespace)
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        Some(padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      case '(' =>
+        val out = new java.io.ByteArrayOutputStream()
+        var j = i + 1
+        var depth = 1
+        while (j < dict.length && depth > 0) {
+          val c = dict.charAt(j)
+          if (c == '\\' && j + 1 < dict.length) {
+            val e = dict.charAt(j + 1)
+            e match {
+              case 'n' => out.write('\n'); j += 2
+              case 'r' => out.write('\r'); j += 2
+              case 't' => out.write('\t'); j += 2
+              case 'b' => out.write('\b'); j += 2
+              case 'f' => out.write('\f'); j += 2
+              case d if d >= '0' && d <= '7' =>
+                var k = j + 1
+                var v = 0
+                var nd = 0
+                while (k < dict.length && nd < 3 && dict.charAt(k) >= '0' && dict.charAt(k) <= '7') {
+                  v = v * 8 + (dict.charAt(k) - '0'); k += 1; nd += 1
+                }
+                out.write(v & 0xff); j = k
+              case other => out.write(other); j += 2
+            }
+          } else if (c == '(') { depth += 1; out.write(c); j += 1 }
+          else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); j += 1 }
+          else { out.write(c); j += 1 }
+        }
+        Some(out.toByteArray)
+      case _ => None
+    }
+  }
+
+  // -------------------------------------------------- fixture-side encryptor
+
+  /** Wrap a clear scan-shaped PDF (the CorpusGen/q19 frame grammar) in
+    * standard security with EMPTY user and owner passwords: RC4 every
+    * stream, append the /Encrypt object and a trailer carrying it plus a
+    * deterministic /ID. `corruptU` flips a /U byte so the empty password no
+    * longer verifies (the genuinely-password-protected fixture). Fixtures
+    * only; the pipeline never encrypts. */
+  def encryptRc4(clear: Array[Byte], v: Int = 2, lengthBits: Int = 128,
+                 p: Int = -4, idSeed: Long = 42L,
+                 corruptU: Boolean = false): Array[Byte] = {
+    require(v == 1 || v == 2)
+    val r = if (v == 1) 2 else 3
+    val bits = if (v == 1) 40 else lengthBits
+    val n = bits / 8
+    val id0 = Array.tabulate(16)(i =>
+      (graft.text.TextHash.mix64(idSeed + i) & 0xff).toByte)
+    // Algorithm 3: /O for empty owner+user passwords
+    var od = md5(Pad)
+    if (r >= 3) { var i = 0; while (i < 50) { od = md5(od); i += 1 } }
+    val oKey = od.take(n)
+    var o = rc4(oKey, Pad)
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) { o = rc4(oKey.map(b => (b ^ i).toByte), o); i += 1 }
+    }
+    val crypt0 = StdCrypt(v, r, bits, o, Array.emptyByteArray, p, id0)
+    val key = fileKey(crypt0)
+    // Algorithms 4/5: /U
+    var u =
+      if (r == 2) rc4(key, Pad)
+      else {
+        var h = rc4(key, md5(Pad, id0))
+        var i = 1
+        while (i <= 19) { h = rc4(key.map(b => (b ^ i).toByte), h); i += 1 }
+        h ++ new Array[Byte](16)
+      }
+    if (corruptU) u = u.updated(0, (u(0) ^ 0x55).toByte)
+    // RC4 every stream payload in place (the same payload-skipping walk the
+    // decrypt side uses — encrypt/decrypt stay structurally symmetric)
+    val s = latin1(clear, 0, clear.length)
+    val out = clear.clone()
+    var maxNum = 0
+    walkFrames(s) { (num, gen, _, ps, pe) =>
+      maxNum = math.max(maxNum, num)
+      if (pe > ps) {
+        val encd = rc4(objectKey(key, num, gen),
+          java.util.Arrays.copyOfRange(clear, ps, pe))
+        System.arraycopy(encd, 0, out, ps, encd.length)
+      }
+    }
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val eNum = maxNum + 1
+    val tail =
+      s"""$eNum 0 obj
+         |<< /Filter /Standard /V $v /R $r /Length $bits /O <${hex(o)}> /U <${hex(u)}> /P $p >>
+         |endobj
+         |trailer
+         |<< /Root 1 0 R /Encrypt $eNum 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>
+         |%%EOF
+         |""".stripMargin.getBytes(StandardCharsets.US_ASCII)
+    out ++ tail
+  }
+}

@@ -81,7 +81,21 @@ object PdfExtract {
       }
       found
     }
-    val encrypted = prefixHas("/Encrypt", 2048) || prefixHas("/StmF", 2048) || prefixHas("/StrF", 2048)
+    // /Encrypt rides the TRAILER in real files — the head window only sees
+    // it in linearized PDFs, so the last 2 KB are scanned too
+    def suffixHas(marker: String, window: Int): Boolean = {
+      val m = marker.getBytes(StandardCharsets.US_ASCII)
+      var i = math.max(0, bytes.length - window)
+      var found = false
+      while (!found && i + m.length <= bytes.length) {
+        var k = 0
+        while (k < m.length && bytes(i + k) == m(k)) k += 1
+        if (k == m.length) found = true else i += 1
+      }
+      found
+    }
+    val encrypted = prefixHas("/Encrypt", 2048) || suffixHas("/Encrypt", 2048) ||
+      prefixHas("/StmF", 2048) || prefixHas("/StrF", 2048)
     if (encrypted) issues += "encrypted"
     val embedded = prefixHas("/EmbeddedFile", 4096)
     if (embedded) issues += "embedded_files"

@@ -38,9 +38,14 @@ object ExtractPipeline {
       commitGroups: Int = 1, // >1 ⇒ buckets committed in batches (finer mid-job checkpoints, more input scans)
       failAfterGroups: Option[Int] = None, // test hook: inject a crash after N group commits
       maxRowsPerRun: Long = 0L, // B11 batch cap (config.py:56): >0 ⇒ audit-flag oversized runs
-      parquetCodec: String = "zstd" // payload-table compression: zstd ≈ 25-30% smaller than
+      parquetCodec: String = "zstd", // payload-table compression: zstd ≈ 25-30% smaller than
       // snappy on extracted text at comparable scan speed — at the 100 TB tier
       // that is tens of TB of storage and shuffle-read bandwidth
+      decryptPdfs: Boolean = false // attempt empty-user-password recovery (PdfCrypto, RC4
+      // standard handler) BEFORE validation: recovered files extract like clear
+      // PDFs; genuinely password-protected ones still quarantine. Off by default
+      // — the reference quarantines every encrypted PDF, and the golden corpus
+      // digests are pinned to that stance
   )
 
   /** Validation struct: quarantine reasons per row (empty ⇒ valid).
@@ -236,8 +241,16 @@ object ExtractPipeline {
    * ocr_combined.py:147-157); their output dirs are left untouched, so an
    * interrupted run recomputes only missing buckets (FIXTURES.md invariant 4).
    */
-  def run(spark: SparkSession, pages: DataFrame, outDir: String, cfg: Config): RunResult = {
+  def run(spark: SparkSession, pages0: DataFrame, outDir: String, cfg: Config): RunResult = {
     val t0 = System.nanoTime()
+    // empty-password recovery is a per-row payload rewrite ahead of the
+    // validate/extract plan — undecryptable payloads pass through unchanged
+    // and hit the usual "encrypted" quarantine gate
+    val pages =
+      if (cfg.decryptPdfs)
+        pages0.withColumn("html",
+          coalesce(graft.functions.pdf_decrypt(col("html")), col("html")))
+      else pages0
     val extractedPath = s"$outDir/extracted"
     val lineagePath = s"$outDir/lineage"
     val quarantinePath = s"$outDir/quarantine"

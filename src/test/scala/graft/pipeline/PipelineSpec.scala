@@ -33,6 +33,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decryptPdfs: empty-password PDFs extract; real passwords still quarantine") {
+    import spark.implicits._
+    // an RC4-encrypted fixture PDF (empty passwords), a genuinely locked one
+    // (corrupted /U = real user password), and a clear page
+    val pdfPage = (0 until 40).map(i => CorpusGen.page(i.toLong, 42))
+      .find(_.kind == "pdf").get
+    val openEnc = graft.pdf.PdfCrypto.encryptRc4(pdfPage.html, v = 2)
+    val locked = graft.pdf.PdfCrypto.encryptRc4(pdfPage.html, v = 2, corruptU = true)
+    val ts = new java.sql.Timestamp(0L)
+    val pages = Seq(
+      ("http://e1.example/open.pdf", ts, openEnc),
+      ("http://e2.example/locked.pdf", ts, locked),
+      ("http://e3.example/clear.pdf", ts, pdfPage.html)
+    ).toDF("url", "warc_ts", "html")
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("lang", lit("eng"))
+    // default stance: BOTH encrypted files quarantine (reference semantics)
+    val out0 = tmp()
+    val res0 = ExtractPipeline.run(spark, pages, out0,
+      ExtractPipeline.Config(mode = "force", runId = "enc0"))
+    assert(res0.quarantined == 2 && res0.extracted == 1, res0.toString)
+    // with recovery on: the open file extracts the SAME text as its clear
+    // original; the locked file still quarantines
+    val out1 = tmp()
+    val res1 = ExtractPipeline.run(spark, pages, out1,
+      ExtractPipeline.Config(mode = "force", runId = "enc1", decryptPdfs = true))
+    assert(res1.quarantined == 1 && res1.extracted == 2, res1.toString)
+    val got = spark.read.parquet(res1.extractedPath)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://e1.example/open.pdf") == pdfPage.expected)
+    assert(got("http://e3.example/clear.pdf") == pdfPage.expected)
+    val qUrls = spark.read.parquet(s"$out1/quarantine")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(qUrls == Set("http://e2.example/locked.pdf"))
+  }
+
   test("cli mode: pre-extracted rows are skipped, not recomputed") {
     val out = tmp()
     val res = ExtractPipeline.run(spark, Corpus.pages(spark, N), out,
