@@ -1201,12 +1201,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // empty-user-password PDF recovery (PdfCrypto — ISO 32000-1 §7.6.3
-    // standard handler, RC4 V1/40 and V2/128 alternating): the fixture
-    // encrypts a known one-page PDF; every 10th variant carries a corrupted
-    // /U (a REAL user password) and must stay locked. The decrypted bytes
-    // flow through the normal extractor — recovered text is the closed-form
-    // plaintext, locked rows extract nothing
+    // empty-user-password PDF recovery (PdfCrypto — ISO 32000-1/-2 §7.6
+    // standard handler): variants rotate ALL FOUR supported schemes — RC4
+    // V1/40, RC4 V2/128, V4/AESV2 (crypt filters + JDK AES-CBC), V5/R6
+    // AESV3 (SHA-2 2.B hash + AES-256); every 10th variant carries a
+    // corrupted /U (a REAL user password) and must stay locked. The
+    // decrypted bytes flow through the normal extractor — recovered text is
+    // the closed-form plaintext, locked rows extract nothing
     "q96_pdf_decrypt" -> ((s, dir) => {
       import java.nio.charset.StandardCharsets
       val hexes = (0 until 200).map { m =>
@@ -1217,8 +1218,14 @@ object SparkEntry {
           "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
           s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
           .getBytes(StandardCharsets.US_ASCII)
-        graft.pdf.PdfCrypto.encryptRc4(clear, v = 1 + m % 2, idSeed = 42L + m,
-          corruptU = m % 10 == 3).map(x => f"${x & 0xff}%02X").mkString
+        val locked = m % 10 == 3
+        val enc = (m % 4) match {
+          case 0 => graft.pdf.PdfCrypto.encryptRc4(clear, v = 1, idSeed = 42L + m, corruptU = locked)
+          case 1 => graft.pdf.PdfCrypto.encryptRc4(clear, v = 2, idSeed = 42L + m, corruptU = locked)
+          case 2 => graft.pdf.PdfCrypto.encryptAes(clear, v = 4, idSeed = 42L + m, corruptU = locked)
+          case _ => graft.pdf.PdfCrypto.encryptAes(clear, v = 5, idSeed = 42L + m, corruptU = locked)
+        }
+        enc.map(x => f"${x & 0xff}%02X").mkString
       }
       val payload = unhex(
         element_at(array(hexes.map(lit): _*), (col("doc_id") % 200 + 1).cast("int")))

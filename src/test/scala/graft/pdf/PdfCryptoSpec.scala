@@ -38,6 +38,32 @@ class PdfCryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("V4/AESV2 and V5/R6 AESV3 round-trip through the JDK cipher path") {
+    Seq(4, 5).foreach { v =>
+      val clear = clearPdf(s"aes v$v secret")
+      val enc = PdfCrypto.encryptAes(clear, v = v)
+      assert(!new String(enc, StandardCharsets.ISO_8859_1).contains("aes v"))
+      assert(PdfExtract.preflight(enc).encrypted)
+      val dec = PdfCrypto.tryDecrypt(enc)
+      assert(dec.isDefined, s"v$v decrypt failed")
+      val got = PdfExtract.outcome(dec.get)
+      assert(got.error == null && got.text == s"aes v$v secret", got.toString)
+      // corrupted /U refuses
+      assert(PdfCrypto.tryDecrypt(PdfCrypto.encryptAes(clear, v = v, corruptU = true)).isEmpty)
+    }
+  }
+
+  test("AES on a flate multi-object fixture: decrypted extraction equals clear") {
+    val p = (0 until 40).map(i => graft.fixtures.CorpusGen.page(i.toLong, 42))
+      .find(_.kind == "pdf").get
+    Seq(4, 5).foreach { v =>
+      val enc = PdfCrypto.encryptAes(p.html, v = v)
+      val dec = PdfCrypto.tryDecrypt(enc)
+      assert(dec.isDefined, s"v$v")
+      assert(PdfExtract.outcome(dec.get).text == PdfExtract.outcome(p.html).text, s"v$v")
+    }
+  }
+
   test("a real user password (corrupted /U) refuses the empty password") {
     val enc = PdfCrypto.encryptRc4(clearPdf("locked"), v = 2, corruptU = true)
     assert(PdfCrypto.tryDecrypt(enc).isEmpty)
