@@ -192,6 +192,10 @@ object PdfCrypto {
 
   private def tryDecryptImpl(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (bytes == null || bytes.length < 64) return None
+    // the frame walk works over a latin-1 view (2 bytes/char): cap the
+    // attempt at 64 MB so 32 concurrent hostile 100 MB payloads cannot
+    // spike executor memory — larger encrypted files stay quarantined
+    if (bytes.length > (64 << 20)) return None
     val s = latin1(bytes, 0, bytes.length)
     val encAt = s.lastIndexOf("/Encrypt")
     if (encAt < 0) return None
