@@ -289,26 +289,23 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** q92: language-ID replay — the trained model interpolates as (gram,
+  /** q10/q92: language-ID replay — the trained model interpolates as (gram,
     * lang, micro-nat logp) literals (LangId froze every logarithm to an
     * integer at train time), DuckDB re-extracts code-point bigrams of the
     * padded text with substr (character semantics = the Scala code-point
     * contract), sums Longs per language, and argmaxes with the same
-    * score-DESC-lang-ASC tie-break. */
-  private def q92OracleSql: String = {
+    * score-DESC-lang-ASC tie-break. `textCte` supplies (k, s) rows to
+    * classify; `finalSelect` maps k back to doc ids. */
+  private def langIdOracleSql(textCte: String, finalSelect: String): String = {
     import graft.text.LangId
-    def esc(s: String) = s.replace("'", "''")
     val model = LangId.modelRows
-      .map { case (g, l, lp) => s"('${esc(g)}','$l',${lp}::BIGINT)" }
+      .map { case (g, l, lp) => s"('${sqlEsc(g)}','$l',${lp}::BIGINT)" }
       .mkString(",\n    ")
     val oov = LangId.oovRows.map { case (l, lp) => s"('$l',${lp}::BIGINT)" }.mkString(", ")
-    val txts = LangId.HeldOut.zipWithIndex
-      .map { case ((_, s0), i) => s"($i, '${esc(s0)}')" }.mkString(",\n    ")
     s"""WITH model(g, l, lp) AS (VALUES
        |    $model),
        |  oov(l, olp) AS (VALUES $oov),
-       |  txt(k, s) AS (VALUES
-       |    $txts),
+       |  txt(k, s) AS ($textCte),
        |  padded AS (SELECT k, ' ' || substr(s, 1, ${LangId.MaxCodePoints}) || ' ' AS p FROM txt),
        |  pos AS (SELECT k, p, unnest(range(1, length(p))) AS i FROM padded),
        |  grams AS (SELECT k, substr(p, CAST(i AS BIGINT), 2) AS g FROM pos),
@@ -319,10 +316,29 @@ object SparkEntry {
        |  best AS (SELECT k, l, sc,
        |      row_number() OVER (PARTITION BY k ORDER BY sc DESC, l ASC) AS rn
        |    FROM scores)
-       |SELECT d.doc_id, b.l AS pred_lang, b.sc AS score_micro
-       |FROM documents d JOIN best b ON b.k = d.doc_id % ${LangId.HeldOut.size} AND b.rn = 1
-       |ORDER BY d.doc_id""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private def sqlEsc(s: String) = s.replace("'", "''")
+
+  private def q92OracleSql: String = {
+    import graft.text.LangId
+    val txts = LangId.HeldOut.zipWithIndex
+      .map { case ((_, s0), i) => s"($i, '${sqlEsc(s0)}')" }.mkString(",\n    ")
+    langIdOracleSql(
+      s"VALUES\n    $txts",
+      s"""SELECT d.doc_id, b.l AS pred_lang, b.sc AS score_micro
+         |FROM documents d JOIN best b ON b.k = d.doc_id % ${LangId.HeldOut.size} AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  /** q10 re-classifies the REAL document text — the strongest oracle form:
+    * DuckDB recomputes every gram lookup over the corpus column itself. */
+  private def q10OracleSql: String =
+    langIdOracleSql(
+      "SELECT doc_id, text FROM documents",
+      """SELECT k AS doc_id, l AS pred_lang, sc AS score_micro
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 
   /** q70: the hashed-bigram LM cross-entropy replayed exactly — token hashes
     * (ngram_hashes seed), unigram-gram splitmix fold → B buckets, packed
@@ -537,21 +553,18 @@ object SparkEntry {
           round(col("stop_tokens").cast("double") / size(col("toks")), 4).as("stop_ratio"),
           (size(col("toks")) >= 20 && col("stop_tokens") > 0).as("is_quality"))
     }),
+    // REAL language ID over the corpus text itself (the round-5 stopword
+    // vote is gone): the char-bigram Naive Bayes classifies every document,
+    // and the oracle RE-CLASSIFIES the same column from the interpolated
+    // model table — no fixture literals anywhere (q92 keeps the held-out
+    // multi-script accuracy contract; this is the production path)
     "q10_langid" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      def votes(ws: Seq[String]) = size(filter(toks, w => w.isin(ws.map(lit): _*)))
+      val lid = lang_id(col("text"))
       t(s, dir, "documents")
-        .withColumn("en", votes(Seq("the", "a", "of", "and", "to", "in")))
-        .withColumn("de", votes(Seq("der", "die", "das", "und", "nicht")))
-        .withColumn("es", votes(Seq("el", "la", "los", "que")))
-        .withColumn("fr", votes(Seq("le", "les", "des", "une", "est")))
-        .select(
-          col("doc_id"),
-          when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"), "en")
-            .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
-            .when(col("es") >= col("fr"), "es")
-            .otherwise("fr").as("pred_lang"),
-          (col("lang") === lit("en")).as("label_is_en"))
+        .select(col("doc_id"),
+          lid.getField("lang").as("pred_lang"),
+          lid.getField("score_micro").as("score_micro"))
+        .orderBy(col("doc_id"))
     }),
 
     // BPE-style pre-tokenization (GPT-2 pattern family, lookahead-free so the
@@ -2195,20 +2208,8 @@ object SparkEntry {
         |  (len(string_split(text, ' ')) >= 20 AND
         |   len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) > 0) AS is_quality
         |FROM documents""".stripMargin,
-    "q10_langid" ->
-      """SELECT doc_id,
-        |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
-        |       WHEN de >= es AND de >= fr THEN 'de'
-        |       WHEN es >= fr THEN 'es'
-        |       ELSE 'fr' END AS pred_lang,
-        |  (lang = 'en') AS label_is_en
-        |FROM (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) AS en,
-        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','nicht'))) AS de,
-        |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','que'))) AS es,
-        |    len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','une','est'))) AS fr
-        |  FROM documents)""".stripMargin,
+    // real classifier over the corpus column — full model-table replay
+    "q10_langid" -> q10OracleSql,
     "q38_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS INT) AS n_bpe_tokens,
