@@ -99,7 +99,11 @@ object StreamingFrontier {
               blockedDomains: Seq[String] = Nil,
               blockedSubstrings: Seq[String] = Nil,
               watermark: String = "1 hour",
-              maxSeenPerHost: Int = 1 << 20,
+              // GroupState re-serializes the WHOLE set on every updating
+              // micro-batch: 64k hashes ≈ 0.5 MB per hot host per batch is
+              // the sane ceiling — raise it only with state-store budget in
+              // hand (the batch seen anti-join stays the exactness backstop)
+              maxSeenPerHost: Int = 1 << 16,
               idleTimeoutMs: Long = 6L * 3600 * 1000): Dataset[Target] = {
     val spark = pages.sparkSession
     import spark.implicits._
