@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
  *   contrib_t(u) = r_t(u) div outdeg(u)        (per distinct edge u→v)
  *   r_{t+1}(v)   = 150_000 + (850 * Σ_{u→v} contrib_t(u)) div 1000
  * i.e. damping 0.85 with the classic map-reduce simplification that dangling
- * mass is dropped (nodes without outlinks contribute nothing). Multi-edges
+ * mass is dropped (nodes without outlinks contribute nothing) — or, with
+ * `redistributeDangling = true`, conserved by adding its uniform share per
+ * iteration (integer floor math, hand-unrollable either way). Multi-edges
  * count once (the edge set is deduped on (src, dst)).
  *
  * Scale shape: edges dedupe with ONE shuffle on (src, dst); outdegrees are
@@ -35,9 +37,17 @@ object GraphOps {
   /** @param convergeDelta stop early once max |Δrank_micro| over all nodes
     *   falls to ≤ this value (0 disables — exactly `iters` iterations run,
     *   the replayable-oracle contract). The convergence probe is one extra
-    *   metadata-cheap agg per iteration, so it is opt-in. */
+    *   metadata-cheap agg per iteration, so it is opt-in.
+    * @param redistributeDangling classic dangling-mass handling: each
+    *   iteration adds 850·(Σ rank of outlink-less nodes) div (1000·N)
+    *   uniformly to every node, conserving total rank up to floor
+    *   truncation instead of dropping it (the default, which matches the
+    *   q83 oracle's documented simplification). Costs one scalar agg per
+    *   iteration (the convergence-probe shape) — integer arithmetic, so
+    *   partition-invariance holds either way. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 2, convergeDelta: Long = 0L): DataFrame = {
+               iters: Int = 2, convergeDelta: Long = 0L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(srcCol).cast("string").as("_src"),
@@ -53,12 +63,19 @@ object GraphOps {
     // than materializing the cache (measured ~2× on the q83 fixture), so
     // the persist engages at 3+ (and whenever the convergence probe runs —
     // its per-iteration actions would otherwise rebuild the chain).
-    val usePersist = iters >= 3 || convergeDelta > 0L
+    val usePersist = iters >= 3 || convergeDelta > 0L || redistributeDangling
     def cached(df: DataFrame): DataFrame =
       if (usePersist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val withDeg = cached(e.join(deg, Seq("_src")))
     val nodes = cached(e.select(col("_src").as("host"))
       .unionByName(e.select(col("_dst").as("host"))).distinct())
+    // dangling = nodes with no outgoing edges; their count and membership
+    // are iteration-invariant, computed once on the cached frames
+    val dangling =
+      if (redistributeDangling)
+        cached(nodes.join(deg.select(col("_src").as("host")), Seq("host"), "left_anti"))
+      else null
+    val nNodes = if (redistributeDangling) math.max(1L, nodes.count()) else 1L
     var ranks = nodes.withColumn("rank_micro", lit(InitRank))
     var it = 0
     var converged = false
@@ -72,9 +89,16 @@ object GraphOps {
           .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
           .select(col("_dst"), expr("rank_micro div _deg").as("_c"))
           .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
+        // uniform share of the dangling nodes' rank mass (0 when off)
+        val share =
+          if (redistributeDangling) {
+            val dsum = ranks.join(dangling, Seq("host"), "left_semi")
+              .agg(coalesce(sum(col("rank_micro")), lit(0L))).first().getLong(0)
+            850L * dsum / (1000L * nNodes)
+          } else 0L
         val next = nodes.join(contrib.withColumnRenamed("_dst", "host"), Seq("host"), "left")
           .select(col("host"),
-            (lit(150000L) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"))
+            (lit(150000L + share) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"))
         if (convergeDelta > 0L && it + 1 < iters) {
           // materialize the step once, probe the max delta on the (host,
           // rank) frames — two-column rows, never the edge set
@@ -103,6 +127,7 @@ object GraphOps {
       if (usePersist) {
         withDeg.unpersist(blocking = false)
         nodes.unpersist(blocking = false)
+        if (dangling != null) dangling.unpersist(blocking = false)
       }
     }
   }

@@ -88,6 +88,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(s8 == s3, s"raw edge input scanned $s8 partition-times at 8 iters vs $s3 at 3 — iteration reuse broken")
   }
 
+  test("dangling-mass redistribution conserves total rank (hand-unrolled)") {
+    // a -> b, b dangling. iter 1: share = 850*1e6/(1000*2) = 425000 →
+    // r(a) = 150000+425000 = 575000, r(b) = 575000+850000 = 1425000 (Σ = 2e6).
+    // iter 2: share = 850*1425000/2000 = 605625 → r(a) = 755625,
+    // r(b) = 755625 + 850*575000 div 1000 = 1244375 (Σ = 2e6 again).
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val got = GraphOps.pageRank(e, "src", "dst", iters = 2, redistributeDangling = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 755625L, "b" -> 1244375L), got.toString)
+    assert(got.values.sum == 2000000L, "total rank must be conserved")
+    // default (off) keeps the documented drop semantics the q83 oracle pins:
+    // the dangling node's mass vanishes, so total rank shrinks
+    val off = GraphOps.pageRank(e, "src", "dst", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(off.values.sum < 2000000L, s"drop semantics must lose mass: $off")
+  }
+
   test("pageRank leaves no iteration caches persisted behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     GraphOps.pageRank(edges, "src", "dst", iters = 3).collect()
