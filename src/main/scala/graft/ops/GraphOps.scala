@@ -42,8 +42,10 @@ object GraphOps {
     *   iteration adds 850·(Σ rank of outlink-less nodes) div (1000·N)
     *   uniformly to every node, conserving total rank up to floor
     *   truncation instead of dropping it (the default, which matches the
-    *   q83 oracle's documented simplification). Costs one scalar agg per
-    *   iteration (the convergence-probe shape) — integer arithmetic, so
+    *   q83 oracle's documented simplification). Costs one localCheckpoint of
+    *   the two-column rank frame plus one scalar agg per iteration (the
+    *   convergence-probe shape — the probe action would otherwise replay the
+    *   whole uncheckpointed iteration lineage) — integer arithmetic, so
     *   partition-invariance holds either way. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 2, convergeDelta: Long = 0L,
@@ -80,11 +82,31 @@ object GraphOps {
     var it = 0
     var converged = false
     var prevStep: DataFrame = null
+    // true while `ranks` is materialized (initial frame over the persisted
+    // nodes, or a localCheckpoint) — i.e. an action on it is one stage, not
+    // a replay of the whole iteration lineage
+    var ranksMaterialized = true
     try {
       while (it < iters && !converged) {
         // truncate lineage periodically: 50 chained join+agg plans would bloat
         // analysis/optimization time long before the data is the problem
-        if (it > 0 && it % 10 == 0) ranks = ranks.localCheckpoint(true)
+        if (it > 0 && it % 10 == 0 && !ranksMaterialized) {
+          ranks = ranks.localCheckpoint(true)
+          ranksMaterialized = true
+        }
+        // the dangling-share probe below runs a first() action against
+        // `ranks` EVERY iteration — on a lazy frame that action would replay
+        // every prior iteration's join+agg (up to 9 of them between periodic
+        // checkpoints), so this path checkpoints each step like the
+        // convergence probe does, keeping the documented cost at one
+        // checkpoint + one scalar agg per iteration
+        if (redistributeDangling && !ranksMaterialized) {
+          val ck = ranks.localCheckpoint(true)
+          if (prevStep != null) prevStep.unpersist(blocking = false)
+          prevStep = ck
+          ranks = ck
+          ranksMaterialized = true
+        }
         val contrib = withDeg
           .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
           .select(col("_dst"), expr("rank_micro div _deg").as("_c"))
@@ -112,7 +134,11 @@ object GraphOps {
           if (prevStep != null) prevStep.unpersist(blocking = false)
           prevStep = stepped
           ranks = stepped
-        } else ranks = next
+          ranksMaterialized = true
+        } else {
+          ranks = next
+          ranksMaterialized = false
+        }
         it += 1
       }
       // materialize the result WHILE the iteration frames are still cached
@@ -120,8 +146,11 @@ object GraphOps {
       // the reuse and the first action would rebuild every iteration); the
       // lazy ≤2-iteration shape has nothing cached to protect, so it skips
       // the eager checkpoint and lets the caller's action fuse the plan
-      val out = if (usePersist) ranks.localCheckpoint(true) else ranks
-      if (prevStep != null) prevStep.unpersist(blocking = false)
+      val out =
+        if (usePersist && !ranksMaterialized) ranks.localCheckpoint(true) else ranks
+      // the last probe/dangling checkpoint may BE the output frame — its
+      // blocks must survive the cleanup
+      if (prevStep != null && !(prevStep eq out)) prevStep.unpersist(blocking = false)
       out
     } finally {
       if (usePersist) {

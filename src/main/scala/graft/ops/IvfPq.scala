@@ -67,6 +67,15 @@ object IvfPq {
         vecs.orderBy(xxhash64(col("_id")), col("_id")).limit(ksub)
           .select(col("_dv")).collect()
           .map(_.getSeq[Double](0).toSeq).toSeq
+      // a too-thin hash sample must fail at TRAINING, not as an
+      // ArrayIndexOutOfBounds inside pqAdcCosine at query eval: fall back
+      // to the full corpus like trainCentroids, and require data at all
+      if (seedRows.length < ksub && sampleDenominator > 1) {
+        vecs.unpersist(blocking = false)
+        return trainPq(df, vecCol, idCol, dim, m, ksub, iters)
+      }
+      require(seedRows.nonEmpty,
+        s"trainPq: no rows to seed codebooks from (input empty)")
       val books = (0 until m).map { s =>
         val sl = slice(col("_dv"), s * dsub + 1, dsub)
         var cb: Seq[Seq[Double]] =

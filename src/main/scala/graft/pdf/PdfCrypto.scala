@@ -16,11 +16,16 @@ import scala.util.control.NonFatal
  *
  * Everything here is formula-defined from the public spec: the 32-byte
  * padding string (§7.6.3.3), the MD5/RC4 key-derivation algorithms 1-5
- * (MD5 from the JDK, RC4 is ten lines of state machine), and the
- * length-preserving property of RC4 that makes IN-PLACE stream decryption
- * sound — offsets, /Length values, and xref tables stay valid, so the
- * existing scan-based extractor reads the decrypted copy unchanged. V ≥ 4
- * (crypt filters / AES) returns None and stays on the quarantine path. */
+ * (MD5 from the JDK, RC4 is ten lines of state machine), the V5/R5-R6
+ * SHA-2-based Algorithm 2.A/2.B hashes, and AES-128/256-CBC from the JDK.
+ * All four standard-handler schemes are supported: V1/V2 RC4 (R2/R3),
+ * V4/R4 crypt filters with /AESV2 or /V2-RC4 StdCF, and V5 /AESV3 (R5 and
+ * the ISO 32000-2 R6 iterated hash). RC4 decrypts IN PLACE (length-
+ * preserving — offsets, /Length values, and xref tables stay valid); AES
+ * output is shorter than the stored region (IV + padding), so the
+ * shortfall pads with inert newlines. Either way the existing scan-based
+ * extractor reads the decrypted copy unchanged. Unsupported or
+ * wrong-password files return None and stay on the quarantine path. */
 object PdfCrypto {
 
   /** The spec's password padding string (§7.6.3.3). */
@@ -180,10 +185,12 @@ object PdfCrypto {
   // ------------------------------------------------------------- decryption
 
   /** Attempt empty-user-password decryption: returns the clear bytes (every
-    * stream payload RC4-decrypted in place — RC4 is length-preserving, so
-    * offsets, /Length values, and xref tables stay valid) or None when the
-    * file is not encrypted, uses an unsupported scheme (V ≥ 4 AES, crypt
-    * filters), or genuinely requires a user password. Never throws. */
+    * stream payload decrypted in place — RC4 is length-preserving; AES pads
+    * its shortfall with newlines — so offsets, /Length values, and xref
+    * tables stay valid) or None when the file is not encrypted, uses a
+    * scheme outside the four standard-handler forms (V1/V2 RC4, V4 AESV2 or
+    * cf-RC4, V5 AESV3 R5/R6), or genuinely requires a non-empty user
+    * password. Never throws. */
   def tryDecrypt(bytes: Array[Byte]): Option[Array[Byte]] =
     try tryDecryptImpl(bytes) catch { case NonFatal(_) => None }
 
@@ -196,6 +203,11 @@ object PdfCrypto {
     // attempt at 64 MB so 32 concurrent hostile 100 MB payloads cannot
     // spike executor memory — larger encrypted files stay quarantined
     if (bytes.length > (64 << 20)) return None
+    // non-PDF payloads bail BEFORE the 2-bytes/char String view is built —
+    // on a mixed corpus the magic check keeps the transient doubling a
+    // per-PDF cost (same startsWith-"%PDF-" contract as the preflight)
+    if (bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
+        bytes(3) != 'F' || bytes(4) != '-') return None
     val s = latin1(bytes, 0, bytes.length)
     val encAt = s.lastIndexOf("/Encrypt")
     if (encAt < 0) return None
@@ -260,7 +272,12 @@ object PdfCrypto {
     // bytes are written at the region start and the remainder padded with
     // newlines, so offsets and /Length stay valid — flate streams
     // self-terminate and whitespace is inert in every content filter.
+    // stream payload ranges collected during the same walk — the breadcrumb
+    // rewrite below must skip them (ciphertext/plaintext stream bytes can
+    // contain the /Encrypt byte sequence by coincidence)
+    val payloadRanges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     walkFrames(s) { (num, gen, dictText, payloadStart, payloadEnd) =>
+      if (payloadEnd > payloadStart) payloadRanges += ((payloadStart, payloadEnd))
       // the Encrypt dict's own strings are plaintext; xref streams are
       // never encrypted (§7.5.8.2)
       if ((num != eNum || gen != eGen) && !dictText.contains("/XRef") &&
@@ -277,14 +294,20 @@ object PdfCrypto {
       }
     }
     // the recovered file must not re-trip the "encrypted" preflight gate:
-    // rewrite the trailer's /Encrypt key to /Decrypt (one byte, offsets
-    // unchanged — a harmless unknown dict key that doubles as the recovery
-    // breadcrumb). Head-window occurrences (linearized files) get the same
-    // treatment; both sit outside stream payloads.
-    out(encAt + 1) = 'D'.toByte
+    // rewrite EVERY /Encrypt key outside stream payloads to /Decrypt (one
+    // byte each, offsets unchanged — a harmless unknown dict key that
+    // doubles as the recovery breadcrumb). Every occurrence, not just the
+    // last + head window: an incrementally-updated PDF's superseded
+    // trailers can also sit inside the preflight's tail-2KB scan, and a
+    // recovered file it still flags "encrypted" would be quarantined with
+    // the recovery silently wasted. Occurrences INSIDE stream payloads are
+    // skipped (walkFrames collected the ranges): those bytes are stream
+    // data that merely spells the key by coincidence.
+    def inPayload(i: Int): Boolean =
+      payloadRanges.exists(r => i >= r._1 && i < r._2)
     var h = s.indexOf("/Encrypt")
-    while (h >= 0 && h < 2048) {
-      out(h + 1) = 'D'.toByte
+    while (h >= 0) {
+      if (!inPayload(h)) out(h + 1) = 'D'.toByte
       h = s.indexOf("/Encrypt", h + 1)
     }
     Some(out)

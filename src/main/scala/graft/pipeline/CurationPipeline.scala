@@ -135,13 +135,17 @@ object CurationPipeline {
           .withColumn("_semok", coalesce(col("_semok"), lit(false)))
       case None => withLm.withColumn("_semok", lit(true))
     }
-    // window key = (is-null flag, dhash-or-id): NULL-dhash rows (most of a
-    // crawl corpus is not an image) get SINGLETON partitions keyed by their
-    // own id instead of one giant all-nulls window partition — the skew
-    // killer this two-column key avoids; the flag column keeps an id value
-    // from ever colliding with a real dhash value
+    // window key = (is-null flag, dhash-or-hashed-id): NULL-dhash rows (most
+    // of a crawl corpus is not an image) get SINGLETON partitions keyed by a
+    // hash of their own id instead of one giant all-nulls window partition —
+    // the skew killer this two-column key avoids; the flag column keeps an
+    // id-hash value from ever colliding with a real dhash value. xxhash64,
+    // not a long CAST: for non-numeric string ids the cast is NULL for every
+    // row, which would collapse all non-image rows back into one partition
+    // (imgKeep short-circuits on _dhash.isNull, so the key is partitioning-
+    // only — a rare id-hash collision just co-locates two passing rows)
     val dhashW = Window.partitionBy(col("_dhash").isNull,
-      coalesce(col("_dhash"), col("_id").cast("long")))
+      coalesce(col("_dhash"), xxhash64(col("_id"))))
     val imgKeep =
       if (imagePayloadCol.isDefined)
         col("_dig_keep") && (col("_dhash").isNull ||

@@ -245,11 +245,16 @@ object ExtractPipeline {
     val t0 = System.nanoTime()
     // empty-password recovery is a per-row payload rewrite ahead of the
     // validate/extract plan — undecryptable payloads pass through unchanged
-    // and hit the usual "encrypted" quarantine gate
+    // and hit the usual "encrypted" quarantine gate. Gated on the PDF magic
+    // so the (mostly non-PDF) corpus never enters the decrypt attempt at
+    // all — tryDecrypt materializes a latin-1 String view (2 bytes/char) of
+    // candidate payloads, which must stay a per-PDF cost, not a per-row one
     val pages =
       if (cfg.decryptPdfs)
         pages0.withColumn("html",
-          coalesce(graft.functions.pdf_decrypt(col("html")), col("html")))
+          when(graft.functions.is_pdf(col("html")),
+            coalesce(graft.functions.pdf_decrypt(col("html")), col("html")))
+            .otherwise(col("html")))
       else pages0
     val extractedPath = s"$outDir/extracted"
     val lineagePath = s"$outDir/lineage"
