@@ -868,11 +868,15 @@ object SparkEntry {
     // → probe → list join → exact re-rank) against the brute-force oracle.
     "q37_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // train on the deterministic 1/4 hash sample (the 10^10-row shape —
-      // quantizer quality does not need the full corpus); nProbe = k makes
-      // the search EXACT regardless of centroids, which is the oracle contract
-      val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id",
-        k = 16, iters = 3, sampleDenominator = 4)
+      // the coarse quantizer is a PERSISTED model table (train once on the
+      // deterministic 1/4 hash sample — the 10^10-row shape — commit via
+      // the CatalogIO manifest, read at every search): quantizer training
+      // in the query path is the anti-pattern at 100×, and the model is
+      // bit-identical read-back vs retrained. nProbe = k makes the search
+      // EXACT regardless of centroids, which is the oracle contract.
+      val centroids = graft.ops.AnnModelIO.centroidsFor(emb, "embedding", "vec_id",
+        k = 16, iters = 3, sampleDenominator = 4,
+        dir = graft.ops.AnnModelIO.modelDir("ivf", dir, "k16-i3-s4"))
       graft.ops.IvfAnn.topK(emb, "embedding", "vec_id", col("vec_id") < 20,
         centroids, k = 5, nProbe = 16)
     }),
@@ -886,13 +890,17 @@ object SparkEntry {
     // contract); the lossy recall curve is pinned in IvfPqSpec.
     "q94_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.ops.IvfAnn.trainCentroids(emb, "embedding", "vec_id",
-        k = 16, iters = 3, sampleDenominator = 4)
-      // one Lloyd pass: the exhaustive-probe oracle contract is independent
-      // of codebook quality (the exact re-rank decides), and each extra PQ
-      // iteration is m=8 more collect jobs of pure training cost
-      val pq = graft.ops.IvfPq.trainPq(emb, "embedding", "vec_id", dim = 64,
-        m = 8, ksub = 16, iters = 1, sampleDenominator = 4)
+      // both models are PERSISTED tables (see q37): search-only after the
+      // first commit — the ~3.5-4 s in-query training floor was the one
+      // perf-weak item of round 6. One Lloyd pass for PQ: the
+      // exhaustive-probe oracle contract is independent of codebook quality
+      // (the exact re-rank decides).
+      val centroids = graft.ops.AnnModelIO.centroidsFor(emb, "embedding", "vec_id",
+        k = 16, iters = 3, sampleDenominator = 4,
+        dir = graft.ops.AnnModelIO.modelDir("ivf", dir, "k16-i3-s4"))
+      val pq = graft.ops.AnnModelIO.pqFor(emb, "embedding", "vec_id", dim = 64,
+        m = 8, ksub = 16, iters = 1, sampleDenominator = 4,
+        dir = graft.ops.AnnModelIO.modelDir("pq", dir, "d64-m8-k16-i1-s4"))
       graft.ops.IvfPq.topK(emb, "embedding", "vec_id", col("vec_id") < 20,
         centroids, pq, k = 5, nProbe = 16, refine = 1 << 16)
     }),
