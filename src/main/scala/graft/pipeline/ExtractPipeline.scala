@@ -516,7 +516,7 @@ object ExtractPipeline {
         col("lineage_rows"), col("docs_per_sec"), col("status"))
   }
 
-  private[pipeline] def fsExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

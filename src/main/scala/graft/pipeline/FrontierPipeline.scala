@@ -45,6 +45,12 @@ object FrontierPipeline {
       seen = seen, seenUrlCol = seenUrlCol, shards = shards)
     val bucketed = targets.withColumn("bucket",
       pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+    // read-backs pass the schema EXPLICITLY: a round that discovers nothing
+    // new (the steady state of a crawl loop whose seen set has converged)
+    // writes zero part files, and schema inference on an empty dynamic-
+    // overwrite dir throws instead of returning an empty frame
+    def readFrontier() =
+      spark.read.schema(bucketed.schema).parquet(frontierPath)
 
     val todo = (0 until nBuckets).filterNot(doneBuckets.toSet)
     val groups: Seq[Seq[Int]] =
@@ -58,13 +64,25 @@ object FrontierPipeline {
         .mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(frontierPath)
-      val written = spark.read.parquet(frontierPath).filter(col("bucket").isin(group: _*))
-      written.groupBy(col("bucket"))
+      val written = readFrontier().filter(col("bucket").isin(group: _*))
+      // one lineage row PER BUCKET IN THE GROUP, including empty ones (a
+      // converged crawl round discovers nothing): an empty bucket with no
+      // committed row would be "missing" to every later resume, which
+      // re-runs the whole frontier computation just to rediscover nothing
+      import spark.implicits._
+      val groupDf = group.toDF("bucket")
+      val aggs = written.groupBy(col("bucket"))
         .agg(count(lit(1)).as("row_count"),
           sha2(encode(concat_ws("\n", sort_array(collect_list(
             concat_ws("\t", col("url"), col("kind"), col("discovered_from"))))), "UTF-8"), 256)
             .as("digest"))
-        .select(lit(runId).as("run_id"), col("bucket"), col("row_count"), col("digest"),
+      groupDf.join(aggs, Seq("bucket"), "left")
+        .select(lit(runId).as("run_id"), col("bucket"),
+          coalesce(col("row_count"), lit(0L)).as("row_count"),
+          // sha256("") — the digest of zero sorted rows
+          coalesce(col("digest"),
+            lit("e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"))
+            .as("digest"),
           lit("committed").as("status"),
           lit(System.currentTimeMillis()).as("committed_utc_ms"))
         .write.mode(SaveMode.Append).parquet(lineagePath)
@@ -74,7 +92,7 @@ object FrontierPipeline {
           throw new IllegalStateException(s"injected failure after $committed commit group(s)")
       }
     }
-    val n = spark.read.parquet(frontierPath).count()
+    val n = readFrontier().count()
     JobResult(frontierPath, lineagePath, n, doneBuckets.length)
   }
 }

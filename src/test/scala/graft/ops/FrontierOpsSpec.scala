@@ -127,4 +127,26 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestBase {
       seen = Some(round1.select("url")))
     assert(round2.count() == 0)
   }
+
+  test("pipeline: a CONVERGED round (everything seen) completes with 0 targets") {
+    // the steady state of a crawl loop — the empty dynamic-overwrite dir
+    // must read back as an empty frame (explicit schema), not a schema-
+    // inference error, or the loop dies exactly when it is done
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/", htmlPage("""<a href="/x">x</a>"""))
+    ).toDF("url", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("frontier-conv").toString
+    val r1 = FrontierPipeline.runJob(spark, pages, s"$dir/r0", "url", "payload",
+      nBuckets = 4)
+    assert(r1.nTargets == 1)
+    val seen = spark.read.parquet(s"$dir/r0/frontier").select(col("url"))
+    val r2 = FrontierPipeline.runJob(spark, pages, s"$dir/r1", "url", "payload",
+      nBuckets = 4, seen = Some(seen))
+    assert(r2.nTargets == 0)
+    // and a rerun over the converged round resumes its committed buckets
+    val r3 = FrontierPipeline.runJob(spark, pages, s"$dir/r1", "url", "payload",
+      nBuckets = 4, seen = Some(seen))
+    assert(r3.nTargets == 0 && r3.resumedBuckets == 4)
+  }
 }
