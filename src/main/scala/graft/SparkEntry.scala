@@ -329,6 +329,41 @@ object SparkEntry {
 
   private def sqlEsc(s: String) = s.replace("'", "''")
 
+  /** q30: the decoded arms (JPEG/GIF/WAV flat fixtures) state their
+    * features in plain SQL; the sketch arm (MP3 — the declared table-data-
+    * codec stub) pins the 20 deterministic sketch constants computed at
+    * plan-build time from the SAME fixed payloads, mirrored through the
+    * query's exact quantization (float sums → double ×1e4 → HALF_UP → long).
+    * A pinned constant is a regression anchor, not a derivation — the q24
+    * golden-digest pattern applied to sketch stability. */
+  private def q30OracleSql: String = {
+    def e4(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sketch = (0 until 20).map { i =>
+      val f = graft.media.MediaSniff.features(graft.media.AvEncode.mp3Silent(i + 1))
+      (i, e4(f(0).toDouble * 10000.0),
+        e4((f(1) + f(2) + f(3)).toDouble * 10000.0),
+        e4(f(4).toDouble * 10000.0),
+        e4((f(5) + f(6) + f(7)).toDouble * 10000.0))
+    }
+    val vals = sketch.map { case (i, a, b, c, d) =>
+      s"($i, ${a}::BIGINT, ${b}::BIGINT, ${c}::BIGINT, ${d}::BIGINT)"
+    }.mkString(",\n    ")
+    s"""WITH sk(i, s1, s234, s5, s678) AS (VALUES
+       |    $vals)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 4 = 3 THEN sk.s1
+       |       ELSE (d.doc_id % 200) * 10000 END AS f1_e4,
+       |  CASE WHEN d.doc_id % 4 = 1
+       |         THEN (((d.doc_id % 200) * 3) % 256 + ((d.doc_id % 200) * 7) % 256) * 10000
+       |       WHEN d.doc_id % 4 = 3 THEN sk.s234
+       |       ELSE 0 END AS f234_e4,
+       |  CASE WHEN d.doc_id % 4 = 3 THEN sk.s5 ELSE 0 END AS var_e4,
+       |  CASE WHEN d.doc_id % 4 = 3 THEN sk.s678 ELSE 0 END AS rest_e4
+       |FROM documents d LEFT JOIN sk ON sk.i = (d.doc_id % 200) % 20
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def q92OracleSql: String = {
     import graft.text.LangId
     val txts = LangId.HeldOut.zipWithIndex
@@ -985,14 +1020,49 @@ object SparkEntry {
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"))
     }),
-    // STUB-decode feature path: real schema/plumbing, deterministic fake features;
-    // rows-only (the stub is not SQL-replicable, by design)
-    "q30_media_features" -> ((s, dir) =>
+    // the media_features DISPATCH surface end-to-end: three real decoders
+    // (JPEG, GIF, WAV — flat fixtures, closed-form means/variances) plus the
+    // declared hash-sketch arm (MP3 payloads — table-data codec, no real
+    // decode by design). Everything quantizes to integer 1e-4 units so the
+    // whole query is hash-checked: decoded rows state their features in
+    // plain SQL, sketch rows pin the deterministic sketch constants computed
+    // at plan-build time from the same fixed payloads (a regression anchor
+    // for sketch stability, the q24 golden-digest pattern)
+    "q30_media_features" -> ((s, dir) => {
+      val m = (col("doc_id") % 200).cast("int")
+      val jpegHex = (0 until 200).map { v =>
+        graft.media.JpegEncode.flatGray(16, 16, v).map(b => f"${b & 0xff}%02X").mkString
+      }
+      val gifHex = (0 until 200).map { v =>
+        graft.media.GifEncode.flatColor(8, 8, v, (v * 3) % 256, (v * 7) % 256)
+          .map(b => f"${b & 0xff}%02X").mkString
+      }
+      def le32(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+      def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+      val wavHeadHex = "52494646" + le32(36 + 256) + "57415645" +
+        "666D7420" + le32(16) + le16(1) + le16(1) + le32(8000) +
+        le32(8000) + le16(1) + le16(8) + "64617461" + le32(256)
+      val mp3Hex = (0 until 20).map { i =>
+        graft.media.AvEncode.mp3Silent(i + 1).map(b => f"${b & 0xff}%02X").mkString
+      }
+      val payload = unhex(
+        when(col("doc_id") % 4 === 0, element_at(array(jpegHex.map(lit): _*), m + 1))
+          .when(col("doc_id") % 4 === 1, element_at(array(gifHex.map(lit): _*), m + 1))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(wavHeadHex), repeat(lpad(hex(m), 2, "0"), 256)))
+          .otherwise(element_at(array(mp3Hex.map(lit): _*), (m % 20) + 1)))
+      val f = media_features(payload)
+      def e4(c: Column) = round(c.cast("double") * 10000).cast("long")
       t(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("f", f)
         .select(col("doc_id"),
-          round(aggregate(media_features(col("payload")),
-            lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))),
+          e4(element_at(col("f"), 1)).as("f1_e4"),
+          e4(element_at(col("f"), 2) + element_at(col("f"), 3) + element_at(col("f"), 4))
+            .as("f234_e4"),
+          e4(element_at(col("f"), 5)).as("var_e4"),
+          e4(element_at(col("f"), 6) + element_at(col("f"), 7) + element_at(col("f"), 8))
+            .as("rest_e4"))
+    }),
     // REAL PNG decode (PngDecode: inflate + un-filter): a valid grayscale PNG
     // is built in-query — stored-deflate block, vertical gradient row y =
     // doc_id%200 + y — so the per-channel mean/variance features are statable
@@ -2297,6 +2367,7 @@ object SparkEntry {
         |  CAST(doc_id % 50 + 100 AS INT) AS width,
         |  CAST(doc_id % 30 + 200 AS INT) AS height
         |FROM documents""".stripMargin,
+    "q30_media_features" -> q30OracleSql,
     "q27_sanitize" ->
       """SELECT doc_id,
         |  substring(regexp_replace(upper(source), '[^A-Z0-9]', '_', 'g'), 1, 4) AS src_clean,
