@@ -32,12 +32,18 @@ import graft.functions._
  *    its members but stops admitting new hashes — later novel urls on
  *    that host re-emit rather than silently vanish; the downstream batch
  *    frontier/seen anti-join (FrontierPipeline) is the exactness
- *    backstop, mirroring dedupByDigest's stance.
+ *    backstop, mirroring dedupByDigest's stance. Every emission carries
+ *    `seen_state` so a consumer can SEE the boundary: "fresh" = admitted
+ *    to the seen set (will not re-emit), "overflow" = novel on a full
+ *    host set (MAY re-emit every batch it reappears — route these rows
+ *    through the exact anti-join instead of refetching them blindly; a
+ *    hot host past its cap otherwise multiplies downstream fetch work
+ *    with no in-stream signal).
  */
 object StreamingFrontier {
 
   final case class Target(url: String, host: String, kind: String,
-                          discovered_from: String)
+                          discovered_from: String, seen_state: String)
 
   /** Per-host seen-set state across micro-batches. */
   final case class SeenState(hashes: Set[Long], lastMs: Long)
@@ -135,8 +141,13 @@ object StreamingFrontier {
         case (_, ts, url, kind, from, curl) =>
           val h = graft.text.TextHash.hashToken(curl, 0, curl.length, 0x5eedL)
           if (!seen.contains(h)) {
-            out += Target(url, host, kind, from)
-            if (seen.size < maxSeen) seen += h
+            // admitted → "fresh" (never re-emits); set full → "overflow"
+            // (novel but unadmitted — may re-emit; consumers route these
+            // through the exact batch anti-join)
+            if (seen.size < maxSeen) {
+              out += Target(url, host, kind, from, "fresh")
+              seen += h
+            } else out += Target(url, host, kind, from, "overflow")
           }
           if (ts.getTime > lastMs) lastMs = ts.getTime
       }

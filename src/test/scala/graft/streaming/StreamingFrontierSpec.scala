@@ -104,9 +104,19 @@ class StreamingFrontierSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       // 1 filtered (in set); 3 re-emits (cap kept it out of the set) —
       // the documented conservative stance: discovery never silently drops
-      val urls = s.table("frontier_cap").select("url").collect().map(_.getString(0))
+      val rows = s.table("frontier_cap").select("url", "seen_state").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val urls = rows.map(_._1)
       assert(urls.count(_ == "https://t.example/3") == 2)
       assert(urls.count(_ == "https://t.example/1") == 1)
+      // seen_state marks the cap boundary: admitted rows are "fresh", every
+      // emission of the unadmitted url (first AND re-emit) is "overflow" —
+      // the consumer's signal to route it through the exact batch anti-join
+      assert(rows.toSet == Set(
+        ("https://t.example/1", "fresh"),
+        ("https://t.example/2", "fresh"),
+        ("https://t.example/3", "overflow")))
+      assert(rows.count(_ == ("https://t.example/3", "overflow")) == 2)
     } finally q.stop()
   }
 }
