@@ -1512,6 +1512,28 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // dangling-mass-CONSERVING PageRank (the q83 recurrence with
+    // redistributeDangling=true): the q83 edge set's cdn/abs hosts have no
+    // outlinks, so each iteration redistributes 850·(Σ dangling rank) div
+    // (1000·N) uniformly — the oracle unrolls both iterations INCLUDING the
+    // integer share terms, pinning conservation semantics in DuckDB (the
+    // mode was previously spec-covered only)
+    "q97_pagerank_dangling" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val m = (col("doc_id") % 50).cast("string")
+      val url = concat(lit("https://h"), k, lit(".example/dir/page"), (col("doc_id") % 3).cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"/p/"), m, lit("\">x</a> "),
+        lit("<a href=\"//cdn.example/r/"), m, lit("\">z</a> "),
+        lit("<a href=\"https://abs"), m, lit(".example/z\">w</a></body></html>"))
+      val edges = t(s, dir, "documents")
+        .withColumn("link", explode(extract_links(encode(html, "UTF-8"), url)))
+        .select(parse_url(url, lit("HOST")).as("src"), parse_url(col("link"), lit("HOST")).as("dst"))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 2,
+        redistributeDangling = true)
+        .orderBy(col("host"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -2699,6 +2721,36 @@ object SparkEntry {
         |c2 AS (SELECT dst, sum(r // dg) AS s FROM edges JOIN deg USING (src)
         |  JOIN r1 ON r1.host = edges.src GROUP BY dst),
         |r2 AS (SELECT host, 150000 + (850 * coalesce(s, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.dst = nodes.host)
+        |SELECT host, CAST(r AS BIGINT) AS rank_micro FROM r2 ORDER BY host""".stripMargin,
+    // q83's unrolled recurrence plus the per-iteration dangling share:
+    // share_t = (850 · Σ_{dangling} r_t) // (1000 · N) added uniformly —
+    // all integer floor math, bit-identical across engines
+    "q97_pagerank_dangling" ->
+      """WITH d AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS k,
+        |    CAST(doc_id % 50 AS VARCHAR) AS m FROM documents),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'h' || k || '.example' AS src, 'h' || k || '.example' AS dst FROM d
+        |    UNION ALL SELECT 'h' || k || '.example', 'cdn.example' FROM d
+        |    UNION ALL SELECT 'h' || k || '.example', 'abs' || m || '.example' FROM d)),
+        |nodes AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |dang AS (SELECT host FROM nodes WHERE host NOT IN (SELECT src FROM edges)),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |sh0 AS (SELECT (850 * CAST((SELECT sum(r0.r) FROM r0 JOIN dang USING (host)) AS BIGINT))
+        |    // (1000 * (SELECT n FROM nn)) AS s),
+        |c1 AS (SELECT dst, sum(r // dg) AS s FROM edges JOIN deg USING (src)
+        |  JOIN r0 ON r0.host = edges.src GROUP BY dst),
+        |r1 AS (SELECT host, 150000 + (SELECT s FROM sh0) + (850 * coalesce(s, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.dst = nodes.host),
+        |sh1 AS (SELECT (850 * CAST((SELECT sum(r1.r) FROM r1 JOIN dang USING (host)) AS BIGINT))
+        |    // (1000 * (SELECT n FROM nn)) AS s),
+        |c2 AS (SELECT dst, sum(r // dg) AS s FROM edges JOIN deg USING (src)
+        |  JOIN r1 ON r1.host = edges.src GROUP BY dst),
+        |r2 AS (SELECT host, 150000 + (SELECT s FROM sh1) + (850 * coalesce(s, 0)) // 1000 AS r
         |  FROM nodes LEFT JOIN c2 ON c2.dst = nodes.host)
         |SELECT host, CAST(r AS BIGINT) AS rank_micro FROM r2 ORDER BY host""".stripMargin,
     // every Gopher rule replayed in DuckDB list ops; all ratios are
