@@ -52,11 +52,6 @@ object GraphOps {
                redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col(srcCol).cast("string").as("_src"),
-        col(dstCol).cast("string").as("_dst"))
-      .filter(col("_src").isNotNull && col("_dst").isNotNull)
-      .distinct()
-    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     // (src, dst, deg) — PERSISTED across iterations once there are ≥3: a
     // lazy frame would re-execute the edge distinct + degree agg in every
     // iteration's plan (ReusedExchange cannot cross the per-iteration
@@ -68,6 +63,15 @@ object GraphOps {
     val usePersist = iters >= 3 || convergeDelta > 0L || redistributeDangling
     def cached(df: DataFrame): DataFrame =
       if (usePersist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    // the deduped edge set is persisted FIRST: withDeg/nodes/dangling all
+    // derive from it, and without this cache each of their first
+    // materializations re-runs the whole upstream extraction (3× the scan
+    // at link-extraction cost — measured 3.98 s → ~1.5 s on the q97 shape)
+    val e = cached(edges.select(col(srcCol).cast("string").as("_src"),
+        col(dstCol).cast("string").as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct())
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     val withDeg = cached(e.join(deg, Seq("_src")))
     val nodes = cached(e.select(col("_src").as("host"))
       .unionByName(e.select(col("_dst").as("host"))).distinct())
@@ -154,6 +158,7 @@ object GraphOps {
       out
     } finally {
       if (usePersist) {
+        e.unpersist(blocking = false)
         withDeg.unpersist(blocking = false)
         nodes.unpersist(blocking = false)
         if (dangling != null) dangling.unpersist(blocking = false)
