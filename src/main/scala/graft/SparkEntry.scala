@@ -178,11 +178,29 @@ object SparkEntry {
    * cap is a no-op at oracle scale (largest band ≪ 2^13).
    */
   private def minhashOracleSql(docsCte: String, threshold: Double, outCols: String,
-                               numHashes: Int = 64, rowsPerBand: Int = 8): String = {
+                               numHashes: Int = 64, rowsPerBand: Int = 8): String =
+    s"""WITH docs AS ($docsCte),
+       |${minhashSigBandsCtes(numHashes, rowsPerBand)},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |),
+       |est AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(range($numHashes), i -> sx.sig[i+1] = sy.sig[i+1])) / $numHashes.0 AS ej
+       |  FROM cand c JOIN sig sx ON c.a = sx.doc_id JOIN sig sy ON c.b = sy.doc_id
+       |)
+       |SELECT $outCols FROM est WHERE ej >= $threshold ORDER BY a, b""".stripMargin
+
+  /** The shared token→shingle→signature→band-key CTE chain (expects a
+    * preceding `docs(doc_id, text)` CTE; yields `sig(doc_id, sig)` and
+    * `bands(doc_id, bnd, bkey)`). Factored out so the self-join oracles
+    * (q13/q31) and the incremental index oracle (q98) replay the SAME
+    * hashing pipeline. Returned text is final-form (margins stripped). */
+  private def minhashSigBandsCtes(numHashes: Int = 64, rowsPerBand: Int = 8): String = {
     val k = 3
     val seedMult = 0xabcdef1234567L
-    s"""WITH docs AS ($docsCte),
-       |tok AS (
+    s"""tok AS (
        |  SELECT doc_id, t AS tok, i
        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t,
        |               unnest(range(len(string_split(text,' ')))) AS i FROM docs)
@@ -217,18 +235,125 @@ object SparkEntry {
        |      g.sig[b.bnd*$rowsPerBand+1 : b.bnd*$rowsPerBand+$rowsPerBand]),
        |      (a, c) -> ${USql64.sm("xor(a, c)")}) AS bkey
        |  FROM sig g CROSS JOIN (SELECT unnest(range(${numHashes / rowsPerBand})) AS bnd) b
+       |)""".stripMargin
+  }
+
+  /** SQL text of the q98 three-arm batch mutation, shared verbatim between
+    * the documentation here and q98OracleSql: every third doc is re-sent
+    * unchanged (exact), shifted by one token (near), or replaced by four
+    * doc-id-salted tokens that overlap nothing (fresh). */
+  private val q98BatchCase =
+    """CASE WHEN doc_id % 3 = 0 THEN text
+      |     WHEN doc_id % 3 = 1 THEN substring(text, instr(text, ' ') + 1)
+      |     ELSE 'zx' || CAST(doc_id AS VARCHAR) || ' qv' || CAST(doc_id AS VARCHAR) ||
+      |          ' wm' || CAST(doc_id AS VARCHAR) || ' rk' || CAST(doc_id AS VARCHAR) END""".stripMargin
+
+  /**
+   * Incremental dedup replayed in DuckDB: the committed index IS
+   * buildDedupIndex(documents) (deterministic — splitmix64, no sampling), so
+   * the oracle recomputes signatures/bands for BOTH sides with the shared CTE
+   * chain, takes exact hits by text equality (≡ sha-256 digest equality),
+   * band-collision candidates restricted to new×index, and the best near
+   * match (max estimate, ties to min indexed id) — mirroring
+   * DedupOps.dedupAgainstIndex exactly. The index-side bucket cap is a no-op
+   * at oracle scale (largest band ≪ 2^13), as in q13/q31.
+   */
+  private def q98OracleSql(threshold: Double = 0.5, numHashes: Int = 64): String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |newb AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    $q98BatchCase AS text
+       |  FROM base
+       |),
+       |docs AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM newb),
+       |${minhashSigBandsCtes(numHashes)},
+       |exact AS (
+       |  SELECT n.doc_id AS a, min(b.doc_id) AS xid
+       |  FROM newb n JOIN base b ON n.text = b.text
+       |  GROUP BY n.doc_id
        |),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS iid
+       |  FROM bands x JOIN bands y ON x.bkey = y.bkey
+       |  WHERE x.doc_id >= 1000000 AND y.doc_id < 1000000
        |),
        |est AS (
-       |  SELECT c.a, c.b,
+       |  SELECT c.a, c.iid,
        |    len(list_filter(range($numHashes), i -> sx.sig[i+1] = sy.sig[i+1])) / $numHashes.0 AS ej
-       |  FROM cand c JOIN sig sx ON c.a = sx.doc_id JOIN sig sy ON c.b = sy.doc_id
+       |  FROM cand c JOIN sig sx ON c.a = sx.doc_id JOIN sig sy ON c.iid = sy.doc_id
+       |),
+       |best AS (
+       |  SELECT a, iid, ej,
+       |    row_number() OVER (PARTITION BY a ORDER BY ej DESC, iid ASC) AS rn
+       |  FROM est WHERE ej >= $threshold
        |)
-       |SELECT $outCols FROM est WHERE ej >= $threshold ORDER BY a, b""".stripMargin
-  }
+       |SELECT n.doc_id AS doc_id,
+       |  CASE WHEN e.xid IS NOT NULL THEN 'exact'
+       |       WHEN b.iid IS NOT NULL THEN 'near'
+       |       ELSE 'fresh' END AS status,
+       |  CASE WHEN e.xid IS NOT NULL THEN e.xid ELSE b.iid END AS matched_id,
+       |  CASE WHEN e.xid IS NULL THEN round(b.ej, 4) END AS est_jaccard
+       |FROM newb n
+       |LEFT JOIN exact e ON n.doc_id = e.a
+       |LEFT JOIN (SELECT a, iid, ej FROM best WHERE rn = 1) b ON n.doc_id = b.a
+       |ORDER BY doc_id""".stripMargin
+
+  /** The q99 query set as one VALUES list — interpolated verbatim into BOTH
+    * the Spark-side `VALUES ... AS t(query_id, term)` and the oracle's CTE,
+    * so the two sides cannot drift. Terms chosen from the synthetic corpus
+    * vocabulary with mixed document frequencies. */
+  private val q99Queries: String =
+    Seq("q0" -> "join", "q0" -> "hash",
+        "q1" -> "scan", "q1" -> "slow", "q1" -> "fast",
+        "q2" -> "customer", "q2" -> "order", "q2" -> "line",
+        "q3" -> "vector", "q3" -> "column",
+        "q4" -> "window", "q4" -> "merge", "q4" -> "batch")
+      .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+
+  /**
+   * BM25 replayed end-to-end in DuckDB: the same inverted file (string_split
+   * tokenization — agrees with ws_tokens on this corpus, the q54 contract),
+   * the same Long floor-div chain (avgdl/norm/saturation in milli-units,
+   * contributions in micro-units summed exactly), and idf floored to
+   * micro-nats from the one double ln both engines compute on exact-integer
+   * inputs (the q57 quantize-before-aggregate discipline). k1=1.2, b=0.75,
+   * k=10, ties broken by ascending doc_id.
+   */
+  private def q99OracleSql(k: Int = 10, k1Milli: Long = 1200, bMilli: Long = 750): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+       |q(query_id, term) AS (VALUES $q99Queries),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+       |),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(floor(1000000 * ln((2 * s.n + 2) / (2.0 * df.df + 1))) AS BIGINT) AS idf,
+       |    (1000 * s.sumdl) // s.n AS avgdl_milli,
+       |    tf.tf, dl.dl
+       |  FROM q JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats s
+       |),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    (idf * ((tf * ${1000 + k1Milli} * 1000) //
+       |       (tf * 1000 + ($k1Milli * ((1000 - $bMilli) + ($bMilli * dl * 1000) // avgdl_milli)) // 1000)
+       |     )) // 1000 AS c
+       |  FROM sc
+       |),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id ASC) AS INT) AS rank
+       |  FROM contrib GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, rank, doc_id, score_micro FROM scored
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /**
    * DSIR replayed end-to-end in DuckDB: memoized token hashes (seed 0x7a7a)
@@ -1534,6 +1659,43 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // incremental dedup against a COMMITTED signature index — the crawl-update
+    // shape at corpus scale: the history's text is scanned once per snapshot
+    // (indexFor read-if-committed, the q37/q94 model-table contract) and each
+    // arriving batch classifies exact/near/fresh against the ~50×-narrower
+    // index, never rescanning historic text. The batch re-sends every third
+    // doc unchanged (exact by digest), token-shifted (near by MinHash), or
+    // replaced by doc-id-salted tokens (fresh); the oracle replays the full
+    // hashing pipeline for both sides in UBIGINT wrap arithmetic
+    "q98_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idxDir = graft.ops.AnnModelIO.modelDir("dedupidx", dir, "h64k3b8")
+      val index = graft.ops.DedupOps.indexFor(docs, "text", "doc_id", idxDir)
+      val id = col("doc_id").cast("string")
+      val batch = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .when(col("doc_id") % 3 === 1,
+            expr("substring(text, instr(text, ' ') + 1)"))
+          .otherwise(concat(lit("zx"), id, lit(" qv"), id,
+            lit(" wm"), id, lit(" rk"), id)).as("text"))
+      graft.ops.DedupOps.dedupAgainstIndex(batch, index, "text", "doc_id", 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 top-k retrieval over the inverted file (ops/Bm25) — keyword twin
+    // of the ANN paths: five multi-term queries over the documents table,
+    // every score an exact Long in micro-units (milli k1/b, floor-div length
+    // norm and tf saturation, idf floored to micro-nats at birth), so the
+    // oracle replays the whole ranking bit-for-bit in DuckDB `//` arithmetic
+    "q99_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = s.sql(
+        s"SELECT * FROM VALUES $q99Queries AS t(query_id, term)")
+      graft.ops.Bm25.search(docs, queries, "text", "doc_id", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -2753,6 +2915,13 @@ object SparkEntry {
         |r2 AS (SELECT host, 150000 + (SELECT s FROM sh1) + (850 * coalesce(s, 0)) // 1000 AS r
         |  FROM nodes LEFT JOIN c2 ON c2.dst = nodes.host)
         |SELECT host, CAST(r AS BIGINT) AS rank_micro FROM r2 ORDER BY host""".stripMargin,
+    // the committed index is deterministic, so the oracle recomputes it from
+    // the documents table and replays the exact/near/fresh classification
+    // (shared sig/band CTE chain, new×index candidates, best-match window)
+    "q98_dedup_incremental" -> q98OracleSql(),
+    // same inverted file, same Long floor-div chain, same micro-nat idf — the
+    // whole ranking replays in DuckDB // arithmetic (ties to ascending doc_id)
+    "q99_bm25_topk" -> q99OracleSql(),
     // every Gopher rule replayed in DuckDB list ops; all ratios are
     // integer-over-integer divisions, so the keep verdict is deterministic
     // on both engines

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * BM25 (Okapi / Robertson–Spärck Jones) top-k retrieval over a tokenized
+ * corpus — the keyword twin of the embedding ANN paths (q16/q28/q37/q94):
+ * given a small query set, rank documents by Σ_t idf(t) · tf·(k1+1) /
+ * (tf + k1·(1 − b + b·dl/avgdl)).
+ *
+ * Reference tie: the reference indexes extracted text for downstream search
+ * (ocr_combined.py:159-230 emits per-file text sidecars); ranked retrieval
+ * over the extracted corpus is the LLM-pipeline operation that consumes them
+ * (decontamination lookups, dedup triage, eval-set mining).
+ *
+ * Integer fixed-point contract (the q57/q70 micro-unit discipline): k1 and b
+ * travel as MILLI-unit Longs (1200 = 1.2, 750 = 0.75); avgdl, the length
+ * normalizer, the tf saturation, and the final score are computed with Long
+ * floor divisions only, so DuckDB replays every score bit-for-bit with `//`.
+ * The single float op is idf = ln((2N+2)/(2·df+1)) — always > 0 since
+ * df ≤ N — floored to integer MICRO-nats the instant it is computed
+ * (exact-integer doubles in, one correctly-rounded division, one ln), the
+ * same quantize-before-aggregate trick q57 pins.
+ *
+ * Scale shape: `buildIndex` is ONE text scan producing the classic inverted
+ * file — (doc, term, tf, dl), grouped on (doc, term) with map-side partial
+ * aggregation; at corpus scale this is the table a real deployment commits
+ * once per snapshot (the AnnModelIO / DedupOps.indexFor contract) and every
+ * query run reads instead of re-tokenizing 100 TB. `topK` touches only
+ * index rows whose term appears in some query (a broadcast semi-join — the
+ * inverted-file read pattern), joins df as a broadcast tiny frame, folds the
+ * two global scalars (N, sum dl) into the plan as literals via one bounded
+ * single-row collect (the PageRank-probe precedent — a constant-key attach
+ * constant-folds into the BNLJ the plan audits forbid), and aggregates per
+ * (query, doc). The final top-k
+ * window partitions by query over candidate docs already cut to
+ * query-term-matching rows; degenerate stop-word-only queries are bounded by
+ * `maxDf` — terms in more than that fraction of documents score zero idf
+ * anyway at those counts, so they are dropped from the candidate join (the
+ * LSH oversized-bucket stance, diagnosable by comparing result terms).
+ */
+object Bm25 {
+
+  /** The inverted file: one row per (doc, term) with its term frequency and
+    * the document length — ONE corpus text pass (explode + one grouped agg;
+    * dl rides the same shuffle as a window-free second agg over the narrow
+    * tf frame, never a second text scan).
+    *
+    * Schema: (_id, _term STRING, _tf LONG, _dl LONG). */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("_id"), explode(ws_tokens(col(textCol))).as("_term"))
+      .groupBy(col("_id"), col("_term")).agg(count(lit(1)).as("_tf"))
+    val dl = tf.groupBy(col("_id")).agg(sum(col("_tf")).as("_dl"))
+    tf.join(dl, Seq("_id"))
+  }
+
+  /** Rank the corpus behind a committed inverted file against a query set.
+    *
+    * @param index   buildIndex output (or a committed read-back of it)
+    * @param queries (query_id, term) pairs — SMALL (broadcast both ways)
+    * @param k       results per query
+    * @param maxDfPermille candidate cap: query terms present in more than
+    *                this fraction (‰) of documents are dropped from the
+    *                candidate join — at those counts idf ≈ 0 contributes
+    *                nothing to the ranking while the term's postings list is
+    *                a scan of most of the corpus. 1000 disables the cap.
+    * @return (query_id, rank, doc_id-named-as-idCol, score_micro) — rank is
+    *         dense per query by (score desc, id asc), ≤ k rows per query
+    */
+  def topK(index: DataFrame, queries: DataFrame, idCol: String,
+           k: Int = 10, k1Milli: Long = 1200, bMilli: Long = 750,
+           maxDfPermille: Long = 1000): DataFrame = {
+    // global stats: one narrow agg over the index (never the text) collected
+    // as a SINGLE row driver-side — the PageRank-probe precedent for bounded
+    // scalar collects — so n and sumdl fold into the tiny df frame as plan
+    // literals and the corpus side sees only broadcast HASH joins on _term,
+    // never a nested-loop scalar attach (a constant-key equi-join between the
+    // two driver-sized frames constant-folds back into a BNLJ)
+    val statsRow = index.groupBy(col("_id")).agg(first(col("_dl")).as("_dl"))
+      .agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+      .collect()(0)
+    val n = statsRow.getLong(0)
+    val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val avgdlMilli = if (n == 0) 1L else (1000L * sumdl) / n
+    val qterms = queries.select(col("query_id"), col("term").as("_term"))
+    // df only for query terms: semi-join the tiny term set into the index
+    val df = index.join(broadcast(qterms.select(col("_term")).distinct()), Seq("_term"))
+      .groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val scored = index
+      .join(broadcast(qterms), Seq("_term"))
+      .join(broadcast(df), Seq("_term"))
+      .filter(col("_df") * 1000 <= lit(n) * maxDfPermille)
+      .withColumn("_idf_micro",
+        floor(lit(1e6) * log(lit((n * 2 + 2).toDouble) /
+          (col("_df") * 2 + 1).cast("double"))).cast("long"))
+      .withColumn("_norm_milli",
+        lit(1000L - bMilli) + expr(s"($bMilli * _dl * 1000) div $avgdlMilli"))
+      .withColumn("_denom_milli",
+        col("_tf") * 1000 + expr(s"($k1Milli * _norm_milli) div 1000"))
+      .withColumn("_sat_milli",
+        expr(s"(_tf * ${1000 + k1Milli} * 1000) div _denom_milli"))
+      .withColumn("_contrib_micro", expr("(_idf_micro * _sat_milli) div 1000"))
+      .groupBy(col("query_id"), col("_id"))
+      .agg(sum(col("_contrib_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("_id").as(idCol), col("score_micro"))
+  }
+
+  /** One-shot convenience: build + materialize the inverted file (lineage
+    * truncated so the stats agg, df semi-join, and candidate join all read
+    * the narrow index, not three re-tokenizations of the corpus), then rank. */
+  def search(docs: DataFrame, queries: DataFrame, textCol: String, idCol: String,
+             k: Int = 10, k1Milli: Long = 1200, bMilli: Long = 750,
+             maxDfPermille: Long = 1000): DataFrame =
+    topK(buildIndex(docs, textCol, idCol).localCheckpoint(true),
+      queries, idCol, k, k1Milli, bMilli, maxDfPermille)
+}

@@ -306,4 +306,146 @@ object DedupOps {
                      maxBucketSize: Int = 1 << 13): DataFrame =
     df.select(explode(minhash_bands(col(textCol), numHashes, shingleSize, rowsPerBand)).as("_band"))
       .groupBy("_band").count().filter(col("count") > maxBucketSize)
+
+  // ------------------------------------------------------- incremental dedup
+
+  /** The narrow dedup-signature index for a corpus snapshot: one row per doc
+    * with its exact-dup key (sha-256 digest) and near-dup keys (MinHash
+    * signature + LSH band keys), computed in ONE text pass (the fused
+    * MinHashSigBands expression plus sha2 ride the same projection). This is
+    * the table an incremental crawl pipeline commits once per snapshot so
+    * later batches dedup against the HISTORY without ever rescanning its
+    * text: ~50× narrower than the corpus (id + 32-byte digest + 64 longs +
+    * 8 band keys vs multi-KB documents), and append-only across snapshots.
+    *
+    * Schema: (_id, _digest STRING, _sig ARRAY<LONG>, _bands ARRAY<LONG>). */
+  def buildDedupIndex(df: DataFrame, textCol: String, idCol: String,
+                      numHashes: Int = 64, shingleSize: Int = 3,
+                      rowsPerBand: Int = 8): DataFrame =
+    df.select(col(idCol).as("_id"),
+        sha2(encode(col(textCol), "UTF-8"), 256).as("_digest"),
+        minhash_sig_bands(col(textCol), numHashes, shingleSize, rowsPerBand).as("_m"))
+      .select(col("_id"), col("_digest"),
+        col("_m.sig").as("_sig"), col("_m.bands").as("_bands"))
+
+  /** Incremental dedup: classify every row of a NEW batch against a committed
+    * signature index (buildDedupIndex output) as `exact` (identical text
+    * already indexed), `near` (estimated shingle-Jaccard ≥ threshold against
+    * some indexed doc), or `fresh` — the crawl-update shape at corpus scale,
+    * where re-running full-corpus dedup per batch (q13's self-join) would
+    * rescan the entire history for every arriving snapshot.
+    *
+    * Output: (idCol, status STRING, matched_id, est_jaccard DOUBLE) — one row
+    * per new doc; matched_id is the min indexed id sharing the digest for
+    * `exact`, the best near match (max estimate, ties to min id) for `near`,
+    * NULL for `fresh`; est_jaccard is non-NULL only for `near`.
+    *
+    * Scale shape: the exact arm joins 32-byte digests against a min-id-per-
+    * digest pre-aggregate of the index (one row per distinct digest, however
+    * many historic duplicates exist); the near arm shuffles only (id, band)
+    * longs — band keys explode index-side THEN get the same oversized-bucket
+    * cap as nearDupPairs (boilerplate bands accumulate over the whole history,
+    * so the index side is where degeneracy lives); signatures attach only to
+    * surviving candidate pairs. New-batch text is hashed exactly once. */
+  def dedupAgainstIndex(newDf: DataFrame, index: DataFrame,
+                        textCol: String, idCol: String,
+                        threshold: Double = 0.5,
+                        numHashes: Int = 64, shingleSize: Int = 3,
+                        rowsPerBand: Int = 8,
+                        maxBucketSize: Int = 1 << 13): DataFrame = {
+    // one text pass over the batch; materialized (lineage truncated) so the
+    // exact arm, band explode, and signature attach read it, not the corpus
+    val fresh = buildDedupIndex(newDf, textCol, idCol,
+        numHashes, shingleSize, rowsPerBand)
+      .localCheckpoint(true)
+    val exactKeeper = index.groupBy(col("_digest")).agg(min(col("_id")).as("_xid"))
+    val exactHit = fresh.select(col("_id"), col("_digest"))
+      .join(exactKeeper, Seq("_digest")).select(col("_id"), col("_xid"))
+    val wIdx = org.apache.spark.sql.expressions.Window.partitionBy(col("_band"))
+    val idxBands = index.select(col("_id").as("_iid"), explode(col("_bands")).as("_band"))
+      .withColumn("_bsize", count(lit(1)).over(wIdx))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
+    val newBands = fresh.select(col("_id"), explode(col("_bands")).as("_band"))
+    val candidates = newBands.join(idxBands, Seq("_band"))
+      .select(col("_id"), col("_iid")).distinct()
+    val est = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.SigMatchCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_siga")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_sigb"))))
+      .cast("double") / numHashes
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_est").desc, col("_iid").asc)
+    val bestNear = candidates
+      .join(fresh.select(col("_id"), col("_sig").as("_siga")), Seq("_id"))
+      .join(index.select(col("_id").as("_iid"), col("_sig").as("_sigb")), Seq("_iid"))
+      .withColumn("_est", est)
+      .filter(col("_est") >= threshold)
+      .withColumn("_rn", row_number().over(wBest))
+      .filter(col("_rn") === 1)
+      .select(col("_id"), col("_iid"), col("_est"))
+    fresh.select(col("_id"))
+      .join(exactHit, Seq("_id"), "left")
+      .join(bestNear, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        when(col("_xid").isNotNull, lit("exact"))
+          .when(col("_iid").isNotNull, lit("near"))
+          .otherwise(lit("fresh")).as("status"),
+        when(col("_xid").isNotNull, col("_xid"))
+          .otherwise(col("_iid")).as("matched_id"),
+        when(col("_xid").isNull, round(col("_est"), 4)).as("est_jaccard"))
+  }
+
+  /** Commit a dedup-signature index as an immutable snapshot table (the
+    * CatalogIO protocol AnnModelIO uses for ANN models): write data, then a
+    * manifest carrying row count and an order-invariant content digest —
+    * readers trust only manifested tables, so a crashed half-write is
+    * retried, never half-read. Unlike the driver-sized ANN models this table
+    * is corpus-sized, so it keeps its partitioning and the digest is computed
+    * distributed (bit-xor of per-row hashes — order-invariant by design). */
+  def writeDedupIndex(index: DataFrame, dir: String, runId: String): Unit = {
+    import graft.pipeline.CatalogIO
+    val spark = index.sparkSession
+    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
+    val back = spark.read.parquet(s"$dir/data")
+    val row = back.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("_id"), col("_digest"),
+        col("_sig").cast("string"), col("_bands").cast("string"))).as("dig"))
+      .collect()(0)
+    CatalogIO.writeSnapshot(spark, dir, CatalogIO.Snapshot(
+      snapshotId = s"$runId-0", runId = runId, parent = "",
+      createdUtcMs = System.currentTimeMillis(),
+      buckets = Seq(CatalogIO.BucketEntry(0, row.getLong(0),
+        java.lang.Long.toHexString(if (row.isNullAt(1)) 0L else row.getLong(1))))))
+  }
+
+  /** Read a committed dedup index; refuses an unmanifested (half-written) dir. */
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.CatalogIO
+    require(CatalogIO.latestSnapshot(spark, dir).isDefined,
+      s"no committed dedup index at $dir")
+    spark.read.parquet(s"$dir/data")
+  }
+
+  /** Read-if-committed else build-and-commit (the AnnModelIO "train once,
+    * search many" contract for the dedup index): the corpus text is scanned
+    * and minhashed exactly once per snapshot dir, and every later batch
+    * dedups against the committed narrow table. The returned frame is
+    * bit-identical either way — buildDedupIndex is deterministic (splitmix64
+    * hashing, no sampling) and parquet stores the longs losslessly. Same
+    * staleness caveat as AnnModelIO.modelDir: key the dir by corpus snapshot
+    * path; a corpus mutated in place keeps serving the old index. */
+  def indexFor(df: DataFrame, textCol: String, idCol: String, dir: String,
+               numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8,
+               runId: String = "index"): DataFrame = {
+    import graft.pipeline.CatalogIO
+    val spark = df.sparkSession
+    if (CatalogIO.latestSnapshot(spark, dir).isEmpty)
+      writeDedupIndex(
+        buildDedupIndex(df, textCol, idCol, numHashes, shingleSize, rowsPerBand),
+        dir, runId)
+    readDedupIndex(spark, dir)
+  }
 }

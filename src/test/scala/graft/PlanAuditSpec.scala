@@ -319,6 +319,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("Generate explode".r.findAllIn(s).length <= 1, s)
   }
 
+  test("incremental dedup plan: batch text hashed once, corpus never rescanned") {
+    // dedupAgainstIndex claims the new batch is minhashed exactly once (the
+    // localCheckpointed signature frame feeds the exact arm, the band explode,
+    // and the signature attach) and that classification reads only the NARROW
+    // committed index — the corpus text relation must not appear in the plan
+    val s = planString(SparkEntry.queries("q98_dedup_incremental")(spark, sf))
+    assert(!s.contains("documents.parquet"),
+      s"q98 plan rescans the corpus text relation:\n${s.take(3000)}")
+    // parquet scans in the final plan are index reads only: the digest
+    // pre-aggregate, the band explode, and the signature attach
+    val scans = "Scan parquet".r.findAllIn(s).length
+    assert(scans <= 3, s"q98 plan scans parquet $scans times:\n${s.take(3000)}")
+  }
+
+  test("bm25 plan: ranking reads the inverted file, never re-tokenizes the corpus") {
+    // Bm25.search materializes the inverted file once (localCheckpoint), so
+    // the ranking plan must hold NO corpus text scan — stats, df, and the
+    // candidate join all read the narrow (doc, term, tf, dl) frame — and the
+    // query-term/df-stats attaches must be broadcast HASH joins (the scalar
+    // stats ride the tiny df frame by construction)
+    val s = planString(SparkEntry.queries("q99_bm25_topk")(spark, sf))
+    assert(!s.contains("documents.parquet"),
+      s"q99 plan re-tokenizes the corpus:\n${s.take(3000)}")
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to
@@ -327,7 +353,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q31_near_dup_pairs", "q32_simhash_near_dups", "q33_verified_near_dups",
       "q34_embedding_near_dups", "q37_ann_ivf", "q41_embedding_dedup_cc",
       "q47_decontaminate", "q51_line_dedup", "q70_lm_filter", "q72_image_near_dups",
-      "q80_semdedup", "q81_remove_dup_spans", "q83_host_pagerank", "q84_ppl_buckets")
+      "q80_semdedup", "q81_remove_dup_spans", "q83_host_pagerank", "q84_ppl_buckets",
+      "q98_dedup_incremental", "q99_bm25_topk")
     bucketJoined.foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

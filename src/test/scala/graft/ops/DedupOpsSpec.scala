@@ -188,6 +188,100 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.ops.SimilarityOps.embeddingNearDupPairs(emb, "embedding", "vec_id").count() == 0)
   }
 
+  test("incremental dedup: exact/near/fresh classification against a committed index") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    val base = docs.select(col("doc_id"), col("text"))
+    val index = DedupOps.indexFor(base, "text", "doc_id", dir)
+    // the q98 batch construction: every third doc re-sent unchanged (exact),
+    // token-shifted (near), or replaced by doc-id-salted tokens (fresh)
+    val id = col("doc_id").cast("string")
+    val batch = base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1, expr("substring(text, instr(text, ' ') + 1)"))
+        .otherwise(concat(lit("zx"), id, lit(" qv"), id, lit(" wm"), id, lit(" rk"), id))
+        .as("text"))
+    val out = DedupOps.dedupAgainstIndex(batch, index, "text", "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val texts = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == texts.size) // one verdict per batch row
+    // exact arm: matched_id is the MIN indexed id sharing the text (digest)
+    val minByText = texts.groupBy(_._2).map { case (t, m) => t -> m.keys.min }
+    texts.keys.filter(_ % 3 == 0).foreach { i =>
+      val (st, m) = out(i + 1000000L)
+      assert(st == "exact" && m == minByText(texts(i)), s"doc $i: $st/$m")
+    }
+    // near arm: high recall, and every match is genuinely similar text
+    val nearIds = texts.keys.filter(_ % 3 == 1).toSeq
+    val nearHits = nearIds.filter(i => out(i + 1000000L)._1 == "near")
+    assert(nearHits.size.toDouble / nearIds.size >= 0.9,
+      s"near recall ${nearHits.size}/${nearIds.size}")
+    nearHits.foreach { i =>
+      val m = out(i + 1000000L)._2
+      val batchText = texts(i).substring(texts(i).indexOf(' ') + 1)
+      assert(graft.text.TextHash.shingleJaccard(batchText, texts(m), 3) >= 0.3,
+        s"doc $i matched dissimilar index doc $m")
+    }
+    // fresh arm: salted tokens overlap nothing — no match, NULL matched_id
+    texts.keys.filter(_ % 3 == 2).foreach { i =>
+      assert(out(i + 1000000L) == (("fresh", -1L)), s"doc $i: ${out(i + 1000000L)}")
+    }
+  }
+
+  test("dedup index: committed round trip is bit-identical; unmanifested dir refused") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-idx-rt").toString
+    val base = docs.select(col("doc_id"), col("text"))
+    val built = DedupOps.buildDedupIndex(base, "text", "doc_id")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getSeq[Long](2).toList, r.getSeq[Long](3).toList)
+    DedupOps.writeDedupIndex(built, dir, "run-1")
+    val back = DedupOps.readDedupIndex(spark, dir)
+    assert(back.collect().map(key).toSet == built.collect().map(key).toSet)
+    // indexFor on a committed dir reads, never rebuilds (manifest untouched)
+    def manifests = {
+      val d = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath + ":" + f.lastModified())
+      walk(d).sorted
+    }
+    val before = manifests
+    val again = DedupOps.indexFor(base, "text", "doc_id", dir)
+    assert(manifests == before, "indexFor rewrote a committed index")
+    assert(again.collect().map(key).toSet == built.collect().map(key).toSet)
+    // a half-write (data, no manifest) must be refused, not half-read
+    val dir2 = java.nio.file.Files.createTempDirectory("dedup-idx-half").toString
+    built.write.parquet(s"$dir2/data")
+    intercept[IllegalArgumentException] { DedupOps.readDedupIndex(spark, dir2) }
+  }
+
+  test("incremental dedup: index-side cap bounds degenerate history; digest arm still exact") {
+    val s = spark
+    import s.implicits._
+    // 300 token-identical docs in the INDEX — every band key of that text is
+    // shared by all 300, far over the cap; without the index-side filter the
+    // candidate join would emit 300 candidates per matching batch row
+    val degenerate = (0 until 300).map(i => (5000000L + i, "same same same tokens here"))
+    val all = docs.select(col("doc_id"), col("text"))
+      .unionByName(degenerate.toDF("doc_id", "text"))
+    val index = DedupOps.buildDedupIndex(all, "text", "doc_id")
+    val batch = Seq(
+      (9000001L, "same same same tokens here"),   // identical to the degenerate text
+      (9000002L, "same same same tokens there")   // near it, but only via capped bands
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainstIndex(batch, index, "text", "doc_id", 0.5,
+      maxBucketSize = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // the exact arm joins digests (one pre-aggregated row per distinct digest),
+    // so degeneracy never reaches it: still caught, min indexed id returned
+    assert(out(9000001L) == (("exact", 5000000L)), out.toString)
+    // the near arm's capped buckets drop the candidates — bounded, diagnosable
+    // via oversizedBands, and the verdict degrades to fresh rather than blowing up
+    assert(out(9000002L) == (("fresh", -1L)), out.toString)
+  }
+
   test("bucket caps bound degenerate keys: no quadratic blowup, diagnosable") {
     val s = spark
     import s.implicits._
