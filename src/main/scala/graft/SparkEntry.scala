@@ -1683,16 +1683,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // BM25 top-k retrieval over the inverted file (ops/Bm25) — keyword twin
-    // of the ANN paths: five multi-term queries over the documents table,
-    // every score an exact Long in micro-units (milli k1/b, floor-div length
-    // norm and tf saturation, idf floored to micro-nats at birth), so the
-    // oracle replays the whole ranking bit-for-bit in DuckDB `//` arithmetic
+    // BM25 top-k retrieval over a COMMITTED inverted file (ops/Bm25) —
+    // keyword twin of the ANN paths AND of their model-table discipline: the
+    // corpus tokenizes once per snapshot (indexFor read-if-committed), every
+    // later run ranks against the committed narrow table. Five multi-term
+    // queries; every score an exact Long in micro-units (milli k1/b,
+    // floor-div length norm and tf saturation, idf floored to micro-nats at
+    // birth), so the oracle replays the ranking bit-for-bit in DuckDB `//`
     "q99_bm25_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = s.sql(
         s"SELECT * FROM VALUES $q99Queries AS t(query_id, term)")
-      graft.ops.Bm25.search(docs, queries, "text", "doc_id", k = 10)
+      val idxDir = graft.ops.AnnModelIO.modelDir("bm25idx", dir, "ws")
+      graft.ops.Bm25.topK(
+          graft.ops.Bm25.indexFor(docs, "text", "doc_id", idxDir),
+          queries, "doc_id", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -397,37 +397,17 @@ object DedupOps {
         when(col("_xid").isNull, round(col("_est"), 4)).as("est_jaccard"))
   }
 
-  /** Commit a dedup-signature index as an immutable snapshot table (the
-    * CatalogIO protocol AnnModelIO uses for ANN models): write data, then a
-    * manifest carrying row count and an order-invariant content digest —
-    * readers trust only manifested tables, so a crashed half-write is
-    * retried, never half-read. Unlike the driver-sized ANN models this table
-    * is corpus-sized, so it keeps its partitioning and the digest is computed
-    * distributed (bit-xor of per-row hashes — order-invariant by design). */
-  def writeDedupIndex(index: DataFrame, dir: String, runId: String): Unit = {
-    import graft.pipeline.CatalogIO
-    val spark = index.sparkSession
-    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
-    val back = spark.read.parquet(s"$dir/data")
-    val row = back.agg(
-      count(lit(1)).as("n"),
-      bit_xor(xxhash64(col("_id"), col("_digest"),
-        col("_sig").cast("string"), col("_bands").cast("string"))).as("dig"))
-      .collect()(0)
-    CatalogIO.writeSnapshot(spark, dir, CatalogIO.Snapshot(
-      snapshotId = s"$runId-0", runId = runId, parent = "",
-      createdUtcMs = System.currentTimeMillis(),
-      buckets = Seq(CatalogIO.BucketEntry(0, row.getLong(0),
-        java.lang.Long.toHexString(if (row.isNullAt(1)) 0L else row.getLong(1))))))
-  }
+  /** Commit a dedup-signature index as an immutable snapshot table — the
+    * shared corpus-sized derived-table protocol (CatalogIO.writeDerived):
+    * data + a manifest carrying row count and a distributed order-invariant
+    * content digest; readers trust only manifested tables, so a crashed
+    * half-write is retried, never half-read. */
+  def writeDedupIndex(index: DataFrame, dir: String, runId: String): Unit =
+    graft.pipeline.CatalogIO.writeDerived(index, dir, runId)
 
   /** Read a committed dedup index; refuses an unmanifested (half-written) dir. */
-  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import graft.pipeline.CatalogIO
-    require(CatalogIO.latestSnapshot(spark, dir).isDefined,
-      s"no committed dedup index at $dir")
-    spark.read.parquet(s"$dir/data")
-  }
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.pipeline.CatalogIO.readDerived(spark, dir)
 
   /** Read-if-committed else build-and-commit (the AnnModelIO "train once,
     * search many" contract for the dedup index): the corpus text is scanned
@@ -439,13 +419,7 @@ object DedupOps {
     * path; a corpus mutated in place keeps serving the old index. */
   def indexFor(df: DataFrame, textCol: String, idCol: String, dir: String,
                numHashes: Int = 64, shingleSize: Int = 3, rowsPerBand: Int = 8,
-               runId: String = "index"): DataFrame = {
-    import graft.pipeline.CatalogIO
-    val spark = df.sparkSession
-    if (CatalogIO.latestSnapshot(spark, dir).isEmpty)
-      writeDedupIndex(
-        buildDedupIndex(df, textCol, idCol, numHashes, shingleSize, rowsPerBand),
-        dir, runId)
-    readDedupIndex(spark, dir)
-  }
+               runId: String = "index"): DataFrame =
+    graft.pipeline.CatalogIO.derivedFor(df.sparkSession, dir, runId)(
+      buildDedupIndex(df, textCol, idCol, numHashes, shingleSize, rowsPerBand))
 }

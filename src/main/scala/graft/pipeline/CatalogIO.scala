@@ -3,7 +3,8 @@ package graft.pipeline
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Iceberg-semantics emulation (SURVEY.md §7.0 — no Iceberg runtime jar exists in
@@ -83,6 +84,48 @@ object CatalogIO {
       f.delete(new Path(s"$tableDir/_manifests/$id.json"), false)
     }
     expire
+  }
+
+  /** Commit a corpus-sized DERIVED table (dedup signature index, inverted
+    * file) as an immutable snapshot: write data, then a manifest carrying the
+    * row count and an order-invariant content digest — readers trust only
+    * manifested tables, so a crashed half-write is retried, never half-read.
+    * Unlike the driver-sized ANN model tables the digest is computed
+    * DISTRIBUTED (bit-xor of per-row xxhash64 over every column cast to
+    * string — order-invariant by design), and the data keeps its
+    * partitioning. The shared protocol behind `DedupOps.indexFor` and
+    * `Bm25.indexFor`. */
+  def writeDerived(df: DataFrame, dir: String, runId: String): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    val back = spark.read.parquet(s"$dir/data")
+    val hashed = back.columns.toSeq.map(c => col(c).cast("string"))
+    val row = back.agg(
+      count(lit(1)).as("n"), bit_xor(xxhash64(hashed: _*)).as("dig")).collect()(0)
+    writeSnapshot(spark, dir, Snapshot(
+      snapshotId = s"$runId-0", runId = runId, parent = "",
+      createdUtcMs = System.currentTimeMillis(),
+      buckets = Seq(BucketEntry(0, row.getLong(0),
+        java.lang.Long.toHexString(if (row.isNullAt(1)) 0L else row.getLong(1))))))
+  }
+
+  /** Read a committed derived table; refuses an unmanifested (half-written)
+    * dir. */
+  def readDerived(spark: SparkSession, dir: String): DataFrame = {
+    require(latestSnapshot(spark, dir).isDefined,
+      s"no committed derived table at $dir")
+    spark.read.parquet(s"$dir/data")
+  }
+
+  /** Read-if-committed else build-and-commit — the train-once contract for
+    * corpus-sized derived tables: `build` runs at most once per snapshot dir;
+    * every later call reads the committed parquet. Same staleness caveat as
+    * the ANN model dirs: key `dir` by corpus snapshot path — a corpus mutated
+    * in place keeps serving the old table. */
+  def derivedFor(spark: SparkSession, dir: String, runId: String)
+                (build: => DataFrame): DataFrame = {
+    if (latestSnapshot(spark, dir).isEmpty) writeDerived(build, dir, runId)
+    readDerived(spark, dir)
   }
 
   def readSnapshotJson(spark: SparkSession, tableDir: String, snapshotId: String): String = {

@@ -334,11 +334,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("bm25 plan: ranking reads the inverted file, never re-tokenizes the corpus") {
-    // Bm25.search materializes the inverted file once (localCheckpoint), so
-    // the ranking plan must hold NO corpus text scan — stats, df, and the
-    // candidate join all read the narrow (doc, term, tf, dl) frame — and the
-    // query-term/df-stats attaches must be broadcast HASH joins (the scalar
-    // stats ride the tiny df frame by construction)
+    // q99 ranks against the COMMITTED inverted file (Bm25.indexFor), so the
+    // ranking plan must hold NO corpus text scan — stats, df, and the
+    // candidate join all read the narrow (doc, term, tf, dl) table — and the
+    // query-term/df attaches must be broadcast HASH joins (the two global
+    // scalars fold in as plan literals via one bounded single-row collect)
     val s = planString(SparkEntry.queries("q99_bm25_topk")(spark, sf))
     assert(!s.contains("documents.parquet"),
       s"q99 plan re-tokenizes the corpus:\n${s.take(3000)}")

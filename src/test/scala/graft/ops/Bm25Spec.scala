@@ -90,6 +90,35 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(uncapped != capped)
   }
 
+  test("committed inverted file: ranked results identical, index built exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    val q = queries("q0" -> "join", "q0" -> "vector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val fresh = rows(Bm25.search(docs, q, "text", "doc_id", k = 10))
+    val committed = rows(Bm25.topK(
+      Bm25.indexFor(docs, "text", "doc_id", dir), q, "doc_id", k = 10))
+    assert(committed == fresh)
+    // second indexFor reads, never rebuilds (manifest + data untouched)
+    def stamps = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath + ":" + f.lastModified())
+      walk(new java.io.File(dir)).sorted
+    }
+    val before = stamps
+    val again = rows(Bm25.topK(
+      Bm25.indexFor(docs, "text", "doc_id", dir), q, "doc_id", k = 10))
+    assert(stamps == before, "indexFor rewrote a committed index")
+    assert(again == fresh)
+    // a half-write (data, no manifest) must be refused, not half-read
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25-idx-half").toString
+    Bm25.buildIndex(docs, "text", "doc_id").write.parquet(s"$dir2/data")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CatalogIO.readDerived(spark, dir2)
+    }
+  }
+
   test("docs matching no query term never appear; k bounds each query") {
     val out = Bm25.search(docs,
         queries("q0" -> "join", "q1" -> "nosuchtokenanywhere"), "text", "doc_id", k = 3)
