@@ -1701,6 +1701,47 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // XML sitemap discovery (sitemaps.org protocol): urlset entries with
+    // entity-decoded/trimmed loc + raw lastmod/changefreq/priority strings,
+    // index payloads yielding their child sitemap urls, a loc-less <url> and
+    // a <urlx> name-boundary decoy skipped; plus the robots.txt `Sitemap:`
+    // directive (group-independent, case-insensitive key, duplicate-
+    // collapsed) harvested from the same site's policy fetch
+    "q100_sitemap" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val dd = (col("doc_id") % 9 + 1).cast("string")
+      val urlset = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"),
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<url><loc>https://s.example/p/"), m, lit("?a=1&amp;b=2</loc>"),
+        lit("<lastmod>2024-01-0"), dd, lit("</lastmod>"),
+        lit("<changefreq>daily</changefreq><priority>0.8</priority></url>"),
+        lit("<urlx><loc>https://decoy.example/x</loc></urlx>"),
+        lit("<url><loc>  https://s.example/q/"), m, lit("  </loc></url>"),
+        lit("<url><lastmod>2024-03-01</lastmod></url></urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        lit("<sitemap><loc>https://s.example/maps/part-"), m, lit(".xml</loc>"),
+        lit("<lastmod>2024-02-0"), dd, lit("</lastmod></sitemap>"),
+        lit("<sitemap><loc>https://s.example/maps/extra.xml</loc></sitemap>"),
+        lit("</sitemapindex>"))
+      val payload = encode(when(col("doc_id") % 2 === 0, urlset).otherwise(index), "UTF-8")
+      val robotsTxt = concat(
+        lit("User-agent: *\nDisallow: /tmp\nSitemap: https://s.example/maps/root-"), m,
+        lit(".xml\nSitemap: https://s.example/maps/root-"), m,
+        lit(".xml\nsitemap: https://s.example/maps/alt.xml # comment\n"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), sitemap_kind(payload).as("kind"),
+          robots_sitemaps(robotsTxt).as("_maps"),
+          posexplode(sitemap_entries(payload)).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("kind"), col("pos"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"), col("e.priority").as("priority"),
+          element_at(col("_maps"), 1).as("robots_map0"),
+          size(col("_maps")).as("n_robots_maps"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -2927,6 +2968,29 @@ object SparkEntry {
     // same inverted file, same Long floor-div chain, same micro-nat idf — the
     // whole ranking replays in DuckDB // arithmetic (ties to ascending doc_id)
     "q99_bm25_topk" -> q99OracleSql(),
+    // urlset rows closed-form (entity decoded, padding trimmed, the loc-less
+    // entry and the <urlx> decoy absent); index rows carry lastmod only; the
+    // robots directive columns collapse the duplicate and keep file order
+    "q100_sitemap" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,
+        |  CAST(doc_id % 9 + 1 AS VARCHAR) AS dd FROM documents)
+        |SELECT doc_id, kind, CAST(pos AS INT) AS pos, loc, lastmod, changefreq,
+        |  priority, 'https://s.example/maps/root-' || m || '.xml' AS robots_map0,
+        |  CAST(2 AS INT) AS n_robots_maps
+        |FROM (
+        |  SELECT doc_id, m, 'urlset' AS kind, 0 AS pos,
+        |    'https://s.example/p/' || m || '?a=1&b=2' AS loc,
+        |    '2024-01-0' || dd AS lastmod, 'daily' AS changefreq, '0.8' AS priority
+        |  FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, m, 'urlset', 1, 'https://s.example/q/' || m,
+        |    NULL, NULL, NULL FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, m, 'sitemapindex', 0,
+        |    'https://s.example/maps/part-' || m || '.xml', '2024-02-0' || dd,
+        |    NULL, NULL FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id, m, 'sitemapindex', 1,
+        |    'https://s.example/maps/extra.xml', NULL, NULL, NULL
+        |  FROM d WHERE doc_id % 2 = 1
+        |) ORDER BY doc_id, pos""".stripMargin,
     // every Gopher rule replayed in DuckDB list ops; all ratios are
     // integer-over-integer divisions, so the keep verdict is deterministic
     // on both engines

@@ -189,6 +189,46 @@ case class FeedItems(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+object SitemapEntries {
+  val elementType: StructType = StructType(Seq(
+    StructField("loc", StringType, nullable = false),
+    StructField("lastmod", StringType, nullable = true),
+    StructField("changefreq", StringType, nullable = true),
+    StructField("priority", StringType, nullable = true)))
+}
+
+/** XML sitemap entries (SitemapExtract.entries): loc, lastmod, changefreq,
+  * priority per entry in document order — a site's own enumeration of its
+  * fetchable urls, the third crawl-discovery channel. Index files
+  * (`<sitemapindex>`) yield their child sitemap urls (changefreq/priority
+  * null — the protocol defines none there). */
+case class SitemapEntries(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(SitemapEntries.elementType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    new GenericArrayData(
+      graft.html.SitemapExtract.entries(input.asInstanceOf[Array[Byte]])
+        .map(e => InternalRow(u(e.loc), u(e.lastmod), u(e.changefreq), u(e.priority)): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SitemapEntries =
+    copy(child = newChild)
+}
+
+/** "urlset" | "sitemapindex" | null — the sitemap dispatch sniff
+  * (SitemapExtract.kind). */
+case class SitemapKind(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val k = graft.html.SitemapExtract.kind(input.asInstanceOf[Array[Byte]])
+    if (k == null) null else UTF8String.fromString(k)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SitemapKind =
+    copy(child = newChild)
+}
+
 /** "rss" | "atom" | null — the feed dispatch sniff (FeedExtract.kind). */
 case class FeedKind(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType

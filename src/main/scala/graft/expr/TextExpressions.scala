@@ -185,3 +185,18 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
       newFirst: Expression, newSecond: Expression, newThird: Expression): RobotsAllowed =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** `Sitemap:` directive urls of a robots.txt, file order (RobotsTxt
+  * .sitemaps) — the robots-side half of sitemap discovery: a crawler that
+  * fetched /robots.txt for the policy gate gets the site's sitemap urls
+  * from the same payload for free. */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(robots: Any): Any =
+    new GenericArrayData(
+      graft.text.RobotsTxt.sitemaps(robots.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_): Any).toArray)
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}

@@ -68,6 +68,20 @@ object functions {
   def robots_allowed(robots: Column, agent: Column, path: Column): Column =
     ColumnBridge.column(graft.expr.RobotsAllowed(expr(robots), expr(agent), expr(path)))
 
+  /** `Sitemap:` urls of a robots.txt (file order, deduplicated) — sitemap
+    * discovery from the policy fetch the crawler already made. */
+  def robots_sitemaps(robots: Column): Column =
+    ColumnBridge.column(graft.expr.RobotsSitemaps(expr(robots)))
+
+  /** XML sitemap entries — array<struct<loc, lastmod, changefreq,
+    * priority>> in document order (urlset or sitemapindex payloads). */
+  def sitemap_entries(payload: Column): Column =
+    ColumnBridge.column(SitemapEntries(expr(payload)))
+
+  /** "urlset" | "sitemapindex" | null — the sitemap dispatch sniff. */
+  def sitemap_kind(payload: Column): Column =
+    ColumnBridge.column(SitemapKind(expr(payload)))
+
   /** Block-level analysis of HTML: array<struct(idx,tag,text,words,link_words,is_content)>. */
   def extract_blocks(html: Column): Column =
     ColumnBridge.column(ExtractBlocks(expr(html)))

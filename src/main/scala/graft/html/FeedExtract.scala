@@ -87,8 +87,9 @@ object FeedExtract {
   }
 
   /** Text content of the FIRST `<tag …>…</tag>` in `body`, CDATA unwrapped;
-    * null when absent or self-closed. */
-  private def elementText(body: String, tag0: String): String = {
+    * null when absent or self-closed. (Shared with SitemapExtract — the
+    * same child-element walk serves both XML dialect families.) */
+  private[html] def elementText(body: String, tag0: String): String = {
     val tag = tag0.toLowerCase // indexOfIgnoreCase lowercases only the haystack
     var i = 0
     val n = body.length
@@ -147,10 +148,12 @@ object FeedExtract {
     if (s == null) null
     else cap(collapseWs(HtmlMeta.decodeEntities(s)))
 
-  private def cap(s: String): String =
+  private[html] def capField(s: String): String =
     if (s != null && s.length > MaxField) s.substring(0, MaxField) else s
 
-  private def trimOrNull(s: String): String = {
+  @inline private def cap(s: String): String = capField(s)
+
+  private[html] def trimOrNull(s: String): String = {
     if (s == null) return null
     val t = s.trim
     if (t.isEmpty) null else t
@@ -173,7 +176,7 @@ object FeedExtract {
     if (r.isEmpty) null else r
   }
 
-  @inline private def isNameChar(c: Char): Boolean =
+  @inline private[html] def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
       c == '-' || c == '!'
 }

@@ -42,8 +42,11 @@ object FrontierOps {
     * robots.txt text) frame; targets on hosts absent from it are allowed
     * (the crawl convention: no robots.txt = fetchable). `seen`: optional
     * frame of already-fetched urls (any column named `seenUrlCol`).
-    * Returns (url, host, kind anchor|feed|refresh, discovered_from,
-    * politeness_key). */
+    * `sitemaps=true` adds the fourth discovery channel: XML sitemap /
+    * sitemap-index entries in the fetched payloads (kind "sitemap",
+    * document-resolved like any other reference) — off by default so the
+    * anchors-only contract stays stable. Returns (url, host, kind
+    * anchor|feed|refresh|sitemap, discovered_from, politeness_key). */
   def frontier(pages: DataFrame, urlCol: String, payloadCol: String,
                robots: Option[DataFrame] = None,
                robotsHostCol: String = "host", robotsTxtCol: String = "robots_txt",
@@ -51,7 +54,7 @@ object FrontierOps {
                blockedDomains: Seq[String] = Nil,
                blockedSubstrings: Seq[String] = Nil,
                seen: Option[DataFrame] = None, seenUrlCol: String = "url",
-               shards: Int = 1024): DataFrame = {
+               shards: Int = 1024, sitemaps: Boolean = false): DataFrame = {
     val src = pages.select(col(urlCol).as("_from"), col(payloadCol).as("_payload"))
     val anchors = transform(
       filter(html_anchors(col("_payload"), col("_from")),
@@ -68,8 +71,18 @@ object FrontierOps {
     val refreshes = filter(
       array(struct(refreshTo.as("u"), lit("refresh").as("k"))),
       s => s.getField("u").isNotNull)
+    // sitemap locs are absolute per the protocol, but hostile payloads get
+    // the same RFC 3986 resolution as every other reference
+    val sitemapTargets = filter(
+      transform(sitemap_entries(col("_payload")),
+        e => struct(resolve_url(col("_from"), e.getField("loc")).as("u"),
+          lit("sitemap").as("k"))),
+      s => s.getField("u").isNotNull)
+    val channels =
+      if (sitemaps) concat(anchors, refreshes, feeds, sitemapTargets)
+      else concat(anchors, refreshes, feeds)
     val cand = src
-      .select(col("_from"), explode(concat(anchors, refreshes, feeds)).as("_t"))
+      .select(col("_from"), explode(channels).as("_t"))
       .select(col("_t").getField("u").as("_url"),
         col("_t").getField("k").as("_kind"), col("_from"))
       .withColumn("_host", lower(url_host(col("_url"))))

@@ -87,6 +87,31 @@ object RobotsTxt {
     if (anchored) pos == path.length else true
   }
 
+  /** `Sitemap:` directive urls in file order (sitemaps.org robots-txt
+    * discovery; RFC 9309 treats the line as an "other record" that parsers
+    * pass through). The directive is GROUP-INDEPENDENT — it counts wherever
+    * it appears, even before any User-agent line — and the value is taken
+    * verbatim after trimming (the protocol requires an absolute url; hostile
+    * values are the caller's resolve/validate problem). Exact duplicates
+    * collapse to the first occurrence; capped at [[MaxSitemaps]]. */
+  def sitemaps(txt: String): Seq[String] = {
+    if (txt == null) return Nil
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    txt.split("\n", -1).foreach { line0 =>
+      if (out.size < MaxSitemaps) {
+        val line = { val h = line0.indexOf('#'); if (h < 0) line0 else line0.substring(0, h) }.trim
+        val colon = line.indexOf(':')
+        if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+          val value = line.substring(colon + 1).trim
+          if (value.nonEmpty) out += value
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  val MaxSitemaps = 1024
+
   /** Is `path` fetchable for `agent` under this robots.txt? */
   def isAllowed(txt: String, agent: String, path: String): Boolean = {
     val groups = parse(txt)

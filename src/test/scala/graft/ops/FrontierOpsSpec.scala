@@ -41,6 +41,30 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestBase {
       got.toString)
   }
 
+  test("sitemap channel: opt-in, document-resolved, runs through the same gates") {
+    import spark.implicits._
+    val sm = ("""<?xml version="1.0"?><urlset>""" +
+      """<url><loc>https://sm.example/p/1</loc></url>""" +
+      """<url><loc>/relative/2</loc></url>""" +
+      """<url><loc>https://sm.example/seen</loc></url></urlset>""").getBytes("UTF-8")
+    val ix = ("""<sitemapindex><sitemap><loc>https://sm.example/maps/part1.xml""" +
+      """</loc></sitemap></sitemapindex>""").getBytes("UTF-8")
+    val pages = Seq(
+      ("https://sm.example/sitemap.xml", sm),
+      ("https://sm.example/sitemap_index.xml", ix)).toDF("url", "payload")
+    val seen = Seq("https://sm.example/seen").toDF("url")
+    // default OFF: sitemap payloads contribute nothing (anchors/feeds find
+    // no targets in XML sitemaps)
+    assert(FrontierOps.frontier(pages, "url", "payload").count() == 0)
+    val got = FrontierOps.frontier(pages, "url", "payload",
+      seen = Some(seen), sitemaps = true)
+      .select("url", "kind").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("https://sm.example/p/1", "sitemap"),
+      ("https://sm.example/relative/2", "sitemap"), // resolved against the sitemap url
+      ("https://sm.example/maps/part1.xml", "sitemap")), got.toString)
+  }
+
   test("gate order: robots and blocklist filter BEFORE dedup; seen anti-joins after") {
     import spark.implicits._
     val pages = Seq(

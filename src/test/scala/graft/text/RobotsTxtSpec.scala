@@ -72,6 +72,24 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(!allowed("/any*$", "/anything/at/all"))
   }
 
+  test("Sitemap: directive — group-independent, case-insensitive, comments stripped, dup-collapsed") {
+    val txt =
+      """Sitemap: https://x/before-any-group.xml
+        |User-agent: *
+        |Disallow: /tmp
+        |sitemap: https://x/a.xml # trailing comment
+        |SITEMAP: https://x/a.xml
+        |User-agent: bot
+        |Sitemap:https://x/b.xml
+        |Sitemap:
+        |# Sitemap: https://x/commented-out.xml
+        |""".stripMargin
+    assert(RobotsTxt.sitemaps(txt) == Seq(
+      "https://x/before-any-group.xml", "https://x/a.xml", "https://x/b.xml"))
+    assert(RobotsTxt.sitemaps(null).isEmpty)
+    assert(RobotsTxt.sitemaps("User-agent: *\nDisallow:").isEmpty)
+  }
+
   test("totality fuzz: arbitrary text never throws, result is boolean") {
     val p = Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (txt, path) =>
       RobotsTxt.isAllowed(txt, "bot", path)
