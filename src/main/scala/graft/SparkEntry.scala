@@ -1742,6 +1742,47 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // CDXJ capture-index parse (sources/CdxSource — the Common Crawl/IA
+    // index line format addressing a WARC corpus): split(limit=3) +
+    // from_json, all built-ins; every 10th line is malformed JSON whose
+    // meta fields must null out (guarded casts, never a throw)
+    "q101_cdx" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val dd = (col("doc_id") % 9 + 1).cast("string")
+      val off = (col("doc_id") % 7 * 1000).cast("string")
+      val good = concat(
+        lit("com,example)/p/"), m, lit(" 2024010100000"), dd,
+        lit(" {\"url\": \"https://example.com/p/"), m,
+        lit("\", \"mime\": \"text/html\", \"status\": \"200\", \"digest\": \"sha1:D"), m,
+        lit("\", \"length\": \"1234\", \"offset\": \""), off,
+        lit("\", \"filename\": \"part-"), m, lit(".warc.gz\"}"))
+      val bad = lit("org,broken)/x 2024 {not json")
+      val line = when(col("doc_id") % 10 === 9, bad).otherwise(good)
+      graft.sources.CdxSource.project(
+        t(s, dir, "documents").select(col("doc_id"), line.as("line")),
+        "line", keep = Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SURT keys (surt_url — reversed comma-joined host labels so one host
+    // sorts contiguous): www/case/default-port/tracking/fragment
+    // normalization, non-default port kept, non-http(s) null — four url
+    // shapes rotate per doc_id
+    "q102_surt" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val k = (col("doc_id") % 7).cast("string")
+      val u = when(col("doc_id") % 4 === 0, concat(
+          lit("HTTPS://WWW.Example"), k, lit(".COM/Path/"), m,
+          lit("?b=2&utm_source=x&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://h"), k, lit(".example.org:8080/x/"), m))
+        .when(col("doc_id") % 4 === 2, lit("http://a.example.net:80/"))
+        .otherwise(concat(lit("ftp://x.example/"), m))
+      t(s, dir, "documents")
+        .select(col("doc_id"), u.as("url"), surt_url(u).as("surt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -2991,6 +3032,44 @@ object SparkEntry {
         |    'https://s.example/maps/extra.xml', NULL, NULL, NULL
         |  FROM d WHERE doc_id % 2 = 1
         |) ORDER BY doc_id, pos""".stripMargin,
+    // good lines reconstruct closed-form; the malformed-JSON arm keeps its
+    // surt/ts split but nulls every meta-derived field
+    "q101_cdx" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,
+        |  CAST(doc_id % 9 + 1 AS VARCHAR) AS dd FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 9 THEN 'org,broken)/x'
+        |       ELSE 'com,example)/p/' || m END AS surt_key,
+        |  CASE WHEN doc_id % 10 = 9 THEN '2024'
+        |       ELSE '2024010100000' || dd END AS ts,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL
+        |       ELSE 'https://example.com/p/' || m END AS url,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL ELSE 'text/html' END AS mime,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN NULL ELSE 200 END AS INT) AS status,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL ELSE 'sha1:D' || m END AS digest,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN NULL ELSE 1234 END AS BIGINT) AS length,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN NULL
+        |       ELSE doc_id % 7 * 1000 END AS BIGINT) AS offset,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL
+        |       ELSE 'part-' || m || '.warc.gz' END AS filename
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // each rotation arm's key is closed-form: label reversal, www strip,
+    // lowercasing, tracking removal + param sort, kept non-default port,
+    // stripped default port, null non-http(s)
+    "q102_surt" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,
+        |  CAST(doc_id % 7 AS VARCHAR) AS k FROM documents)
+        |SELECT doc_id, url, surt FROM (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || k || '.COM/Path/' || m || '?b=2&utm_source=x&a=1#frag' AS url,
+        |    'com,example' || k || ')/path/' || m || '?a=1&b=2' AS surt
+        |  FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 'http://h' || k || '.example.org:8080/x/' || m,
+        |    'org,example,h' || k || ':8080)/x/' || m FROM d WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id, 'http://a.example.net:80/',
+        |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
+        |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
+        |) ORDER BY doc_id""".stripMargin,
     // every Gopher rule replayed in DuckDB list ops; all ratios are
     // integer-over-integer divisions, so the keep verdict is deterministic
     // on both engines

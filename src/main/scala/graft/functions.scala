@@ -148,6 +148,39 @@ object functions {
     F.concat(proto, F.lit("://"), auth, path, query)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the public IA/
+    * crawler-commons convention CDX indexes sort by): reversed comma-joined
+    * host labels, `)`, path, sorted cleaned query — so one host's captures
+    * are CONTIGUOUS under a plain sort and a range partition on the key
+    * co-locates per-site work. `com,example)/path?a=1` for
+    * `https://www.Example.com/Path?a=1`. Normalization mirrors
+    * canonical_url (lowercase, default ports, tracking params, fragment)
+    * plus the SURT specifics: leading `www\d*.` label stripped, non-default
+    * port kept after the labels, whole key lowercased. Pure codegen'd
+    * built-ins; null for non-http(s) or unparseable urls. */
+  def surt_url(url: Column): Column = {
+    val proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    val auth0 = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    val auth = F.when(proto === "http", F.regexp_replace(auth0, ":80$", ""))
+      .when(proto === "https", F.regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val host = F.regexp_replace(auth, ":[0-9]+$", "")
+    val port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    val bare = F.regexp_replace(host, "^www[0-9]*\\.", "")
+    val rev = F.array_join(F.reverse(F.split(bare, "\\.")), ",")
+    val path = F.lower(F.coalesce(
+      F.nullif(F.try_parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/")))
+    val kept = F.array_sort(F.filter(
+      F.split(F.lower(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))), "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") || p === "")))
+    val query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
+      .otherwise(F.lit(""))
+    F.when(proto.isin("http", "https") && auth0.isNotNull && F.length(auth) > 0,
+      F.concat(rev,
+        F.when(F.length(port) > 0, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"), path, query))
+  }
+
   // ---- large-scale dedup / fingerprinting (graft.text.TextHash semantics) ----
 
   /** 64-bit SimHash near-dup fingerprint of whitespace-tokenized text. */

@@ -33,6 +33,33 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_ == null), got)
   }
 
+  private def surt(urls: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    urls.toDF("u").select(graft.functions.surt_url(col("u"))).collect().map(_.getString(0)).toSeq
+  }
+
+  test("surt_url: label reversal, www strip, ports, lowercasing, query cleaning") {
+    assert(surt("HTTPS://WWW.Example.COM/Path?b=2&utm_source=x&a=1#frag") ==
+      Seq("com,example)/path?a=1&b=2"))
+    // www strip covers www1/www2 mirrors; non-www hosts keep every label
+    assert(surt("http://www2.news.example.org/x", "http://news.example.org/x") ==
+      Seq("org,example,news)/x", "org,example,news)/x"))
+    // default port stripped, non-default kept after the labels
+    assert(surt("http://h.example.net:80/", "http://h.example.net:8080/") ==
+      Seq("net,example,h)/", "net,example,h:8080)/"))
+    // one host's keys sort contiguous (the CDX ordering property):
+    // subdomains of example.com sort together, ahead of example2
+    val keys = surt("https://b.example.com/x", "https://a.example2.com/x",
+      "https://a.example.com/y")
+    assert(keys.sorted == Seq("com,example,a)/y", "com,example,b)/x", "com,example2,a)/x"))
+  }
+
+  test("surt_url: non-http(s) and malformed urls yield null, never a throw") {
+    val got = surt("ftp://x.example/f", "not a url", "", "mailto:a@b.c")
+    assert(got.forall(_ == null), got)
+  }
+
   test("canonical_url is idempotent and stable under param shuffles") {
     val variants = Seq(
       "http://A.example/p?x=1&y=2&utm_source=s",
