@@ -1783,6 +1783,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-mixture construction: ABSOLUTE per-domain token budgets
+    // (target = budget·w‰ floor) filled in splitmix64 permutation order —
+    // prefix-rule admission so a budget is never exceeded; zero-weight and
+    // unweighted domains contribute nothing. The two-level prefix sum's
+    // range bucketing preserves h order, so it is identical to one window
+    // ordered (h, id) — exactly how the oracle replays it
+    "q103_token_mix" -> ((s, dir) => {
+      graft.ops.CurationOps.tokenBudgetMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars",
+        Seq("src0" -> 400L, "src1" -> 300L, "src2" -> 200L, "src3" -> 0L),
+        budget = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // the full Gopher/MassiveText §A1.1 quality rule set (word-count bounds,
     // mean word length, symbol ratio, bullet/ellipsis lines, alpha fraction,
     // required stop words) — bullet/ellipsis/symbol payloads constructed
@@ -3070,6 +3085,23 @@ object SparkEntry {
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
         |) ORDER BY doc_id""".stripMargin,
+    // the splitmix64 permutation and the prefix rule replayed as ONE window
+    // per domain ordered (h, id) — the two-level scheme's range bucketing is
+    // order-preserving, so the single window IS its semantics; integer
+    // targets interpolate closed-form
+    "q103_token_mix" -> {
+      val h64 = USql64.toI64(USql64.sm("xor(CAST(doc_id AS UBIGINT), 24301::UBIGINT)"))
+      s"""WITH w(source, cap) AS (VALUES ('src0', 4000), ('src1', 3000),
+         |  ('src2', 2000), ('src3', 0)),
+         |h AS (SELECT doc_id, source, n_chars, ($h64) AS h64 FROM documents),
+         |c AS (SELECT doc_id, source, n_chars,
+         |  CAST(sum(n_chars) OVER (PARTITION BY source
+         |    ORDER BY h64, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM h)
+         |SELECT doc_id, source, n_chars FROM c JOIN w USING (source)
+         |WHERE cum <= cap ORDER BY doc_id""".stripMargin
+    },
     // every Gopher rule replayed in DuckDB list ops; all ratios are
     // integer-over-integer divisions, so the keep verdict is deterministic
     // on both engines

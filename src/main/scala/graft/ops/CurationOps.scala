@@ -636,4 +636,64 @@ object CurationOps {
     require(pct >= 0 && pct <= 100)
     docs.filter(pmod(splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed))), lit(100)) < pct)
   }
+
+  /** Training-mixture construction under a token budget — the data-MIXING
+    * step after curation (per-domain weights, hand-set or DoReMi-style
+    * tuned, times a global budget give per-domain token targets; docs are
+    * admitted in a fixed pseudo-random order until the domain's target is
+    * full). Unlike [[stratifiedSample]]'s per-row rate, this meets an
+    * ABSOLUTE budget: target_d = budget·w_d div 1000, and domain d keeps
+    * the longest prefix of its permutation whose inclusive cost sum stays
+    * ≤ target_d — the budget is never exceeded (the boundary doc and
+    * everything after it are dropped; at real scale a doc is ≪ the budget,
+    * so the slack is at most one document). Domains absent from
+    * `weightsPermille` contribute nothing. The permutation is (h, id) with
+    * h = splitmix64(id xor seed) — partitioning-invariant; the bucket key
+    * is an ORDER-PRESERVING range of h (truncating div by a positive
+    * constant is monotone), so bucket-major order is identical to (h, id)
+    * order for ANY bucket count, and splitmix uniformity keeps the ranges
+    * balanced.
+    *
+    * Scale shape (the packSequences two-level prefix sum — never one
+    * serial window per domain): per-(domain, bucket) cost sums aggregate
+    * map-side to a |domains|·buckets frame; the exclusive bucket offsets
+    * window over THAT small frame; the big frame shuffles ONCE on
+    * (domain, bucket) for the intra-bucket running sums, `buckets`-way
+    * parallel per domain. Null costs count 0. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, domainCol: String,
+                     costCol: String, weightsPermille: Seq[(String, Long)],
+                     budget: Long, buckets: Int = 256,
+                     seed: Long = 0x5eedL): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative: $budget")
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    weightsPermille.foreach { case (d, wt) =>
+      require(wt >= 0, s"negative weight for domain $d: $wt") }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val targets = weightsPermille
+      .map { case (d, wt) => (d, budget * wt / 1000L) }
+      .toDF(domainCol, "_target")
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    // h div W ranges over ~[-buckets, buckets) — granularity only; the
+    // admission result is W-invariant because the div keeps h's order
+    val rangeWidth = Long.MaxValue / buckets + 1L
+    val based = docs
+      .withColumn("_h", splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed))))
+      .withColumn("_bkt", expr(s"_h div ${rangeWidth}L"))
+    val bOff = based.groupBy(col(domainCol), col("_bkt"))
+      .agg(sum(cost).as("_bsum"))
+      .withColumn("_boff", coalesce(sum(col("_bsum")).over(
+        w.partitionBy(col(domainCol)).orderBy(col("_bkt"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col(domainCol), col("_bkt"), col("_boff"))
+    val wIn = w.partitionBy(col(domainCol), col("_bkt"))
+      .orderBy(col("_h"), col(idCol)).rowsBetween(Long.MinValue, 0)
+    based
+      .join(bOff, Seq(domainCol, "_bkt"))
+      .join(targets, Seq(domainCol)) // inner: unweighted domains drop here
+      .withColumn("_cum", col("_boff") + sum(cost).over(wIn))
+      .filter(col("_cum") <= col("_target"))
+      .drop("_h", "_bkt", "_boff", "_cum", "_target")
+  }
 }

@@ -319,6 +319,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert("Generate explode".r.findAllIn(s).length <= 1, s)
   }
 
+  test("tokenBudgetMix plan: two-level shape — the corpus-sized window is bucket-parallel") {
+    // the op claims the only window over the BIG frame is partitioned by
+    // (domain, bucket) — `buckets`-way parallel — and the per-domain
+    // (serial) window runs over the |domains|·buckets bucket-sum frame only
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("d"), (col("id") % 3).cast("string")).as("dom"),
+      (col("id") % 7 + 1).as("cost"))
+    val df = ops.CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost",
+      Seq("d0" -> 500L, "d1" -> 500L), budget = 1000L)
+    val s = planString(df)
+    val nWindows = "(?m)windowspecdefinition\\(".r.findAllIn(s).size
+    assert(nWindows == 2, s"expected 2 window specs, saw $nWindows:\n${s.take(3000)}")
+    // the running-sum window keys on BOTH the domain and the bucket column
+    assert("windowspecdefinition\\(dom[#0-9L]*, _bkt".r.findAllIn(s).nonEmpty,
+      s"big-frame window not (domain, bucket)-partitioned:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+  }
+
   test("incremental dedup plan: batch text hashed once, corpus never rescanned") {
     // dedupAgainstIndex claims the new batch is minhashed exactly once (the
     // localCheckpointed signature frame feeds the exact arm, the band explode,
@@ -354,7 +373,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q34_embedding_near_dups", "q37_ann_ivf", "q41_embedding_dedup_cc",
       "q47_decontaminate", "q51_line_dedup", "q70_lm_filter", "q72_image_near_dups",
       "q80_semdedup", "q81_remove_dup_spans", "q83_host_pagerank", "q84_ppl_buckets",
-      "q98_dedup_incremental", "q99_bm25_topk")
+      "q98_dedup_incremental", "q99_bm25_topk", "q103_token_mix")
     bucketJoined.foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

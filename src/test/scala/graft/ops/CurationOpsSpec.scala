@@ -417,6 +417,42 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tokenBudgetMix: budgets never exceeded, prefix rule, unweighted domains dropped") {
+    val docs = spark.range(600).select(col("id").as("doc_id"),
+      concat(lit("d"), (col("id") % 3).cast("string")).as("dom"),
+      (col("id") % 7 * 10 + 10).as("cost"))
+    val w = Seq("d0" -> 500L, "d1" -> 250L, "d2" -> 0L)
+    val got = CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost", w, budget = 4000L)
+    val perDom = got.groupBy("dom").agg(sum("cost").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // targets: d0 → 2000, d1 → 1000, d2 → 0 (zero weight drops everything)
+    assert(perDom.keySet == Set("d0", "d1"), perDom.toString)
+    assert(perDom("d0")._1 <= 2000 && perDom("d1")._1 <= 1000, perDom.toString)
+    // prefix rule: sum + the NEXT doc in permutation order would overflow —
+    // each domain's kept mass sits within one max-cost doc of its target
+    assert(perDom("d0")._1 > 2000 - 70 && perDom("d1")._1 > 1000 - 70, perDom.toString)
+    // a domain in the weight list but absent from the data contributes nothing
+    val gotExtra = CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost",
+      w :+ ("ghost" -> 250L), budget = 4000L)
+    assert(gotExtra.filter(col("dom") === "ghost").count() == 0)
+  }
+
+  test("tokenBudgetMix is bucket-count-invariant and partition-invariant") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("d"), (col("id") % 2).cast("string")).as("dom"),
+      (col("id") % 5 * 3 + 1).as("cost"))
+    val w = Seq("d0" -> 600L, "d1" -> 400L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost", w, 1000L))
+    val b = ids(CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost", w, 1000L, buckets = 1))
+    val c = ids(CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost", w, 1000L, buckets = 4096))
+    val d = ids(CurationOps.tokenBudgetMix(docs.repartition(13), "doc_id", "dom", "cost", w, 1000L))
+    assert(a == b && a == c && a == d,
+      s"two-level prefix sum must be bucket/partition-invariant: ${a.size}/${b.size}/${c.size}/${d.size}")
+    assert(a.nonEmpty)
+  }
+
   test("stratifiedSample is deterministic, partition-invariant, and ~pct sized") {
     val docs = spark.range(10000).select(col("id").as("doc_id"), (col("id") % 3).as("lang"))
     val a = CurationOps.stratifiedSample(docs, "doc_id", 30).select("doc_id")
