@@ -1783,6 +1783,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cluster dedup with a QUALITY keeper: the q39 corpus (doc + two
+    // token-dropped mirrors per cluster) but the keeper is the member with
+    // the highest pseudo-random quality score, ties → min id — so mirrors
+    // beat originals wherever their hash says so, exercising the non-min-id
+    // path the default contract never takes
+    "q104_dedup_cc_keeper" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val m2 = m1.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val all = docs.unionByName(m1).unionByName(m2)
+        .withColumn("quality", pmod(splitmix64(col("doc_id")), lit(1000L)))
+      graft.ops.DedupOps.dropNearDupsCC(all, "text", "doc_id",
+        threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 3,
+        qualityCol = Some("quality"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // training-mixture construction: ABSOLUTE per-domain token budgets
     // (target = budget·w‰ floor) filled in splitmix64 permutation order —
     // prefix-rule admission so a budget is never exceeded; zero-weight and
@@ -3085,6 +3104,50 @@ object SparkEntry {
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
         |) ORDER BY doc_id""".stripMargin,
+    // the q39 CTE chain (shingles → Jaccard pairs → recursive reach → min
+    // components) plus the keeper ranking: quality = splitmix64(doc_id) mod
+    // 1000 replayed in UBIGINT arithmetic, row_number per component ordered
+    // (quality DESC, id) — rank 1 survives, the rest drop
+    "q104_dedup_cc_keeper" -> {
+      val q = USql64.toI64(USql64.sm("CAST(doc_id AS UBIGINT)"))
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, strpos(text, ' ') + 1) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         substring(substring(text, strpos(text, ' ') + 1),
+         |                   strpos(substring(text, strpos(text, ' ') + 1), ' ') + 1)
+         |  FROM documents
+         |),
+         |s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM base)
+         |),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |        / len(list_distinct(x.sh || y.sh)) >= 0.8
+         |),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+         |),
+         |comp AS (SELECT src AS id, min(node) AS component FROM reach GROUP BY src),
+         |qual AS (SELECT doc_id, ((($q) % 1000) + 1000) % 1000 AS quality FROM base),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.component
+         |    ORDER BY q.quality DESC, c.id) AS rn
+         |  FROM comp c JOIN qual q ON q.doc_id = c.id
+         |)
+         |SELECT doc_id FROM base
+         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+         |ORDER BY doc_id""".stripMargin
+    },
     // the splitmix64 permutation and the prefix rule replayed as ONE window
     // per domain ordered (h, id) — the two-level scheme's range bucketing is
     // order-preserving, so the single window IS its semantics; integer

@@ -282,20 +282,38 @@ object DedupOps {
   }
 
   /** Near-dup removal with CLUSTER semantics: two-phase verified pairs →
-    * connected components → keep exactly one row (the min id) per component.
-    * Unlike dropNearDups' greedy pass, a chain a~b~c keeps a (the canonical
-    * representative) and drops b,c deterministically — never over-drops rows
-    * that were only transitively similar, never keeps two members of one
-    * cluster. */
+    * connected components → keep exactly one row per component. Unlike
+    * dropNearDups' greedy pass, a chain a~b~c keeps one canonical
+    * representative and drops the rest deterministically — never over-drops
+    * rows that were only transitively similar, never keeps two members of
+    * one cluster.
+    *
+    * Keeper rule: min id by default (the replayable canonical contract);
+    * with `qualityCol` set, the member with the HIGHEST quality wins (ties →
+    * min id) — the keep-the-best-member semantics production dedup wants
+    * (dropping a well-formatted original in favor of its mangled mirror is
+    * the classic min-id failure). The quality window runs over the
+    * components frame only — clusters are a sliver of the corpus, so the
+    * attach join + window never touch full-corpus scale. */
   def dropNearDupsCC(df: DataFrame, textCol: String, idCol: String,
                      threshold: Double = 0.8, candidateThreshold: Double = 0.5,
-                     rowsPerBand: Int = 8): DataFrame = {
+                     rowsPerBand: Int = 8,
+                     qualityCol: Option[String] = None): DataFrame = {
     val pairs = verifiedNearDupPairs(df, textCol, idCol,
       threshold = threshold, candidateThreshold = candidateThreshold,
       rowsPerBand = rowsPerBand)
-    val losers = connectedComponents(pairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
+    val comp = connectedComponents(pairs)
+    val losers = qualityCol match {
+      case None =>
+        comp.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+      case Some(q) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component")).orderBy(col("_q").desc, col("id"))
+        comp.join(df.select(col(idCol).as("id"), col(q).as("_q")), Seq("id"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") > 1)
+          .select(col("id").as(idCol))
+    }
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -182,6 +182,30 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.size < n) // genuine clusters in testdata do collapse
   }
 
+  test("dropNearDupsCC quality keeper: best member wins, ties break to min id, singletons untouched") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val all = Seq(
+      // cluster {1,2,3}: id 3 has the best quality and must be the keeper
+      (1L, words, 10L), (2L, words, 20L), (3L, words, 30L),
+      // cluster {10,11} (disjoint token set): quality tie — min id 10 wins
+      (10L, (1 to 40).map(i => s"y$i").mkString(" "), 7L),
+      (11L, (1 to 40).map(i => s"y$i").mkString(" "), 7L),
+      // singleton: never enters the pair graph, always kept
+      (20L, "completely different short text", 1L)
+    ).toDF("doc_id", "text", "quality")
+    val kept = DedupOps.dropNearDupsCC(all, "text", "doc_id",
+      threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 4,
+      qualityCol = Some("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 10L, 20L), kept.toString)
+    // default contract unchanged: min id keeps
+    val keptDefault = DedupOps.dropNearDupsCC(all, "text", "doc_id",
+      threshold = 0.8, candidateThreshold = 0.4, rowsPerBand = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDefault == Set(1L, 10L, 20L), keptDefault.toString)
+  }
+
   test("embeddingNearDupPairs on an empty frame returns empty, not a driver crash") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 0)
