@@ -1783,6 +1783,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // de-facto Crawl-delay politeness directive: named-vs-* group
+    // selection (the isAllowed rule), decimal seconds → millis truncation,
+    // first-valid-wins, invalid/absent → null, hostile overflow capped at
+    // 24 h — every arm closed-form per doc_id
+    "q105_crawl_delay" -> ((s, dir) => {
+      val k = (col("doc_id") % 5).cast("string")
+      val robotsTxt =
+        when(col("doc_id") % 4 === 0, concat(
+          lit("User-agent: graftbot\nCrawl-delay: "), k,
+          lit(".5\nDisallow: /x\nUser-agent: *\nCrawl-delay: 9\nDisallow:\n")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("User-agent: *\nCrawl-delay: bogus\nCrawl-delay: "), k,
+          lit("\nDisallow: /y\n")))
+        .when(col("doc_id") % 4 === 2,
+          lit("User-agent: *\nCrawl-delay: 99999999999\nDisallow:\n"))
+        .otherwise(lit("User-agent: *\nDisallow: /z\n"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          robots_crawl_delay(robotsTxt, lit("graftbot")).as("delay_named"),
+          robots_crawl_delay(robotsTxt, lit("otherbot")).as("delay_star"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cluster dedup with a QUALITY keeper: the q39 corpus (doc + two
     // token-dropped mirrors per cluster) but the keeper is the member with
     // the highest pseudo-random quality score, ties → min id — so mirrors
@@ -3104,6 +3127,18 @@ object SparkEntry {
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
         |) ORDER BY doc_id""".stripMargin,
+    // named group beats *, first VALID value wins, decimal truncates to
+    // millis, overflow caps at 24 h, absent is null — all closed-form
+    "q105_crawl_delay" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS k FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN k * 1000 + 500
+        |       WHEN doc_id % 4 = 1 THEN k * 1000
+        |       WHEN doc_id % 4 = 2 THEN 86400000 END AS BIGINT) AS delay_named,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 9000
+        |       WHEN doc_id % 4 = 1 THEN k * 1000
+        |       WHEN doc_id % 4 = 2 THEN 86400000 END AS BIGINT) AS delay_star
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the q39 CTE chain (shingles → Jaccard pairs → recursive reach → min
     // components) plus the keeper ranking: quality = splitmix64(doc_id) mod
     // 1000 replayed in UBIGINT arithmetic, row_number per component ordered

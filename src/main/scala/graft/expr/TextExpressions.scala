@@ -186,6 +186,26 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Effective `Crawl-delay` for `agent` in MILLIS (RobotsTxt
+  * .crawlDelayMillis — decimal seconds truncated to millis, 24 h cap, the
+  * isAllowed group-selection rule); null when absent/invalid. */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(robots: Any, agent: Any): Any =
+    graft.text.RobotsTxt.crawlDelayMillis(
+      robots.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString) match {
+      case Some(ms) => ms
+      case None => null
+    }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsCrawlDelay =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `Sitemap:` directive urls of a robots.txt, file order (RobotsTxt
   * .sitemaps) — the robots-side half of sitemap discovery: a crawler that
   * fetched /robots.txt for the policy gate gets the site's sitemap urls

@@ -73,6 +73,11 @@ object functions {
   def robots_sitemaps(robots: Column): Column =
     ColumnBridge.column(graft.expr.RobotsSitemaps(expr(robots)))
 
+  /** Effective `Crawl-delay` for `agent` in millis (de-facto politeness
+    * directive; decimal seconds, 24 h cap); null when absent. */
+  def robots_crawl_delay(robots: Column, agent: Column): Column =
+    ColumnBridge.column(graft.expr.RobotsCrawlDelay(expr(robots), expr(agent)))
+
   /** XML sitemap entries — array<struct<loc, lastmod, changefreq,
     * priority>> in document order (urlset or sitemapindex payloads). */
   def sitemap_entries(payload: Column): Column =

@@ -46,7 +46,9 @@ object FrontierOps {
     * sitemap-index entries in the fetched payloads (kind "sitemap",
     * document-resolved like any other reference) — off by default so the
     * anchors-only contract stays stable. Returns (url, host, kind
-    * anchor|feed|refresh|sitemap, discovered_from, politeness_key). */
+    * anchor|feed|refresh|sitemap, discovered_from, politeness_key,
+    * crawl_delay_ms — the host's de-facto Crawl-delay, null when no robots
+    * row or no directive). */
   def frontier(pages: DataFrame, urlCol: String, payloadCol: String,
                robots: Option[DataFrame] = None,
                robotsHostCol: String = "host", robotsTxtCol: String = "robots_txt",
@@ -88,14 +90,16 @@ object FrontierOps {
       .withColumn("_host", lower(url_host(col("_url"))))
       .filter(col("_host").isNotNull)
 
+    // one row per host (deterministic min) — a duplicate-host robots frame
+    // must not duplicate candidates through the join; reused by the gate
+    // AND the final crawl-delay attach
+    val rrOpt = robots.map { r =>
+      r.select(lower(col(robotsHostCol)).as("_host"), col(robotsTxtCol).as("_robots"))
+        .groupBy(col("_host")).agg(min(col("_robots")).as("_robots"))
+    }
     // robots gate on the TARGET host; RFC 9309 matches path + optional query
-    val gated = robots match {
-      case Some(r) =>
-        // one row per host (deterministic min) — a duplicate-host robots
-        // frame must not duplicate candidates through the join
-        val rr = r.select(lower(col(robotsHostCol)).as("_host"),
-          col(robotsTxtCol).as("_robots"))
-          .groupBy(col("_host")).agg(min(col("_robots")).as("_robots"))
+    val gated = rrOpt match {
+      case Some(rr) =>
         val p0 = F.try_parse_url(col("_url"), lit("PATH"))
         val q0 = F.try_parse_url(col("_url"), lit("QUERY"))
         val path = concat(
@@ -126,11 +130,22 @@ object FrontierOps {
         deduped.join(sc, Seq("_curl"), "left_anti")
       case None => deduped
     }
-    unseen.select(
+    val out = unseen.select(
       col("_keep").getField("url").as("url"),
       lower(url_host(col("_keep").getField("url"))).as("host"),
       col("_keep").getField("kind").as("kind"),
       col("_keep").getField("discovered_from").as("discovered_from"))
       .withColumn("politeness_key", pmod(xxhash64(col("host")), lit(shards.toLong)))
+    // the de-facto Crawl-delay rides along from the hosts-sized robots frame
+    // so a politeness-sharded fetcher needs no second lookup; null = no
+    // robots / no directive (crawl at the fetcher's default rate)
+    rrOpt match {
+      case Some(rr) =>
+        out.join(rr.select(col("_host").as("host"),
+            robots_crawl_delay(col("_robots"), lit(agent)).as("crawl_delay_ms")),
+          Seq("host"), "left")
+          .select(out.columns.map(col) :+ col("crawl_delay_ms"): _*)
+      case None => out.withColumn("crawl_delay_ms", lit(null).cast("long"))
+    }
   }
 }

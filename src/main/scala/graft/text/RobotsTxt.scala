@@ -27,16 +27,26 @@ object RobotsTxt {
   final case class Rule(allow: Boolean, pattern: String)
 
   /** Parsed groups in file order: (lowercased agent tokens, rules). */
-  def parse(txt: String): Seq[(Seq[String], Seq[Rule])] = {
+  def parse(txt: String): Seq[(Seq[String], Seq[Rule])] =
+    parseFull(txt).map { case (a, r, _) => (a, r) }
+
+  /** Like [[parse]], plus each group's first valid `Crawl-delay` in millis
+    * (the de-facto politeness directive major crawlers honor — not in RFC
+    * 9309, which files it under "other records"). Accepted values: decimal
+    * seconds `[0-9]+(.[0-9]*)?`, truncated to millis, capped at 24 h
+    * (hostile `Crawl-delay: 99999999999` must not overflow a scheduler). */
+  private[text] def parseFull(txt: String): Seq[(Seq[String], Seq[Rule], Option[Long])] = {
     if (txt == null) return Nil
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Rule])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Rule], Option[Long])]
     var agents = scala.collection.mutable.ArrayBuffer.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Long] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += ((agents.toSeq, rules.toSeq))
+      if (agents.nonEmpty) groups += ((agents.toSeq, rules.toSeq, delay))
       agents = scala.collection.mutable.ArrayBuffer.empty[String]
       rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+      delay = None
       inRules = false
     }
     txt.split("\n", -1).foreach { line0 =>
@@ -51,12 +61,42 @@ object RobotsTxt {
             agents += value.toLowerCase
           case "allow" if agents.nonEmpty => rules += Rule(allow = true, value); inRules = true
           case "disallow" if agents.nonEmpty => rules += Rule(allow = false, value); inRules = true
-          case _ => // sitemap, crawl-delay, unknown: ignored
+          case "crawl-delay" if agents.nonEmpty =>
+            if (delay.isEmpty) delay = parseDelayMillis(value)
+            inRules = true
+          case _ => // sitemap, unknown: ignored
         }
       }
     }
     flush()
     groups.toSeq
+  }
+
+  val MaxDelayMillis: Long = 24L * 3600 * 1000
+
+  private def parseDelayMillis(v: String): Option[Long] = {
+    if (v.isEmpty || !v.forall(c => (c >= '0' && c <= '9') || c == '.')) return None
+    val dot = v.indexOf('.')
+    if (dot != v.lastIndexOf('.')) return None
+    val intPart = if (dot < 0) v else v.substring(0, dot)
+    val fracPart = if (dot < 0) "" else v.substring(dot + 1)
+    if (intPart.isEmpty && fracPart.isEmpty) return None
+    if (intPart.length > 8) return Some(MaxDelayMillis)
+    val whole = if (intPart.isEmpty) 0L else intPart.toLong
+    val frac = (fracPart + "000").substring(0, 3).toLong
+    Some(math.min(whole * 1000L + frac, MaxDelayMillis))
+  }
+
+  /** Effective `Crawl-delay` for `agent` in millis, or None: the FIRST
+    * delay among the agent's selected groups (named groups if any name it,
+    * else the `*` groups — the [[isAllowed]] selection rule) in file
+    * order. */
+  def crawlDelayMillis(txt: String, agent: String): Option[Long] = {
+    val groups = parseFull(txt)
+    val a = if (agent == null) "*" else agent.toLowerCase
+    val mine = groups.filter(_._1.contains(a))
+    val eff = if (mine.nonEmpty) mine else groups.filter(_._1.contains("*"))
+    eff.flatMap(_._3).headOption
   }
 
   /** RFC 9309 §2.2.3 pattern match: anchored-prefix with `*` and trailing `$`. */

@@ -84,6 +84,24 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq("https://t.example/ok"), got.toString)
   }
 
+  test("crawl_delay_ms rides along from the robots frame; null without robots/directive") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/", htmlPage(
+        """<a href="https://t.example/1">x</a> <a href="https://u.example/2">y</a>"""))
+    ).toDF("url", "payload")
+    val robots = Seq(("t.example", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /p"))
+      .toDF("host", "robots_txt")
+    val got = FrontierOps.frontier(pages, "url", "payload", robots = Some(robots))
+      .select("host", "crawl_delay_ms").collect()
+      .map(r => r.getString(0) -> Option(r.getAs[java.lang.Long](1)).map(_.toLong)).toMap
+    assert(got == Map("t.example" -> Some(2500L), "u.example" -> None), got.toString)
+    // no robots frame at all: the column exists, every row null
+    val bare = FrontierOps.frontier(pages, "url", "payload")
+      .select("crawl_delay_ms").collect().map(r => r.isNullAt(0))
+    assert(bare.nonEmpty && bare.forall(identity))
+  }
+
   test("canonical dedup keeps one row with the min-struct keeper") {
     import spark.implicits._
     // the same target discovered from two pages and with a tracking-noise

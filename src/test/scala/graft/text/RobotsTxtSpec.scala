@@ -90,6 +90,33 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(RobotsTxt.sitemaps("User-agent: *\nDisallow:").isEmpty)
   }
 
+  test("Crawl-delay: group selection, first-valid-wins, decimal millis, overflow cap") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 1.5
+        |Disallow: /x
+        |User-agent: *
+        |Crawl-delay: bogus
+        |Crawl-delay: 2
+        |Disallow:
+        |""".stripMargin
+    assert(RobotsTxt.crawlDelayMillis(txt, "graftbot") == Some(1500L))
+    assert(RobotsTxt.crawlDelayMillis(txt, "otherbot") == Some(2000L))
+    assert(RobotsTxt.crawlDelayMillis("User-agent: *\nDisallow:", "x").isEmpty)
+    assert(RobotsTxt.crawlDelayMillis(null, "x").isEmpty)
+    // hostile values: overflow capped, fraction truncated, junk rejected
+    assert(RobotsTxt.crawlDelayMillis(
+      "User-agent: *\nCrawl-delay: 99999999999", "x") == Some(RobotsTxt.MaxDelayMillis))
+    assert(RobotsTxt.crawlDelayMillis(
+      "User-agent: *\nCrawl-delay: 0.12345", "x") == Some(123L))
+    assert(RobotsTxt.crawlDelayMillis(
+      "User-agent: *\nCrawl-delay: 1.2.3", "x").isEmpty)
+    // a crawl-delay line is a rule line: a UA after it starts a NEW group
+    val regroup = "User-agent: a\nCrawl-delay: 3\nUser-agent: b\nDisallow: /q\n"
+    assert(RobotsTxt.crawlDelayMillis(regroup, "b").isEmpty)
+    assert(RobotsTxt.crawlDelayMillis(regroup, "a") == Some(3000L))
+  }
+
   test("totality fuzz: arbitrary text never throws, result is boolean") {
     val p = Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (txt, path) =>
       RobotsTxt.isAllowed(txt, "bot", path)
