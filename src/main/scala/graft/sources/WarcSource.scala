@@ -64,15 +64,19 @@ object WarcSource {
     }
   }
 
-  def pages(spark: SparkSession, dir: String,
-            glob: String = "*.{warc,warc.gz,warc.wet,warc.wet.gz}",
-            recursive: Boolean = true): DataFrame = {
+  /** Shared per-archive stream plumbing: one task per file, an open
+    * FileSystem stream decoded record-by-record (O(record) memory), closed
+    * at exhaustion or task completion. `f` maps each file's record iterator
+    * to output rows. */
+  private def overRecords[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, dir: String, glob: String, recursive: Boolean)(
+      f: Iterator[WarcRecord] => Iterator[T]): Dataset[T] = {
     import spark.implicits._
     val paths = listPaths(spark, dir, glob, recursive)
-    if (paths.isEmpty) return spark.emptyDataset[PageRow].toDF()
+    if (paths.isEmpty) return spark.emptyDataset[T]
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // one partition per archive (gzip members are not seekable mid-stream)
-    val rows: Dataset[PageRow] = spark.createDataset(paths)
+    spark.createDataset(paths)
       .repartition(paths.length)
       .mapPartitions { pathsInTask =>
         pathsInTask.flatMap { p =>
@@ -98,26 +102,59 @@ object WarcSource {
           // listener covers early abandonment (limit, failure)
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => closeQuietly(in)))
-          closing(in, records(in)
-            .filter(r => r.warcType == "response" || r.warcType == "resource" ||
-                         r.warcType == "conversion")
-            .map { r =>
-              if (r.warcType == "conversion")
-                // WET records (Common Crawl's *.warc.wet): the payload IS the
-                // already-extracted plain text — it lands in `text`, so the
-                // pipeline's skip-already-extracted filter (B2) treats these
-                // rows as done instead of re-extracting nothing
-                PageRow(r.targetUri, parseWarcDate(r.date), null,
-                  new String(r.body, java.nio.charset.StandardCharsets.UTF_8), null)
-              else {
-                val body = if (r.warcType == "response") stripHttpHeaders(r.body) else r.body
-                PageRow(r.targetUri, parseWarcDate(r.date), body, null, null)
-              }
-            })
+          closing(in, f(records(in)))
         }
       }
-    rows.toDF()
   }
+
+  def pages(spark: SparkSession, dir: String,
+            glob: String = "*.{warc,warc.gz,warc.wet,warc.wet.gz}",
+            recursive: Boolean = true): DataFrame = {
+    import spark.implicits._
+    overRecords[PageRow](spark, dir, glob, recursive) { rs =>
+      rs.filter(r => r.warcType == "response" || r.warcType == "resource" ||
+                     r.warcType == "conversion")
+        .map { r =>
+          if (r.warcType == "conversion")
+            // WET records (Common Crawl's *.warc.wet): the payload IS the
+            // already-extracted plain text — it lands in `text`, so the
+            // pipeline's skip-already-extracted filter (B2) treats these
+            // rows as done instead of re-extracting nothing
+            PageRow(r.targetUri, parseWarcDate(r.date), null,
+              new String(r.body, java.nio.charset.StandardCharsets.UTF_8), null)
+          else {
+            val body = if (r.warcType == "response") stripHttpHeaders(r.body) else r.body
+            PageRow(r.targetUri, parseWarcDate(r.date), body, null, null)
+          }
+        }
+    }.toDF()
+  }
+
+  /** One row per response/resource capture with the HTTP envelope PARSED,
+    * not just stripped: `http_status` and `mime` (Content-Type up to any
+    * `;charset=` parameter, lowercased) let a reader gate on
+    * `http_status = 200 AND mime = 'text/html'` BEFORE paying extraction —
+    * at crawl scale the non-200/non-HTML majority should die in this
+    * filter, pushed against the streaming source. `resource` records (no
+    * HTTP envelope) carry null status/mime and their raw body. */
+  def captures(spark: SparkSession, dir: String,
+               glob: String = "*.{warc,warc.gz}",
+               recursive: Boolean = true): DataFrame = {
+    import spark.implicits._
+    overRecords[CaptureRow](spark, dir, glob, recursive) { rs =>
+      rs.filter(r => r.warcType == "response" || r.warcType == "resource")
+        .map { r =>
+          if (r.warcType == "response") {
+            val (status, mime, body) = parseHttp(r.body)
+            CaptureRow(r.targetUri, parseWarcDate(r.date), status, mime, body)
+          } else CaptureRow(r.targetUri, parseWarcDate(r.date), None, null, r.body)
+        }
+    }.toDF()
+  }
+
+  final case class CaptureRow(url: String, warc_ts: Timestamp,
+                              http_status: Option[Int], mime: String,
+                              body: Array[Byte])
 
   /** Driver-side metadata listing (never reads content). Deterministic order. */
   private def listPaths(spark: SparkSession, dir: String, glob: String,
@@ -257,10 +294,16 @@ object WarcSource {
     * response is interleaved with hex size lines. Truncated bodies keep the
     * decoded prefix; payloads that don't look like HTTP pass through
     * unchanged (resource records, weird crawlers). */
-  private[sources] def stripHttpHeaders(payload: Array[Byte]): Array[Byte] = {
+  private[sources] def stripHttpHeaders(payload: Array[Byte]): Array[Byte] =
+    parseHttp(payload)._3
+
+  /** Parse an HTTP response envelope: (status, mime, body). Non-HTTP
+    * payloads pass through as (None, null, payload) — same totality stance
+    * as the strip-only path, which is this function's `._3`. */
+  private[sources] def parseHttp(payload: Array[Byte]): (Option[Int], String, Array[Byte]) = {
     if (payload.length < 5 ||
         !(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' && payload(3) == 'P'))
-      return payload
+      return (None, null, payload)
     val n = payload.length
     var bodyAt = -1
     var i = 0
@@ -276,18 +319,38 @@ object WarcSource {
         i += 1
       }
     }
-    if (bodyAt < 0) return payload
+    if (bodyAt < 0) return (None, null, payload)
     // ISO-8859-1 view of the header block only (headers are ASCII-ish; the
     // body may be any bytes and is never decoded here)
     val headerText = new String(payload, 0, bodyAt, java.nio.charset.StandardCharsets.ISO_8859_1)
       .toLowerCase
-    val chunked = headerText.linesIterator.exists { l =>
+    // status: the 3-digit token after the first space of "http/x.y NNN ..."
+    val eol1 = headerText.indexOf('\n') match { case -1 => headerText.length; case e => e }
+    val line1 = headerText.substring(0, eol1)
+    val sp = line1.indexOf(' ')
+    val status = {
+      val tok = if (sp > 0) line1.drop(sp + 1).take(3) else ""
+      if (tok.length == 3 && tok.forall(c => c >= '0' && c <= '9')) Some(tok.toInt)
+      else None
+    }
+    var mime: String = null
+    var chunked = false
+    headerText.linesIterator.foreach { l =>
       val c = l.indexOf(':')
-      c > 0 && l.substring(0, c).trim == "transfer-encoding" &&
-        l.substring(c + 1).contains("chunked")
+      if (c > 0) {
+        val key = l.substring(0, c).trim
+        if (key == "transfer-encoding" && l.substring(c + 1).contains("chunked"))
+          chunked = true
+        if (key == "content-type" && mime == null) {
+          val v0 = l.substring(c + 1)
+          val semi = v0.indexOf(';')
+          val v = (if (semi < 0) v0 else v0.substring(0, semi)).trim
+          if (v.nonEmpty) mime = v
+        }
+      }
     }
     val body = java.util.Arrays.copyOfRange(payload, bodyAt, n)
-    if (chunked) dechunk(body) else body
+    (status, mime, if (chunked) dechunk(body) else body)
   }
 
   /** RFC 9112 chunked-body decoder, total on hostile bytes: a malformed size

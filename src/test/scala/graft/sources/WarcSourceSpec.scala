@@ -117,6 +117,38 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(WarcSource.stripHttpHeaders(httpResponse(html)).toSeq == html.toSeq)
   }
 
+  test("captures: HTTP status + mime parsed (charset param cut), resource/non-HTTP null out") {
+    def resp(status: String, ctype: String, body: String): Array[Byte] =
+      (s"HTTP/1.1 $status\r\n" +
+        (if (ctype != null) s"Content-Type: $ctype\r\n" else "") +
+        s"Content-Length: ${body.length}\r\n\r\n$body").getBytes(US_ASCII)
+    val out = new ByteArrayOutputStream()
+    out.write(record("response", "http://c.example/ok", "2026-01-02T03:04:05Z",
+      resp("200 OK", "text/HTML; charset=UTF-8", "<html>ok</html>")))
+    out.write(record("response", "http://c.example/gone", "2026-01-02T03:04:06Z",
+      resp("404 Not Found", "text/plain", "nope")))
+    out.write(record("response", "http://c.example/pdf", "2026-01-02T03:04:07Z",
+      resp("200 OK", null, "%PDF-")))
+    out.write(record("response", "http://c.example/raw", "2026-01-02T03:04:08Z",
+      "not an http payload at all".getBytes(US_ASCII)))
+    out.write(record("resource", "http://c.example/res", "2026-01-02T03:04:09Z",
+      "raw resource bytes".getBytes(US_ASCII)))
+    val dir = Files.createTempDirectory("warc-cap").toString
+    Files.write(Paths.get(dir, "c.warc"), out.toByteArray)
+    val got = WarcSource.captures(spark, dir).collect().map { r =>
+      (r.getAs[String]("url"),
+        Option(r.getAs[Integer]("http_status")).map(_.toInt),
+        r.getAs[String]("mime"),
+        new String(r.getAs[Array[Byte]]("body"), US_ASCII))
+    }.toSet
+    assert(got == Set(
+      ("http://c.example/ok", Some(200), "text/html", "<html>ok</html>"),
+      ("http://c.example/gone", Some(404), "text/plain", "nope"),
+      ("http://c.example/pdf", Some(200), null, "%PDF-"),
+      ("http://c.example/raw", None, null, "not an http payload at all"),
+      ("http://c.example/res", None, null, "raw resource bytes")), got.toString)
+  }
+
   test("WET conversion records land as pre-extracted TEXT (html null)") {
     // Common Crawl's *.warc.wet.gz: conversion records whose payload IS the
     // extracted plain text — the pipeline's B2 filter then skips them
