@@ -1783,6 +1783,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // politeness schedule: per-host fetch slots spaced by the host's crawl
+    // delay (null → the 1000 ms default), rank = url order within host —
+    // a coordination-free rate limit the oracle replays as the same window
+    "q106_fetch_schedule" -> ((s, dir) => {
+      val k = col("doc_id") % 7
+      val targets = t(s, dir, "documents").select(
+        concat(lit("https://h"), k.cast("string"), lit(".example/p/"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("h"), k.cast("string"), lit(".example")).as("host"),
+        when(k % 2 === 0, (k + 1) * 1000).otherwise(lit(null).cast("long"))
+          .as("crawl_delay_ms"))
+      graft.ops.FrontierOps.schedule(targets).orderBy(col("url"))
+    }),
+
     // de-facto Crawl-delay politeness directive: named-vs-* group
     // selection (the isAllowed rule), decimal seconds → millis truncation,
     // first-valid-wins, invalid/absent → null, hostile overflow capped at
@@ -3127,6 +3141,18 @@ object SparkEntry {
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
         |) ORDER BY doc_id""".stripMargin,
+    // the same per-host window in DuckDB; null delays take the 1000 ms
+    // default inside the product only
+    "q106_fetch_schedule" ->
+      """WITH t AS (SELECT doc_id, doc_id % 7 AS k,
+        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url FROM documents)
+        |SELECT url, 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+        |  CAST(CASE WHEN k % 2 = 0 THEN (k + 1) * 1000 END AS BIGINT) AS crawl_delay_ms,
+        |  CAST((row_number() OVER (PARTITION BY k ORDER BY url) - 1) *
+        |    (CASE WHEN k % 2 = 0 THEN (k + 1) * 1000 ELSE 1000 END) AS BIGINT)
+        |    AS fetch_offset_ms
+        |FROM t ORDER BY url""".stripMargin,
     // named group beats *, first VALID value wins, decimal truncates to
     // millis, overflow caps at 24 h, absent is null — all closed-form
     "q105_crawl_delay" ->

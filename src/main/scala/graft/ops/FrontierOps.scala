@@ -148,4 +148,22 @@ object FrontierOps {
       case None => out.withColumn("crawl_delay_ms", lit(null).cast("long"))
     }
   }
+
+  /** Politeness schedule over frontier targets: within each host, targets
+    * get deterministic fetch slots spaced by the host's crawl delay —
+    * `fetch_offset_ms = (rank-1) · delay`, rank = url order within the
+    * host, delay = `delayCol` (null → `defaultDelayMs`). A fetcher that
+    * sleeps to its row's offset respects every host's rate without any
+    * coordination. One window partitioned by host: parallelism is the host
+    * axis itself, and a host's window is proportional to its OWN queue —
+    * exactly the work a rate-limited fetcher serializes anyway. */
+  def schedule(targets: DataFrame, urlCol: String = "url",
+               hostCol: String = "host", delayCol: String = "crawl_delay_ms",
+               defaultDelayMs: Long = 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(urlCol))
+    targets.withColumn("fetch_offset_ms",
+      (row_number().over(w) - 1).cast("long")
+        * coalesce(col(delayCol), lit(defaultDelayMs)))
+  }
 }

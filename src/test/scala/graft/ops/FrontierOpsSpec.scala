@@ -102,6 +102,24 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bare.nonEmpty && bare.forall(identity))
   }
 
+  test("schedule: per-host slots spaced by crawl delay, default when null, url-ordered") {
+    import spark.implicits._
+    val targets = Seq(
+      ("https://a.example/1", "a.example", Some(2000L)),
+      ("https://a.example/2", "a.example", Some(2000L)),
+      ("https://a.example/3", "a.example", Some(2000L)),
+      ("https://b.example/x", "b.example", None),
+      ("https://b.example/y", "b.example", None)
+    ).toDF("url", "host", "crawl_delay_ms")
+    val got = FrontierOps.schedule(targets)
+      .select("url", "fetch_offset_ms").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "https://a.example/1" -> 0L, "https://a.example/2" -> 2000L,
+      "https://a.example/3" -> 4000L,
+      "https://b.example/x" -> 0L, "https://b.example/y" -> 1000L), got.toString)
+  }
+
   test("canonical dedup keeps one row with the min-struct keeper") {
     import spark.implicits._
     // the same target discovered from two pages and with a tracking-noise
