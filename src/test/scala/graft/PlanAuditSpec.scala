@@ -53,6 +53,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!scanLine.contains("n_chars") && !scanLine.contains("source"), scanLine)
   }
 
+  test("doc_id-derived fixture queries prune the scan to doc_id only") {
+    // q101/q102/q105/q106 synthesize every payload from doc_id — a scan
+    // that also reads text (the corpus's dominant bytes) would pay the
+    // whole table for a key-only query at 100 TB
+    Seq("q101_cdx", "q102_surt", "q105_crawl_delay", "q106_fetch_schedule").foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sf))
+      val scanLine = s.linesIterator.find(_.contains("ReadSchema")).getOrElse(fail(s"$q: $s"))
+      assert(scanLine.contains("doc_id"), s"$q: $scanLine")
+      assert(!scanLine.contains("text") && !scanLine.contains("n_chars"),
+        s"$q scan reads pruned columns: $scanLine")
+    }
+    // q103 needs exactly its mixing inputs: id, domain, cost — never text
+    val s103 = planString(SparkEntry.queries("q103_token_mix")(spark, sf))
+    val scan103 = s103.linesIterator.find(_.contains("ReadSchema")).getOrElse(fail(s103))
+    assert(scan103.contains("doc_id") && scan103.contains("source") &&
+      scan103.contains("n_chars") && !scan103.contains("text"), scan103)
+  }
+
   test("string-output extraction expressions run inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("plan-audit2").toString
