@@ -1783,6 +1783,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // recrawl snapshot delta: added/removed/changed between two corpus
+    // snapshots by content digest — one full-outer shuffle on the id, the
+    // unchanged majority excluded (downstream recrawl work fans out from
+    // the other three arms); every arm constructed closed-form
+    "q107_snapshot_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldS = docs.select(col("doc_id"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("digest"))
+      val newBase = docs.filter(col("doc_id") % 5 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newS = newBase.unionByName(added)
+        .select(col("doc_id"), sha2(encode(col("text"), "UTF-8"), 256).as("digest"))
+      graft.ops.DedupOps.snapshotDelta(oldS, newS, "doc_id", "digest")
+        .orderBy(col("doc_id"))
+    }),
+
     // politeness schedule: per-host fetch slots spaced by the host's crawl
     // delay (null → the 1000 ms default), rank = url order within host —
     // a coordination-free rate limit the oracle replays as the same window
@@ -3140,6 +3160,17 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 'http://a.example.net:80/',
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
+        |) ORDER BY doc_id""".stripMargin,
+    // the three non-unchanged arms reconstruct closed-form; DuckDB sha256
+    // matches Spark sha2(…, 256) hex-for-hex
+    "q107_snapshot_delta" ->
+      """WITH d AS (SELECT doc_id, text, sha256(text) AS dig FROM documents)
+        |SELECT doc_id, old_digest, new_digest, change FROM (
+        |  SELECT doc_id, dig AS old_digest, sha256(text || ' v2') AS new_digest,
+        |    'changed' AS change FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, dig, NULL, 'removed' FROM d WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT doc_id + 1000000, NULL, dig, 'added' FROM d
+        |  WHERE doc_id % 5 = 2
         |) ORDER BY doc_id""".stripMargin,
     // the same per-host window in DuckDB; null delays take the 1000 ms
     // default inside the product only

@@ -415,6 +415,28 @@ object DedupOps {
         when(col("_xid").isNull, round(col("_est"), 4)).as("est_jaccard"))
   }
 
+  /** Crawl-update delta between two corpus snapshots keyed by `idCol` with
+    * a content digest: `added` (id only in the new snapshot), `removed`
+    * (only in the old), `changed` (both sides, digests differ),
+    * `unchanged` (excluded by default — at recrawl scale it is the vast
+    * majority and downstream work fans out from the OTHER three arms:
+    * re-extract/re-index the changed+added, tombstone the removed). ONE
+    * full-outer shuffle on the id; digests compare null-safe (a null
+    * digest on one side of a matched id counts as changed). */
+  def snapshotDelta(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                    digestCol: String,
+                    includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol), col(digestCol).as("old_digest"))
+    val n = newDf.select(col(idCol), col(digestCol).as("new_digest"))
+    val joined = o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("old_digest").isNull && col("new_digest").isNotNull, lit("added"))
+          .when(col("new_digest").isNull && col("old_digest").isNotNull, lit("removed"))
+          .when(col("old_digest") <=> col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")))
+    if (includeUnchanged) joined else joined.filter(col("change") =!= "unchanged")
+  }
+
   /** Commit a dedup-signature index as an immutable snapshot table — the
     * shared corpus-sized derived-table protocol (CatalogIO.writeDerived):
     * data + a manifest carrying row count and a distributed order-invariant

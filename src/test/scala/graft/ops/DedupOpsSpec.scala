@@ -206,6 +206,23 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(keptDefault == Set(1L, 10L, 20L), keptDefault.toString)
   }
 
+  test("snapshotDelta: added/removed/changed arms; null digests null-safe; unchanged excluded") {
+    import spark.implicits._
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "digest")
+    val newS = Seq((1L, "a"), (2L, "B"), (5L, "e"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "digest")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "change").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val delta = rows(DedupOps.snapshotDelta(oldS, newS, "doc_id", "digest"))
+    // 1 unchanged (excluded), 2 changed, 3 removed, 5 added; 4 has null
+    // digests BOTH sides — matched + null-safe-equal = unchanged, excluded
+    assert(delta == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), delta.toString)
+    val all = rows(DedupOps.snapshotDelta(oldS, newS, "doc_id", "digest",
+      includeUnchanged = true))
+    assert(all == delta ++ Map(1L -> "unchanged", 4L -> "unchanged"), all.toString)
+  }
+
   test("embeddingNearDupPairs on an empty frame returns empty, not a driver crash") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 0)
