@@ -51,7 +51,7 @@ object WarcSource {
 
   /** Hadoop Configuration is not Serializable; Spark's own wrapper is
     * private[spark], so the closure carries this minimal equivalent. */
-  private final class SerializableHadoopConf(
+  private[sources] final class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/**
+ * WET-style sink: writes extracted text as WARC conversion records
+ * (`*.warc.wet.gz`, one gzip MEMBER per record — the Common Crawl layout
+ * `WarcSource` reads back), so a corpus curated here hands off to any
+ * external WET consumer without conversion glue. The write is the WARC/WET
+ * interop twin of the parquet tables, not a replacement for them.
+ *
+ * Scale/determinism stance:
+ *  - one output file per partition, written EXECUTOR-side over the Hadoop
+ *    FileSystem (no driver data; file count = partition count, so the
+ *    caller sizes files by repartitioning first);
+ *  - `WARC-Date` comes from the caller's `runTs` (an ISO-8601 instant
+ *    string) — never `now()` in data; `WARC-Record-ID` is a deterministic
+ *    urn from xxhash64 of the url (never `randomUUID`), so a re-run is
+ *    byte-identical and resume/compare semantics hold;
+ *  - rows with a null url or text are skipped (a conversion record without
+ *    a target or payload is meaningless);
+ *  - Content-Length counts UTF-8 payload BYTES (multi-byte text must not
+ *    truncate on read-back).
+ */
+object WetSink {
+
+  /** Writes `df`'s (urlCol, textCol) as `part-NNNNN.warc.wet.gz` under
+    * `outDir`; returns (files, records) — a bounded two-number summary,
+    * not data. */
+  def write(df: DataFrame, outDir: String, runTs: String,
+            urlCol: String = "url", textCol: String = "text"): (Long, Long) = {
+    val spark = df.sparkSession
+    val conf = new WarcSource.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val counts = df
+      .select(F.col(urlCol).cast("string"), F.col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.warc.wet.gz")
+        val fs = path.getFileSystem(conf.value)
+        var n = 0L
+        val raw = fs.create(path, true)
+        try {
+          rows.foreach { case (url, text) =>
+            if (url != null && text != null) {
+              // one gzip member per record: WarcSource's reader (and CC
+              // tooling) can resume at member boundaries
+              val gz = new GZIPOutputStream(raw, 1 << 16)
+              val payload = text.getBytes(UTF_8)
+              val rid = java.lang.Long.toHexString(
+                graft.text.TextHash.hashToken(url, 0, url.length, 0x77e7L))
+              val head =
+                "WARC/1.0\r\n" +
+                  "WARC-Type: conversion\r\n" +
+                  s"WARC-Target-URI: $url\r\n" +
+                  s"WARC-Date: $runTs\r\n" +
+                  s"WARC-Record-ID: <urn:graft:$rid>\r\n" +
+                  "Content-Type: text/plain\r\n" +
+                  s"Content-Length: ${payload.length}\r\n\r\n"
+              gz.write(head.getBytes(UTF_8))
+              gz.write(payload)
+              gz.write("\r\n\r\n".getBytes(UTF_8))
+              gz.finish()
+              n += 1
+            }
+          }
+        } finally raw.close()
+        Iterator.single((1L, n))
+      }
+      .collect()
+    (counts.length.toLong, counts.map(_._2).sum)
+  }
+}
