@@ -25,7 +25,11 @@ import scala.util.control.NonFatal
 object SitemapExtract {
 
   val MaxEntries = 50000
-  private val MaxScan = 2 << 20
+  // the protocol's own 50 MB uncompressed file cap — a 2 MiB walk limit
+  // would silently cut a normal 50k-entry urlset (~10 MB) to ~10k entries;
+  // memory is bounded by the payload (decode materializes it regardless),
+  // the cap only bounds the linear walk
+  private val MaxScan = 50 << 20
 
   final case class Entry(loc: String, lastmod: String, changefreq: String,
                          priority: String)

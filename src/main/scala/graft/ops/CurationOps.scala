@@ -676,8 +676,11 @@ object CurationOps {
       .toDF(domainCol, "_target")
     val cost = coalesce(col(costCol).cast("long"), lit(0L))
     // h div W ranges over ~[-buckets, buckets) — granularity only; the
-    // admission result is W-invariant because the div keeps h's order
-    val rangeWidth = Long.MaxValue / buckets + 1L
+    // admission result is W-invariant because truncating div by a POSITIVE
+    // constant keeps h's order. buckets=1 must not take MaxValue+1 (it
+    // overflows to MinValue — a negative divisor that inverts the order
+    // for h = MinValue); MaxValue itself yields the 2-3 ranges wanted there
+    val rangeWidth = if (buckets == 1) Long.MaxValue else Long.MaxValue / buckets + 1L
     val based = docs
       .withColumn("_h", splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed))))
       .withColumn("_bkt", expr(s"_h div ${rangeWidth}L"))

@@ -426,14 +426,20 @@ object DedupOps {
   def snapshotDelta(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                     digestCol: String,
                     includeUnchanged: Boolean = false): DataFrame = {
+    // explicit presence markers: a matched id with a null digest on one
+    // side must read as CHANGED, not added/removed — digest nullness alone
+    // cannot distinguish absent-row from present-row-with-null-digest
     val o = oldDf.select(col(idCol), col(digestCol).as("old_digest"))
+      .withColumn("_in_old", lit(true))
     val n = newDf.select(col(idCol), col(digestCol).as("new_digest"))
+      .withColumn("_in_new", lit(true))
     val joined = o.join(n, Seq(idCol), "full_outer")
       .withColumn("change",
-        when(col("old_digest").isNull && col("new_digest").isNotNull, lit("added"))
-          .when(col("new_digest").isNull && col("old_digest").isNotNull, lit("removed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
           .when(col("old_digest") <=> col("new_digest"), lit("unchanged"))
           .otherwise(lit("changed")))
+      .drop("_in_old", "_in_new")
     if (includeUnchanged) joined else joined.filter(col("change") =!= "unchanged")
   }
 

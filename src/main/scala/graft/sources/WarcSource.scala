@@ -330,7 +330,11 @@ object WarcSource {
     val sp = line1.indexOf(' ')
     val status = {
       val tok = if (sp > 0) line1.drop(sp + 1).take(3) else ""
-      if (tok.length == 3 && tok.forall(c => c >= '0' && c <= '9')) Some(tok.toInt)
+      // the char after the 3 digits must be a delimiter — "HTTP/1.1 2004"
+      // is garbage, not a 200 the pre-extraction gate should admit
+      val after = if (sp > 0 && line1.length > sp + 4) line1.charAt(sp + 4) else ' '
+      if (tok.length == 3 && tok.forall(c => c >= '0' && c <= '9') &&
+          (after == ' ' || after == '\r')) Some(tok.toInt)
       else None
     }
     var mime: String = null

@@ -42,15 +42,26 @@ object WetSink {
       .mapPartitions { rows =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.warc.wet.gz")
-        val fs = path.getFileSystem(conf.value)
         var n = 0L
-        val raw = fs.create(path, true)
+        // created lazily on the FIRST kept row: empty/all-null partitions
+        // must not litter zero-byte part files external WET tooling chokes on
+        var raw: java.io.OutputStream = null
+        // close() ends each member's native Deflater (finish() alone leaks
+        // zlib memory until GC — millions of records per task add up); the
+        // shield keeps the member close from closing the shared file stream
+        final class Shield(out: java.io.OutputStream)
+            extends java.io.FilterOutputStream(out) {
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            out.write(b, off, len)
+          override def close(): Unit = flush()
+        }
         try {
           rows.foreach { case (url, text) =>
             if (url != null && text != null) {
+              if (raw == null) raw = path.getFileSystem(conf.value).create(path, true)
               // one gzip member per record: WarcSource's reader (and CC
               // tooling) can resume at member boundaries
-              val gz = new GZIPOutputStream(raw, 1 << 16)
+              val gz = new GZIPOutputStream(new Shield(raw), 1 << 16)
               val payload = text.getBytes(UTF_8)
               val rid = java.lang.Long.toHexString(
                 graft.text.TextHash.hashToken(url, 0, url.length, 0x77e7L))
@@ -65,12 +76,12 @@ object WetSink {
               gz.write(head.getBytes(UTF_8))
               gz.write(payload)
               gz.write("\r\n\r\n".getBytes(UTF_8))
-              gz.finish()
+              gz.close()
               n += 1
             }
           }
-        } finally raw.close()
-        Iterator.single((1L, n))
+        } finally if (raw != null) raw.close()
+        if (n > 0) Iterator.single((1L, n)) else Iterator.empty
       }
       .collect()
     (counts.length.toLong, counts.map(_._2).sum)

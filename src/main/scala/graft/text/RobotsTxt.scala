@@ -34,7 +34,14 @@ object RobotsTxt {
     * (the de-facto politeness directive major crawlers honor — not in RFC
     * 9309, which files it under "other records"). Accepted values: decimal
     * seconds `[0-9]+(.[0-9]*)?`, truncated to millis, capped at 24 h
-    * (hostile `Crawl-delay: 99999999999` must not overflow a scheduler). */
+    * (hostile `Crawl-delay: 99999999999` must not overflow a scheduler).
+    *
+    * Grouping stance (a documented choice — parsers genuinely diverge
+    * here): a crawl-delay line is a RULE line, so a later `User-agent`
+    * starts a NEW group, matching the crawlers that honor the directive
+    * per group. A parser that ignores the directive entirely (it is not in
+    * the RFC) would instead merge `UA: a / Crawl-delay / UA: b` into one
+    * shared group; this engine prefers the honoring parsers' reading. */
   private[text] def parseFull(txt: String): Seq[(Seq[String], Seq[Rule], Option[Long])] = {
     if (txt == null) return Nil
     val groups = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Rule], Option[Long])]

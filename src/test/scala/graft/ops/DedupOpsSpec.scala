@@ -218,6 +218,13 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     // 1 unchanged (excluded), 2 changed, 3 removed, 5 added; 4 has null
     // digests BOTH sides — matched + null-safe-equal = unchanged, excluded
     assert(delta == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), delta.toString)
+    // a matched id with a null digest on exactly ONE side is CHANGED —
+    // presence decides added/removed, never digest nullness
+    val oneNull = rows(DedupOps.snapshotDelta(
+      Seq((7L, null.asInstanceOf[String]), (8L, "x")).toDF("doc_id", "digest"),
+      Seq((7L, "abc"), (8L, null.asInstanceOf[String])).toDF("doc_id", "digest"),
+      "doc_id", "digest"))
+    assert(oneNull == Map(7L -> "changed", 8L -> "changed"), oneNull.toString)
     val all = rows(DedupOps.snapshotDelta(oldS, newS, "doc_id", "digest",
       includeUnchanged = true))
     assert(all == delta ++ Map(1L -> "unchanged", 4L -> "unchanged"), all.toString)

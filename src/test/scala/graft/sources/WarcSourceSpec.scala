@@ -131,6 +131,9 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
       resp("200 OK", null, "%PDF-")))
     out.write(record("response", "http://c.example/raw", "2026-01-02T03:04:08Z",
       "not an http payload at all".getBytes(US_ASCII)))
+    // a 4-digit garbage status must NOT parse as its first 3 digits
+    out.write(record("response", "http://c.example/badstatus", "2026-01-02T03:04:10Z",
+      resp("2004 Weird", "text/plain", "junk")))
     out.write(record("resource", "http://c.example/res", "2026-01-02T03:04:09Z",
       "raw resource bytes".getBytes(US_ASCII)))
     val dir = Files.createTempDirectory("warc-cap").toString
@@ -146,6 +149,7 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
       ("http://c.example/gone", Some(404), "text/plain", "nope"),
       ("http://c.example/pdf", Some(200), null, "%PDF-"),
       ("http://c.example/raw", None, null, "not an http payload at all"),
+      ("http://c.example/badstatus", None, "text/plain", "junk"),
       ("http://c.example/res", None, null, "raw resource bytes")), got.toString)
   }
 

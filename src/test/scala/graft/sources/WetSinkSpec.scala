@@ -20,7 +20,12 @@ class WetSinkSpec extends AnyFunSuite with SparkTestBase {
     ).toDF("url", "text").repartition(2)
     val dir = Files.createTempDirectory("wet-sink").toString
     val (files, records) = WetSink.write(docs, dir, "2026-01-02T03:04:05Z")
-    assert(files == 2 && records == 3, s"$files files / $records records")
+    assert(records == 3, s"$files files / $records records")
+    // lazy creation: exactly the partitions that kept a row wrote a file,
+    // and no zero-byte part litter exists
+    val onDisk = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(onDisk.length.toLong == files && onDisk.forall(_.length > 0),
+      onDisk.map(f => s"${f.getName}:${f.length}").mkString(","))
     val back = WarcSource.pages(spark, dir)
       .select("url", "text", "html").collect()
       .map(r => (r.getString(0), r.getString(1), r.get(2))).toList.sortBy(_._1)
