@@ -461,6 +461,26 @@ object SparkEntry {
     * query's exact quantization (float sums → double ×1e4 → HALF_UP → long).
     * A pinned constant is a regression anchor, not a derivation — the q24
     * golden-digest pattern applied to sketch stability. */
+  /** q108 payload families: repetition grows with the index so the deflate
+    * ratio falls across families; text depends ONLY on the index, letting
+    * the oracle pin each family's exact lengths as plan-build constants. */
+  private def q108Payload(i: Int): String =
+    (s"tok$i alpha beta " * (4 + 2 * i)) + s"tail-${i * 31} unique ending."
+
+  private def q108OracleSql(): String = {
+    val arms = (0 until 50).map { i =>
+      val b = q108Payload(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val dl = graft.expr.TextExprRuntime.deflateLen(b)
+      s"(${i}, ${b.length}, $dl, ${dl * 1000000L / b.length})"
+    }.mkString(",\n  ")
+    s"""WITH f(m, raw_len, deflate_len, ratio_micro) AS (VALUES $arms)
+       |SELECT doc_id, CAST(raw_len AS BIGINT) AS raw_len,
+       |  CAST(deflate_len AS BIGINT) AS deflate_len,
+       |  CAST(ratio_micro AS BIGINT) AS ratio_micro,
+       |  ratio_micro BETWEEN 150000 AND 900000 AS keep
+       |FROM documents JOIN f ON doc_id % 50 = f.m ORDER BY doc_id""".stripMargin
+  }
+
   private def q30OracleSql: String = {
     def e4(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -1781,6 +1801,41 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), u.as("url"), surt_url(u).as("surt"))
         .orderBy(col("doc_id"))
+    }),
+
+    // compression-ratio quality signal (deflate level 6): machine repetition
+    // compresses far below natural text — 50 payload families whose
+    // repetition grows with the family index, each family's exact
+    // (raw_len, deflate_len) pinned as plan-build constants from the SAME
+    // JVM/zlib (the q30 sketch-arm pattern; zlib output is deterministic
+    // per JDK, never recomputed cross-engine)
+    "q108_compression_signal" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(50L))
+      val txt = (1 until 50).foldLeft(when(m === 0, lit(q108Payload(0)))) {
+        (acc, i) => acc.when(m === i, lit(q108Payload(i)))
+      }.otherwise(lit(""))
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(txt, "UTF-8").as("_p"))
+        .select(col("doc_id"),
+          octet_length(col("_p")).cast("long").as("raw_len"),
+          deflate_len(col("_p")).as("deflate_len"))
+        .withColumn("ratio_micro", expr("deflate_len * 1000000 div raw_len"))
+        .withColumn("keep", col("ratio_micro").between(150000, 900000))
+        .orderBy(col("doc_id"))
+    }),
+
+    // host-level prior table: docs, exact-dup share, token mass, near-empty
+    // share per host — every 5th doc within a host carries the host's
+    // boilerplate string, so dup_rows is closed-form checkable while the
+    // token aggregates replay from the real text
+    "q109_host_profile" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val url = concat(lit("https://h"), k, lit(".example/p/"), col("doc_id").cast("string"))
+      val txt = when(col("doc_id") % 5 === 0,
+        concat(lit("duplicate boilerplate for host "), k)).otherwise(col("text"))
+      graft.ops.CurationOps.hostProfile(
+        t(s, dir, "documents").select(url.as("url"), txt.as("text")), "url", "text")
+        .orderBy(col("host"))
     }),
 
     // recrawl snapshot delta: added/removed/changed between two corpus
@@ -3161,6 +3216,26 @@ object SparkEntry {
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
         |) ORDER BY doc_id""".stripMargin,
+    // per-family lengths interpolated as plan-build constants (same JVM,
+    // same zlib — the q30 sketch-arm determinism pattern)
+    "q108_compression_signal" -> q108OracleSql(),
+    // one groupBy replayed in SQL: dup arm closed-form (every 5th doc per
+    // host shares the boilerplate digest), token aggregates from real text
+    "q109_host_profile" ->
+      """WITH d AS (SELECT doc_id,
+        |  'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'duplicate boilerplate for host ' ||
+        |    CAST(doc_id % 7 AS VARCHAR) ELSE text END AS txt FROM documents)
+        |SELECT host, count(*) AS n_docs,
+        |  CAST(count(DISTINCT sha256(txt)) AS BIGINT) AS n_unique,
+        |  CAST(sum(len(list_filter(string_split(txt, ' '), x -> len(x) > 0))) AS BIGINT)
+        |    AS tokens_total,
+        |  CAST(sum(CASE WHEN len(list_filter(string_split(txt, ' '),
+        |    x -> len(x) > 0)) < 5 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |  count(*) - CAST(count(DISTINCT sha256(txt)) AS BIGINT) AS dup_rows,
+        |  (count(*) - CAST(count(DISTINCT sha256(txt)) AS BIGINT)) * 1000 // count(*)
+        |    AS dup_permille
+        |FROM d GROUP BY host ORDER BY host""".stripMargin,
     // the three non-unchanged arms reconstruct closed-form; DuckDB sha256
     // matches Spark sha2(…, 256) hex-for-hex
     "q107_snapshot_delta" ->

@@ -13,6 +13,20 @@ object TextExprRuntime {
   def simhash64(s: UTF8String): Long = TextHash.simhash64(s.toString)
   def rollingFingerprint(s: UTF8String, n: Int): Long =
     TextHash.rollingFingerprint(s.toString, n)
+
+  /** Deflater is allocated per call and `end()`ed — native zlib memory must
+    * not wait for GC on a corpus-sized scan. */
+  def deflateLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }
 
 /** 64-bit SimHash of whitespace-tokenized text (near-dup fingerprint). */
@@ -184,6 +198,22 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): RobotsAllowed =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** DEFLATE-compressed length of a byte payload (java.util.zip.Deflater,
+  * level 6, raw/nowrap) — the compression-ratio quality signal several
+  * published pipelines gate on: machine-generated repetition compresses
+  * far below natural text, random gibberish barely compresses at all.
+  * Deterministic for a given JDK's bundled zlib; oracles pin ratios as
+  * plan-build constants from the SAME JVM (the q30 sketch-arm pattern),
+  * never cross-engine recomputation. */
+case class DeflateLen(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprRuntime.deflateLen(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
 }
 
 /** Effective `Crawl-delay` for `agent` in MILLIS (RobotsTxt

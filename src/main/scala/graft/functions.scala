@@ -78,6 +78,11 @@ object functions {
   def robots_crawl_delay(robots: Column, agent: Column): Column =
     ColumnBridge.column(graft.expr.RobotsCrawlDelay(expr(robots), expr(agent)))
 
+  /** DEFLATE-compressed byte length (level 6, raw) — the compression-ratio
+    * quality signal: ratio = deflate_len/octet_length, low ⇒ repetition. */
+  def deflate_len(payload: Column): Column =
+    ColumnBridge.column(graft.expr.DeflateLen(expr(payload)))
+
   /** XML sitemap entries — array<struct<loc, lastmod, changefreq,
     * priority>> in document order (urlset or sitemapindex payloads). */
   def sitemap_entries(payload: Column): Column =

@@ -637,6 +637,30 @@ object CurationOps {
     docs.filter(pmod(splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed))), lit(100)) < pct)
   }
 
+  /** Host-level prior table — the per-site reputation rollup a crawler
+    * feeds back into prioritization and a curator uses to spot template
+    * farms: docs, exact-dup share (rows beyond one per content digest —
+    * boilerplate mills duplicate wholesale), token mass, and the share of
+    * near-empty documents. ONE groupBy on the host (partial aggregation
+    * map-side; count_distinct carries digests, not text). All-integer
+    * outputs replay directly in SQL. */
+  def hostProfile(docs: DataFrame, urlCol: String, textCol: String,
+                  shortTokens: Int = 5): DataFrame = {
+    val toks = size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+    docs
+      .select(lower(graft.functions.url_host(col(urlCol))).as("host"),
+        sha2(encode(col(textCol), "UTF-8"), 256).as("_dig"), toks.as("_tok"))
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("_dig")).as("n_unique"),
+        sum(col("_tok").cast("long")).as("tokens_total"),
+        sum(when(col("_tok") < shortTokens, 1L).otherwise(0L)).as("short_docs"))
+      .withColumn("dup_rows", col("n_docs") - col("n_unique"))
+      .withColumn("dup_permille", expr("dup_rows * 1000 div n_docs"))
+  }
+
   /** Training-mixture construction under a token budget — the data-MIXING
     * step after curation (per-domain weights, hand-set or DoReMi-style
     * tuned, times a global budget give per-domain token targets; docs are

@@ -60,6 +60,25 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_ == null), got)
   }
 
+  test("deflate_len: repetition compresses far below varied text; deterministic; empty is tiny") {
+    val s = spark
+    import s.implicits._
+    val rep = "spam ham " * 200
+    val varied = (1 to 300).map(i => s"w${i * 7919}").mkString(" ")
+    val rows = Seq(rep, varied, "").toDF("t")
+      .select(graft.functions.deflate_len(encode(col("t"), "UTF-8")).as("d"),
+        octet_length(encode(col("t"), "UTF-8")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (dRep, nRep) = rows(0); val (dVar, nVar) = rows(1)
+    assert(dRep * 10 < nRep, s"repetition should compress >10x: $dRep / $nRep")
+    // numeric tokens still deflate ~2x (small alphabet); the point is the
+    // ORDER-of-magnitude gap vs wholesale repetition, not incompressibility
+    assert(dVar * 3 > nVar, s"varied text should not compress 3x: $dVar / $nVar")
+    assert(rows(2)._1 <= 8)
+    // deterministic: the expression and the plan-build runtime call agree
+    assert(dRep == graft.expr.TextExprRuntime.deflateLen(rep.getBytes("UTF-8")))
+  }
+
   test("canonical_url is idempotent and stable under param shuffles") {
     val variants = Seq(
       "http://A.example/p?x=1&y=2&utm_source=s",

@@ -417,6 +417,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hostProfile: dup share, token mass, short-doc count per host; null hosts dropped") {
+    val docs = Seq(
+      ("https://h0.example/1", "dup text"),
+      ("https://h0.example/2", "dup text"),
+      ("https://h0.example/3", "a b c d e f"),
+      ("https://h1.example/1", "x"),
+      ("not a url", "dropped row")
+    ).toDF("url", "text")
+    val got = CurationOps.hostProfile(docs, "url", "text")
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"), r.getAs[Long]("dup_rows"),
+          r.getAs[Long]("dup_permille"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("short_docs"))).toMap
+    assert(got == Map(
+      "h0.example" -> ((3L, 2L, 1L, 333L, 10L, 2L)),
+      "h1.example" -> ((1L, 1L, 0L, 0L, 1L, 1L))), got.toString)
+  }
+
   test("tokenBudgetMix: budgets never exceeded, prefix rule, unweighted domains dropped") {
     val docs = spark.range(600).select(col("id").as("doc_id"),
       concat(lit("d"), (col("id") % 3).cast("string")).as("dom"),
