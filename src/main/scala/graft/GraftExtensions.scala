@@ -46,7 +46,17 @@ object GraftExtensions {
     "graft_minhash_sig_bands" -> one(MinHashSigBands(_, 64, 3, 8)),
     "graft_media_sniff" -> one(MediaSniffExpr.apply),
     "graft_media_features" -> one(MediaFeatures.apply),
-    "graft_av_meta" -> one(AvMetaExpr.apply)
+    "graft_av_meta" -> one(AvMetaExpr.apply),
+    "graft_feed_items" -> one(FeedItems.apply),
+    "graft_sitemap_entries" -> one(SitemapEntries.apply),
+    "graft_sitemap_kind" -> one(SitemapKind.apply),
+    "graft_robots_sitemaps" -> one(RobotsSitemaps.apply),
+    "graft_deflate_len" -> one(DeflateLen.apply),
+    "graft_html_meta" -> one(HtmlMetaExpr.apply),
+    "graft_exif_meta" -> one(ExifMetaExpr.apply),
+    "graft_image_dhash" -> one(ImageDhash.apply),
+    "graft_lang_id" -> one(LangIdExpr.apply),
+    "graft_pdf_decrypt" -> one(PdfDecrypt.apply)
   )
 
   /** Direct registration into an existing session (spark.sql.extensions is a

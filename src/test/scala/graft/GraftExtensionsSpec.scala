@@ -40,4 +40,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.text.TextHash.minhash("alpha beta gamma delta epsilon", 64, 3).toSeq)
     assert(r.getString(7) == "png" && r.getInt(8) == 8)
   }
+
+  test("round-7 registrations: sitemap/robots/meta/langid/deflate reachable from SQL") {
+    val df = spark.sql(
+      """SELECT
+        |  graft_sitemap_kind(encode('<urlset><url><loc>https://x/p</loc></url></urlset>', 'UTF-8')) AS sk,
+        |  size(graft_sitemap_entries(encode('<urlset><url><loc>https://x/p</loc></url></urlset>', 'UTF-8'))) AS nsm,
+        |  graft_robots_sitemaps('Sitemap: https://x/s.xml')[0] AS rs,
+        |  size(graft_feed_items(encode('<rss><channel><item><title>t</title></item></channel></rss>', 'UTF-8'))) AS nfeed,
+        |  graft_deflate_len(encode('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa', 'UTF-8')) AS dl,
+        |  graft_html_meta(encode('<head><title>T</title></head>', 'UTF-8')).title AS title,
+        |  graft_lang_id('the quick brown fox jumps over the lazy dog and runs away').lang AS lang,
+        |  graft_pdf_decrypt(encode('not a pdf', 'UTF-8')) AS pd
+        |""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "urlset" && r.getInt(1) == 1)
+    assert(r.getString(2) == "https://x/s.xml" && r.getInt(3) == 1)
+    assert(r.getLong(4) > 0 && r.getLong(4) < 32)
+    assert(r.getString(5) == "T")
+    assert(r.getString(6) == "en")
+    assert(r.isNullAt(7)) // non-PDF: decrypt yields null, never a throw
+  }
 }
