@@ -156,6 +156,28 @@ object WarcSource {
                               http_status: Option[Int], mime: String,
                               body: Array[Byte])
 
+  /** WAT-style metadata records (`*.warc.wat[.gz]` — Common Crawl wraps one
+    * JSON envelope per capture in a `metadata` WARC record): returns
+    * (url, warc_ts, json) with the envelope as RAW JSON text — compose with
+    * `from_json` and a caller-chosen schema, the LdJsonBlocks pattern (the
+    * WAT envelope is deep and version-drifting; baking one schema in here
+    * would silently null future fields). Completes the CC format family:
+    * WARC payloads (pages/captures), WET text (pages), CDX index
+    * (CdxSource), WAT metadata (this). */
+  def metadata(spark: SparkSession, dir: String,
+               glob: String = "*.{warc,warc.gz,warc.wat,warc.wat.gz}",
+               recursive: Boolean = true): DataFrame = {
+    import spark.implicits._
+    overRecords[MetadataRow](spark, dir, glob, recursive) { rs =>
+      rs.filter(_.warcType == "metadata").map { r =>
+        MetadataRow(r.targetUri, parseWarcDate(r.date),
+          new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toDF()
+  }
+
+  final case class MetadataRow(url: String, warc_ts: Timestamp, json: String)
+
   /** Driver-side metadata listing (never reads content). Deterministic order. */
   private def listPaths(spark: SparkSession, dir: String, glob: String,
                         recursive: Boolean): Seq[String] = {

@@ -153,6 +153,26 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
       ("http://c.example/res", None, null, "raw resource bytes")), got.toString)
   }
 
+  test("WAT metadata records: raw JSON envelopes, from_json composition downstream") {
+    val out = new ByteArrayOutputStream()
+    out.write(record("metadata", "http://m.example/a", "2026-01-02T03:04:05Z",
+      """{"Envelope": {"WARC-Header-Length": "433", "Links": [{"url": "/x"}]}}"""
+        .getBytes(US_ASCII)))
+    out.write(record("response", "http://m.example/a", "2026-01-02T03:04:05Z",
+      httpResponse(html))) // non-metadata records are NOT metadata rows
+    val dir = Files.createTempDirectory("warc-wat").toString
+    Files.write(Paths.get(dir, "m.warc"), out.toByteArray)
+    val got = WarcSource.metadata(spark, dir)
+    assert(got.count() == 1)
+    val parsed = got.select(col("url"),
+      from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "Envelope STRUCT<`WARC-Header-Length`: STRING>"))
+        .getField("Envelope").getField("WARC-Header-Length").as("hl"))
+      .collect()(0)
+    assert(parsed.getString(0) == "http://m.example/a" && parsed.getString(1) == "433")
+  }
+
   test("WET conversion records land as pre-extracted TEXT (html null)") {
     // Common Crawl's *.warc.wet.gz: conversion records whose payload IS the
     // extracted plain text — the pipeline's B2 filter then skips them
