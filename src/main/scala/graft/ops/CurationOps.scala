@@ -671,7 +671,8 @@ object CurationOps {
     * ≤ target_d — the budget is never exceeded (the boundary doc and
     * everything after it are dropped; at real scale a doc is ≪ the budget,
     * so the slack is at most one document). Domains absent from
-    * `weightsPermille` contribute nothing. The permutation is (h, id) with
+    * `weightsPermille` contribute nothing. `idCol` must be INTEGRAL (hash
+    * string ids first — xxhash64(url)); the permutation is (h, id) with
     * h = splitmix64(id xor seed) — partitioning-invariant; the bucket key
     * is an ORDER-PRESERVING range of h (truncating div by a positive
     * constant is monotone), so bucket-major order is identical to (h, id)
