@@ -3228,9 +3228,9 @@ object SparkEntry {
         |    CAST(doc_id % 7 AS VARCHAR) ELSE text END AS txt FROM documents)
         |SELECT host, count(*) AS n_docs,
         |  CAST(count(DISTINCT sha256(txt)) AS BIGINT) AS n_unique,
-        |  CAST(sum(len(list_filter(string_split(txt, ' '), x -> len(x) > 0))) AS BIGINT)
+        |  CAST(sum(len(list_filter(string_split_regex(txt, '\s+'), x -> len(x) > 0))) AS BIGINT)
         |    AS tokens_total,
-        |  CAST(sum(CASE WHEN len(list_filter(string_split(txt, ' '),
+        |  CAST(sum(CASE WHEN len(list_filter(string_split_regex(txt, '\s+'),
         |    x -> len(x) > 0)) < 5 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
         |  count(*) - CAST(count(DISTINCT sha256(txt)) AS BIGINT) AS dup_rows,
         |  (count(*) - CAST(count(DISTINCT sha256(txt)) AS BIGINT)) * 1000 // count(*)

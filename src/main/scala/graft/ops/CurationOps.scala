@@ -641,9 +641,11 @@ object CurationOps {
     * feeds back into prioritization and a curator uses to spot template
     * farms: docs, exact-dup share (rows beyond one per content digest —
     * boilerplate mills duplicate wholesale), token mass, and the share of
-    * near-empty documents. ONE groupBy on the host (partial aggregation
-    * map-side; count_distinct carries digests, not text). All-integer
-    * outputs replay directly in SQL. */
+    * near-empty documents. The mixed distinct/non-distinct aggregate plans
+    * as Spark's two-phase distinct rewrite — TWO exchanges (per
+    * (host, digest), then per host), both map-side partial, carrying
+    * digests and counters rather than text (PlanAuditSpec pins the shape).
+    * All-integer outputs replay directly in SQL. */
   def hostProfile(docs: DataFrame, urlCol: String, textCol: String,
                   shortTokens: Int = 5): DataFrame = {
     val toks = size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))

@@ -58,14 +58,21 @@ object RunExport {
         .withColumn("_mixid", xxhash64(col("url")))
 
     val t0 = System.nanoTime()
+    // one extraction/scan pass feeds the hosts collect, the mix, and the
+    // doc count — without this, fixture input re-extracts the corpus 3x
+    docs.persist()
     val weights: Seq[(String, Long)] =
       if (weightsArg == "uniform") {
-        // hosts-sized driver list (the skew-sampler/bucket-id collect class);
-        // a corpus with an unbounded host set should pass explicit weights
-        val hosts = docs.select(col("_dom")).distinct().limit(100001)
+        // hosts-sized driver list (the skew-sampler/bucket-id collect
+        // class). Capped at 1000: beyond that the per-host permille would
+        // floor at 1 and the SUMMED weights would exceed 1000‰ — admitting
+        // up to nHosts/1000 × the stated budget. Wide-host corpora pass
+        // explicit weights.
+        val hosts = docs.select(col("_dom")).distinct().limit(1001)
           .collect().map(_.getString(0)).sorted
-        require(hosts.length <= 100000, "uniform weights need <= 100k hosts; pass explicit weights")
-        val per = math.max(1L, 1000L / math.max(1, hosts.length))
+        require(hosts.length <= 1000,
+          "uniform weights need <= 1000 hosts (permille floor would overshoot the budget); pass explicit weights")
+        val per = 1000L / math.max(1, hosts.length)
         hosts.map(_ -> per).toSeq
       } else weightsArg.split(",").toSeq.map { kv =>
         val Array(h, p) = kv.split(":")
@@ -78,6 +85,7 @@ object RunExport {
     val (files, records) = WetSink.write(kept, s"$outDir/wet", runTs)
     val sec = (System.nanoTime() - t0) / 1e9
     val nDocs = docs.count()
+    docs.unpersist()
     println(f"""{"n_docs":$nDocs,"n_admitted":${stats.getLong(0)},""" +
       f""""tokens_admitted":${stats.getLong(1)},"budget_tokens":$budget,""" +
       f""""wet_files":$files,"wet_records":$records,"wall_sec":$sec%.2f}""")

@@ -61,4 +61,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(6) == "en")
     assert(r.isNullAt(7)) // non-PDF: decrypt yields null, never a throw
   }
+
+  test("graft_exif_meta and graft_image_dhash callable from SQL on real fixtures") {
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    val exif = hex(graft.media.ImageEncode.exifJpeg(6, "maker", "2024:01:02 03:04:05",
+      withGps = false))
+    val png = hex(graft.media.ImageEncode.pngGrayStored(16, 8, 200)) // dhash needs w >= 9
+    val r = spark.sql(
+      s"""SELECT graft_exif_meta(unhex('$exif')).orientation AS o,
+         |  graft_exif_meta(unhex('$exif')).make AS mk,
+         |  graft_image_dhash(unhex('$png')) AS dh
+         |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 6 && r.getString(1) == "maker")
+    assert(r.getLong(2) == 0L) // flat image: no gradient anywhere → dHash 0
+  }
 }

@@ -356,6 +356,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
   }
 
+  test("hostProfile plan: two-phase distinct shape, partial aggregation, digests not text") {
+    // the scaladoc claims exactly two exchanges (per (host,digest) then per
+    // host), map-side partials, and no text column past the first project
+    val df = ops.CurationOps.hostProfile(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("concat('https://h', doc_id % 3, '.example/p') AS url", "text"),
+      "url", "text")
+    val s = planString(df)
+    val nEx = "(?m)Exchange hashpartitioning".r.findAllIn(s).size
+    assert(nEx == 2, s"expected 2 exchanges, saw $nEx:\n${s.take(3000)}")
+    assert("partial_".r.findAllIn(s).nonEmpty, s"no partial aggregation:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+  }
+
   test("incremental dedup plan: batch text hashed once, corpus never rescanned") {
     // dedupAgainstIndex claims the new batch is minhashed exactly once (the
     // localCheckpointed signature frame feeds the exact arm, the band explode,
