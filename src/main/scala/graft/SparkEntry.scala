@@ -1803,6 +1803,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // publication-date harvest (the date-filter key temporal curation needs):
+    // JSON-LD datePublished wins, /yyyy/mm/ url-path segments are the
+    // fallback, neither → null — pure composition of the existing ld+json
+    // extractor with built-ins (from_json, regexp_extract), no new operator
+    "q110_pub_date" -> ((s, dir) => {
+      val m = (col("doc_id") % 50).cast("string")
+      val dd = (col("doc_id") % 9 + 1).cast("string")
+      val arm = col("doc_id") % 3
+      val ldHtml = concat(
+        lit("<html><head><script type=\"application/ld+json\">"),
+        lit("{\"@type\": \"Article\", \"datePublished\": \"2024-0"), dd,
+        lit("-15\"}</script></head><body>x</body></html>"))
+      val plain = lit("<html><body>plain page</body></html>")
+      val url = when(arm === 0, concat(lit("https://d.example/a/"), m))
+        .when(arm === 1, concat(lit("https://d.example/2023/0"), dd, lit("/post-"), m))
+        .otherwise(concat(lit("https://d.example/p/"), m))
+      val payload = encode(when(arm === 0, ldHtml).otherwise(plain), "UTF-8")
+      val ldDate = get_json_object(
+        get(ldjson_blocks(payload), lit(0)), "$.datePublished")
+      val urlDate = translate(nullif(
+        regexp_extract(url, "/(20[0-9]{2}/[01][0-9])/", 1), lit("")), "/", "-")
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"),
+          coalesce(substring(ldDate, 1, 7), urlDate).as("pub_month"),
+          when(ldDate.isNotNull, lit("ldjson"))
+            .when(urlDate.isNotNull, lit("url")).otherwise(lit("none")).as("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // compression-ratio quality signal (deflate level 6): machine repetition
     // compresses far below natural text — 50 payload families whose
     // repetition grows with the family index, each family's exact
@@ -3215,6 +3244,19 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 'http://a.example.net:80/',
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
+        |) ORDER BY doc_id""".stripMargin,
+    // three closed-form arms: ld+json month, url-path month, null
+    "q110_pub_date" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,
+        |  CAST(doc_id % 9 + 1 AS VARCHAR) AS dd FROM documents)
+        |SELECT doc_id, url, pub_month, source FROM (
+        |  SELECT doc_id, 'https://d.example/a/' || m AS url,
+        |    '2024-0' || dd AS pub_month, 'ldjson' AS source
+        |  FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 'https://d.example/2023/0' || dd || '/post-' || m,
+        |    '2023-0' || dd, 'url' FROM d WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id, 'https://d.example/p/' || m, NULL, 'none'
+        |  FROM d WHERE doc_id % 3 = 2
         |) ORDER BY doc_id""".stripMargin,
     // per-family lengths interpolated as plan-build constants (same JVM,
     // same zlib — the q30 sketch-arm determinism pattern)
