@@ -207,11 +207,15 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
   * Deterministic for a given JDK's bundled zlib; oracles pin ratios as
   * plan-build constants from the SAME JVM (the q30 sketch-arm pattern),
   * never cross-engine recomputation. */
-case class DeflateLen(child: Expression) extends UnaryExpression with CodegenFallback {
+case class DeflateLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     TextExprRuntime.deflateLen(input.asInstanceOf[Array[Byte]])
+  // scalar long out of byte[]: the static-call pattern keeps a corpus scan
+  // with this signal inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextExprRuntime.deflateLen($c)")
   override protected def withNewChildInternal(newChild: Expression): DeflateLen =
     copy(child = newChild)
 }

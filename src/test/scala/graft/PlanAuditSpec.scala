@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // q101/q102/q105/q106 synthesize every payload from doc_id — a scan
     // that also reads text (the corpus's dominant bytes) would pay the
     // whole table for a key-only query at 100 TB
-    Seq("q101_cdx", "q102_surt", "q105_crawl_delay", "q106_fetch_schedule").foreach { q =>
+    Seq("q101_cdx", "q102_surt", "q105_crawl_delay", "q106_fetch_schedule",
+        "q110_pub_date").foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       val scanLine = s.linesIterator.find(_.contains("ReadSchema")).getOrElse(fail(s"$q: $s"))
       assert(scanLine.contains("doc_id"), s"$q: $scanLine")

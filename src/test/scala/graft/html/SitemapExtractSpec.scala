@@ -52,6 +52,21 @@ class SitemapExtractSpec extends AnyFunSuite {
       Entry("https://x/maps/2.xml", null, null, null)))
   }
 
+  test("totality fuzz: arbitrary bytes never throw in kind or entries") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val p = Prop.forAll(Gen.asciiPrintableStr, Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) {
+      (s, bs) =>
+        SitemapExtract.kind(s.getBytes("UTF-8")); SitemapExtract.entries(s.getBytes("UTF-8"))
+        SitemapExtract.kind(bs.toArray); SitemapExtract.entries(bs.toArray)
+        // seeded with sitemap-ish fragments to reach the walk paths
+        val mixed = ("<urlset><url><loc>" + s + "</loc>").getBytes("UTF-8")
+        SitemapExtract.entries(mixed)
+        true
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, s"$r")
+  }
+
   test("total on hostile bytes: truncation, binary, unclosed tags") {
     assert(entries("<urlset><url><loc>https://x/cut") ==
       Seq(Entry("https://x/cut", null, null, null)))
