@@ -1803,6 +1803,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer TRAINING (Sennrich §3 — the corpus→merge-table step
+    // before q38/q63's budgeting): every doc contributes the same three
+    // words, so pair frequencies are uniform and the merge order is decided
+    // entirely by the documented determinism contract (max count, ties to
+    // the lexicographically smallest pair) — the oracle states the exact
+    // hand-derived sequence: (a,a) first by tie-break, then (a,b), then
+    // (aa,ab) over (aa,b) because "ab" < "b"
+    "q111_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(lit("aaab aab cab").as("text"))
+      graft.text.Bpe.trainFromCorpus(docs, "text", numMerges = 3)
+        .zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right").orderBy(col("rank"))
+    }),
+
     // publication-date harvest (the date-filter key temporal curation needs):
     // JSON-LD datePublished wins, /yyyy/mm/ url-path segments are the
     // fallback, neither → null — pure composition of the existing ld+json
@@ -3245,6 +3260,11 @@ object SparkEntry {
         |    'net,example,a)/' FROM d WHERE doc_id % 4 = 2
         |  UNION ALL SELECT doc_id, 'ftp://x.example/' || m, NULL FROM d WHERE doc_id % 4 = 3
         |) ORDER BY doc_id""".stripMargin,
+    // the hand-derived merge sequence (derivation in the query comment)
+    "q111_bpe_train" ->
+      """SELECT * FROM (VALUES (CAST(0 AS INT), 'a', 'a'),
+        |  (CAST(1 AS INT), 'a', 'b'), (CAST(2 AS INT), 'aa', 'ab'))
+        |t("rank", "left", "right") ORDER BY "rank"""".stripMargin,
     // three closed-form arms: ld+json month, url-path month, null
     "q110_pub_date" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,

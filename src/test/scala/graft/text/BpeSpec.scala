@@ -40,6 +40,28 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenizeWord("xyz", r) == Vector("x", "y", "z"))
   }
 
+  test("train: hand-derived merges, tie-breaks, early stop, input-order invariance") {
+    // uniform frequencies: (a,a) and (a,b) both count 3 — lexicographic
+    // tie-break picks (a,a); round 2 (a,b) leads outright; round 3 all
+    // pairs count 1 and ("aa","ab") < ("aa","b") because "ab" < "b"
+    val words = Seq("aaab" -> 1L, "aab" -> 1L, "cab" -> 1L)
+    val m = Bpe.train(words, 3)
+    assert(m == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), m.toString)
+    // input order must not matter (the determinism contract)
+    assert(Bpe.train(words.reverse, 3) == m)
+    // frequency weighting flips the first merge: heavy "cab" makes (c,a)+(a,b) dominate
+    val heavy = Bpe.train(Seq("aaab" -> 1L, "cab" -> 10L), 1)
+    assert(heavy == Seq(("a", "b")), heavy.toString) // (a,b): 11 beats (c,a): 10, (a,a): 2
+    // early stop: once every word is one symbol there is nothing to merge
+    assert(Bpe.train(Seq("ab" -> 5L), 10) == Seq(("a", "b")))
+    // trained ranks actually compress the training corpus through tokenize
+    val ranks = Bpe.ranksOf(m)
+    assert(Bpe.tokenize("aaab aab cab", ranks).length <
+      "aaabaabcab".length, "merges must reduce the token count")
+    assert(Bpe.tokenize("aaab", ranks).toSeq == Seq("aaab")) // all 3 merges: full collapse
+    assert(Bpe.tokenize("aaab", Bpe.ranksOf(m.take(2))).toSeq == Seq("aa", "ab"))
+  }
+
   test("non-BMP code points stay whole: no unpaired surrogate halves") {
     val emoji = new String(Character.toChars(0x1F600)) // 😀: one code point, two chars
     assert(Bpe.tokenizeWord(s"a${emoji}b", rk()) == Vector("a", emoji, "b"))
