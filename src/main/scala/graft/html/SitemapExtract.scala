@@ -34,20 +34,59 @@ object SitemapExtract {
   final case class Entry(loc: String, lastmod: String, changefreq: String,
                          priority: String)
 
-  /** "urlset" | "sitemapindex" | null — the dispatch sniff (first 2 KiB;
-    * earliest root wins on hostile both-roots input, the FeedExtract rule). */
+  // dispatch-probe cap: the root element must start within this many bytes.
+  // The old fixed 2 KiB window silently rejected a valid urlset behind a
+  // longer preamble (comments, DOCTYPE, xml-stylesheet PIs) — a lost
+  // discovery channel rather than hostile-input tolerance (r07 advice); a
+  // preamble past 256 KiB is hostile, not a sitemap
+  private val MaxKindProbe = 256 << 10
+
+  /** "urlset" | "sitemapindex" | null — the dispatch sniff: walk past the
+    * XML preamble (BOM/whitespace, `<?...?>` declaration/PIs, `<!--...-->`
+    * comments, `<!DOCTYPE ...>`) to the FIRST element and match its name
+    * (earliest root wins on hostile both-roots input, the FeedExtract rule —
+    * with a real preamble walk the first element IS the earliest root).
+    * Stray text before the root, or an unterminated preamble construct,
+    * reads as not-a-sitemap. */
   def kind(bytes: Array[Byte]): String = {
     try {
       if (bytes == null || bytes.length == 0) return null
       val head = HtmlExtract.decode(
-        java.util.Arrays.copyOf(bytes, math.min(bytes.length, 2048)))
-      // probe the LONGER name first at equal positions is moot: "<urlset"
-      // and "<sitemapindex" cannot prefix each other
-      val us = HtmlMeta.indexOfIgnoreCase(head, "<urlset", 0)
-      val ix = HtmlMeta.indexOfIgnoreCase(head, "<sitemapindex", 0)
-      if (us >= 0 && (ix < 0 || us < ix)) "urlset"
-      else if (ix >= 0) "sitemapindex"
-      else null
+        java.util.Arrays.copyOf(bytes, math.min(bytes.length, MaxKindProbe)))
+      val n = head.length
+      var i = 0
+      while (i < n) {
+        val c = head.charAt(i)
+        if (c == '\uFEFF' || Character.isWhitespace(c)) i += 1
+        else if (c == '<') {
+          if (head.startsWith("<?", i)) {
+            val e = head.indexOf("?>", i + 2)
+            if (e < 0) return null
+            i = e + 2
+          } else if (head.startsWith("<!--", i)) {
+            val e = head.indexOf("-->", i + 4)
+            if (e < 0) return null
+            i = e + 3
+          } else if (head.startsWith("<!", i)) {
+            val e = head.indexOf('>', i + 2)
+            if (e < 0) return null
+            i = e + 1
+          } else {
+            // the root element: name-boundary-checked match ("<urlset" and
+            // "<sitemapindex" cannot prefix each other, but <urlsetx> must
+            // not read as urlset)
+            def rootIs(name: String): Boolean =
+              HtmlMeta.indexOfIgnoreCase(head, "<" + name, i) == i && {
+                val end = i + 1 + name.length
+                end >= n || !FeedExtract.isNameChar(head.charAt(end))
+              }
+            return if (rootIs("urlset")) "urlset"
+            else if (rootIs("sitemapindex")) "sitemapindex"
+            else null
+          }
+        } else return null
+      }
+      null
     } catch { case NonFatal(_) => null }
   }
 

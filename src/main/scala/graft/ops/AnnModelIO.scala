@@ -33,11 +33,29 @@ import graft.pipeline.CatalogIO
  */
 object AnnModelIO {
 
-  /** Root for derived model tables; override with env GRAFT_MODEL_DIR
-    * (a shared filesystem path on a real cluster). */
-  def defaultModelRoot: String =
-    sys.env.getOrElse("GRAFT_MODEL_DIR",
-      System.getProperty("java.io.tmpdir", "/tmp") + "/graft-models")
+  /** Root for derived model tables. Resolution order:
+    *  1. env `GRAFT_MODEL_DIR` — operator override (a shared filesystem
+    *     path on a real cluster);
+    *  2. spark conf `spark.graft.modelDir` — per-application override;
+    *  3. `<spark.sql.warehouse.dir>/graft-models` — the default. The
+    *     warehouse dir is the location Spark already treats as the
+    *     cluster-visible table root, so committed model/index tables are
+    *     shared across drivers by default (r07 verdict item: the previous
+    *     `java.io.tmpdir` default silently landed models on node-local
+    *     /tmp, defeating the train-once contract across drivers);
+    *  4. `java.io.tmpdir`/graft-models only when NO session is active
+    *     (unit contexts that never touch a model table). */
+  def defaultModelRoot: String = {
+    def stripFileScheme(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    sys.env.get("GRAFT_MODEL_DIR")
+      .orElse(SparkSession.getActiveSession.flatMap(s =>
+        s.conf.getOption("spark.graft.modelDir")))
+      .orElse(SparkSession.getActiveSession.map(s =>
+        stripFileScheme(s.conf.get("spark.sql.warehouse.dir")) + "/graft-models"))
+      .getOrElse(
+        System.getProperty("java.io.tmpdir", "/tmp") + "/graft-models")
+  }
 
   /** Deterministic model-table dir for a (corpus, params) pair. The corpus
     * key is the input PATH (+ params), not a data fingerprint — computing

@@ -68,13 +68,26 @@ object Bm25 {
     *                this fraction (‰) of documents are dropped from the
     *                candidate join — at those counts idf ≈ 0 contributes
     *                nothing to the ranking while the term's postings list is
-    *                a scan of most of the corpus. 1000 disables the cap.
+    *                a scan of most of the corpus. 1000 disables the cap; the
+    *                DEFAULT is 500 (the LSH oversized-bucket stance — on a
+    *                crawl corpus a stop word like "the" would otherwise drag
+    *                a postings list covering most documents through the
+    *                candidate join). Callers that want uncapped exact
+    *                replayability pass 1000 explicitly.
+    * @param rankFanout two-level top-k fan-out: candidates first take a
+    *                per-(query, salt-bucket) top-k, so the global per-query
+    *                rank window reads ≤ rankFanout·k rows instead of every
+    *                candidate of a hot query in ONE window partition (the
+    *                hostCap two-phase skew shape; result identical — a row
+    *                outside its bucket's top-k cannot be in the global
+    *                top-k). 0 = auto (max(32, defaultParallelism));
+    *                1 disables the local level.
     * @return (query_id, rank, doc_id-named-as-idCol, score_micro) — rank is
     *         dense per query by (score desc, id asc), ≤ k rows per query
     */
   def topK(index: DataFrame, queries: DataFrame, idCol: String,
            k: Int = 10, k1Milli: Long = 1200, bMilli: Long = 750,
-           maxDfPermille: Long = 1000): DataFrame = {
+           maxDfPermille: Long = 500, rankFanout: Int = 0): DataFrame = {
     // global stats: one narrow agg over the index (never the text) collected
     // as a SINGLE row driver-side — the PageRank-probe precedent for bounded
     // scalar collects — so n and sumdl fold into the tiny df frame as plan
@@ -107,9 +120,28 @@ object Bm25 {
       .withColumn("_contrib_micro", expr("(_idf_micro * _sat_milli) div 1000"))
       .groupBy(col("query_id"), col("_id"))
       .agg(sum(col("_contrib_micro")).as("score_micro"))
+    // two-level top-k: a hot query's candidates would otherwise all land in
+    // ONE rank-window partition (the degenerate-bucket shape every other op
+    // caps). The salt bucket is deterministic (xxhash64 of the doc id), the
+    // local window prunes to ≤ k per (query, bucket), and the global window
+    // then ranks ≤ fanout·k rows per query — bit-identical output, since any
+    // global top-k row is necessarily in its own bucket's top-k.
+    val fanout =
+      if (rankFanout > 0) rankFanout
+      else math.max(32, index.sparkSession.sparkContext.defaultParallelism)
+    val pruned =
+      if (fanout <= 1) scored
+      else {
+        val wLocal = Window
+          .partitionBy(col("query_id"), pmod(xxhash64(col("_id")), lit(fanout.toLong)))
+          .orderBy(col("score_micro").desc, col("_id").asc)
+        scored.withColumn("_lrn", row_number().over(wLocal))
+          .filter(col("_lrn") <= k)
+          .drop("_lrn")
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("_id").as(idCol), col("score_micro"))
   }
@@ -120,9 +152,9 @@ object Bm25 {
     * For repeated querying of the same corpus snapshot use [[indexFor]]. */
   def search(docs: DataFrame, queries: DataFrame, textCol: String, idCol: String,
              k: Int = 10, k1Milli: Long = 1200, bMilli: Long = 750,
-             maxDfPermille: Long = 1000): DataFrame =
+             maxDfPermille: Long = 500, rankFanout: Int = 0): DataFrame =
     topK(buildIndex(docs, textCol, idCol).localCheckpoint(true),
-      queries, idCol, k, k1Milli, bMilli, maxDfPermille)
+      queries, idCol, k, k1Milli, bMilli, maxDfPermille, rankFanout)
 
   /** Read-if-committed else build-and-commit the inverted file (the shared
     * corpus-sized derived-table protocol, CatalogIO.derivedFor): the corpus

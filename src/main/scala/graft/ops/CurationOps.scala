@@ -701,7 +701,10 @@ object CurationOps {
     val targets = weightsPermille
       .map { case (d, wt) => (d, budget * wt / 1000L) }
       .toDF(domainCol, "_target")
-    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    // clamp at 0: a negative cost would make the running sum non-monotone,
+    // silently breaking the longest-prefix/budget-never-exceeded guarantee
+    // (rows AFTER the boundary could re-enter under the target); null counts 0
+    val cost = greatest(coalesce(col(costCol).cast("long"), lit(0L)), lit(0L))
     // h div W ranges over ~[-buckets, buckets) — granularity only; the
     // admission result is W-invariant because truncating div by a POSITIVE
     // constant keeps h's order. buckets=1 must not take MaxValue+1 (it

@@ -361,10 +361,15 @@ object DedupOps {
     * Scale shape: the exact arm joins 32-byte digests against a min-id-per-
     * digest pre-aggregate of the index (one row per distinct digest, however
     * many historic duplicates exist); the near arm shuffles only (id, band)
-    * longs — band keys explode index-side THEN get the same oversized-bucket
-    * cap as nearDupPairs (boilerplate bands accumulate over the whole history,
-    * so the index side is where degeneracy lives); signatures attach only to
-    * surviving candidate pairs. New-batch text is hashed exactly once. */
+    * longs — band keys explode on BOTH sides and each side gets the same
+    * oversized-bucket cap as nearDupPairs (boilerplate bands accumulate over
+    * the whole history on the index side, and a boilerplate-heavy NEW batch —
+    * the common crawl case — can put B rows in one band on the batch side,
+    * paying up to B×maxBucketSize candidate amplification before the
+    * distinct); signatures attach only to surviving candidate pairs.
+    * New-batch text is hashed exactly once. Rows dropped by either cap are
+    * still classified by the exact digest arm; only their NEAR matches are
+    * forgone — the documented LSH-cap recall trade. */
   def dedupAgainstIndex(newDf: DataFrame, index: DataFrame,
                         textCol: String, idCol: String,
                         threshold: Double = 0.5,
@@ -384,7 +389,12 @@ object DedupOps {
       .withColumn("_bsize", count(lit(1)).over(wIdx))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
+    // the batch side gets the SAME cap (r07 verdict item: the index-side-only
+    // cap left B×8192 amplification on the table for a degenerate batch band)
     val newBands = fresh.select(col("_id"), explode(col("_bands")).as("_band"))
+      .withColumn("_bsize", count(lit(1)).over(wIdx))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
     val candidates = newBands.join(idxBands, Seq("_band"))
       .select(col("_id"), col("_iid")).distinct()
     val est = org.apache.spark.sql.graft.ColumnBridge.column(

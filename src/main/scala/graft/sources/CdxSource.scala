@@ -45,6 +45,13 @@ object CdxSource {
   private def longOrNull(c: Column): Column =
     F.when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long"))
 
+  // int-bound digit guard: 9 digits max 999,999,999 < Int.MaxValue, so the
+  // cast can never overflow. The previous longOrNull(...).cast("int") passed
+  // 10-18 digit values through the rlike and THREW CAST_OVERFLOW under ANSI
+  // on e.g. status "9999999999" — contradicting the null-never-throw totality
+  private def intOrNull(c: Column): Column =
+    F.when(c.rlike("^-?[0-9]{1,9}$"), c.cast("int"))
+
   /** Typed projection of parsed lines (shared by [[entries]] and in-query
     * fixture parses): line → one row per capture. `keep` columns pass
     * through ahead of the parsed ones. */
@@ -55,7 +62,7 @@ object CdxSource {
       e.getField("ts").as("ts"),
       e.getField("meta").getField("url").as("url"),
       e.getField("meta").getField("mime").as("mime"),
-      longOrNull(e.getField("meta").getField("status")).cast("int").as("status"),
+      intOrNull(e.getField("meta").getField("status")).as("status"),
       e.getField("meta").getField("digest").as("digest"),
       longOrNull(e.getField("meta").getField("length")).as("length"),
       longOrNull(e.getField("meta").getField("offset")).as("offset"),

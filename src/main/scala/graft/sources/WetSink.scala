@@ -16,6 +16,9 @@ import org.apache.spark.sql.{DataFrame, functions => F}
  *  - one output file per partition, written EXECUTOR-side over the Hadoop
  *    FileSystem (no driver data; file count = partition count, so the
  *    caller sizes files by repartitioning first);
+ *  - attempt-unique temp file + atomic rename on task success — the
+ *    minimal output-commit protocol, so speculative or relaunched attempts
+ *    of one partition never interleave writes into a published file;
  *  - `WARC-Date` comes from the caller's `runTs` (an ISO-8601 instant
  *    string) — never `now()` in data; `WARC-Record-ID` is a deterministic
  *    urn from xxhash64 of the url (never `randomUUID`), so a re-run is
@@ -40,8 +43,20 @@ object WetSink {
       .select(F.col(urlCol).cast("string"), F.col(textCol).cast("string"))
       .as[(String, String)]
       .mapPartitions { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.warc.wet.gz")
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val dst = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.warc.wet.gz")
+        // attempt-unique temp + rename-on-task-success: the previous direct
+        // create(dst, overwrite=true) bypassed Spark's output-commit protocol
+        // — with speculative execution (or a relaunched attempt racing its
+        // zombie) two live attempts of one partition wrote the SAME file
+        // concurrently, producing interleaved/corrupt gzip. Each attempt now
+        // writes its own temp file and publishes it with one atomic rename
+        // only after its writes complete; a losing attempt's temp is deleted.
+        // Content is deterministic per partition, so whichever attempt wins
+        // the rename publishes identical bytes.
+        val path = new org.apache.hadoop.fs.Path(
+          f"$outDir/.part-$pid%05d.attempt-${tc.taskAttemptId()}.tmp")
         var n = 0L
         // created lazily on the FIRST kept row: empty/all-null partitions
         // must not litter zero-byte part files external WET tooling chokes on
@@ -55,32 +70,45 @@ object WetSink {
             out.write(b, off, len)
           override def close(): Unit = flush()
         }
+        val fs = dst.getFileSystem(conf.value)
+        var committed = false
         try {
-          rows.foreach { case (url, text) =>
-            if (url != null && text != null) {
-              if (raw == null) raw = path.getFileSystem(conf.value).create(path, true)
-              // one gzip member per record: WarcSource's reader (and CC
-              // tooling) can resume at member boundaries
-              val gz = new GZIPOutputStream(new Shield(raw), 1 << 16)
-              val payload = text.getBytes(UTF_8)
-              val rid = java.lang.Long.toHexString(
-                graft.text.TextHash.hashToken(url, 0, url.length, 0x77e7L))
-              val head =
-                "WARC/1.0\r\n" +
-                  "WARC-Type: conversion\r\n" +
-                  s"WARC-Target-URI: $url\r\n" +
-                  s"WARC-Date: $runTs\r\n" +
-                  s"WARC-Record-ID: <urn:graft:$rid>\r\n" +
-                  "Content-Type: text/plain\r\n" +
-                  s"Content-Length: ${payload.length}\r\n\r\n"
-              gz.write(head.getBytes(UTF_8))
-              gz.write(payload)
-              gz.write("\r\n\r\n".getBytes(UTF_8))
-              gz.close()
-              n += 1
+          try {
+            rows.foreach { case (url, text) =>
+              if (url != null && text != null) {
+                if (raw == null) raw = fs.create(path, true)
+                // one gzip member per record: WarcSource's reader (and CC
+                // tooling) can resume at member boundaries
+                val gz = new GZIPOutputStream(new Shield(raw), 1 << 16)
+                val payload = text.getBytes(UTF_8)
+                val rid = java.lang.Long.toHexString(
+                  graft.text.TextHash.hashToken(url, 0, url.length, 0x77e7L))
+                val head =
+                  "WARC/1.0\r\n" +
+                    "WARC-Type: conversion\r\n" +
+                    s"WARC-Target-URI: $url\r\n" +
+                    s"WARC-Date: $runTs\r\n" +
+                    s"WARC-Record-ID: <urn:graft:$rid>\r\n" +
+                    "Content-Type: text/plain\r\n" +
+                    s"Content-Length: ${payload.length}\r\n\r\n"
+                gz.write(head.getBytes(UTF_8))
+                gz.write(payload)
+                gz.write("\r\n\r\n".getBytes(UTF_8))
+                gz.close()
+                n += 1
+              }
             }
+          } finally if (raw != null) raw.close()
+          // task-commit: publish the finished temp file under the final name.
+          // delete-then-rename keeps re-runs over the same outDir idempotent
+          // (the overwrite=true the direct write relied on); a lost rename
+          // race means another attempt already published identical bytes.
+          if (n > 0) {
+            fs.delete(dst, false)
+            if (!fs.rename(path, dst)) fs.delete(path, false)
           }
-        } finally if (raw != null) raw.close()
+          committed = true
+        } finally if (!committed) fs.delete(path, false)
         if (n > 0) Iterator.single((1L, n)) else Iterator.empty
       }
       .collect()

@@ -21,6 +21,26 @@ class SitemapExtractSpec extends AnyFunSuite {
     assert(SitemapExtract.kind(null) == null)
   }
 
+  test("kind: root found past a long preamble (comments, doctype, PIs, BOM)") {
+    // the old fixed 2 KiB probe rejected a valid urlset whose root started
+    // after a long preamble — a lost discovery channel (r07 advice)
+    val longComment = "x" * 5000
+    assert(kind(s"<!-- $longComment --><urlset>") == "urlset")
+    assert(kind("﻿<?xml version=\"1.0\"?>\n<!DOCTYPE urlset>\n" +
+      s"<?xml-stylesheet href='s.xsl'?><!-- $longComment -->\n<sitemapindex>") == "sitemapindex")
+    // entries() dispatches through the same sniff: the payload parses
+    val e = SitemapExtract.entries(
+      (s"<!-- $longComment --><urlset><url><loc>https://x/p</loc></url></urlset>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(e.map(_.loc).toSeq == Seq("https://x/p"))
+    // hostile shapes stay null: stray text before the root, unterminated
+    // comment, preamble past the probe cap
+    assert(kind(s"junk <urlset>") == null)
+    assert(kind("<!-- never closed <urlset>") == null)
+    assert(kind("<!-- " + "y" * (300 << 10) + " --><urlset>") == null)
+    assert(kind("<urlsetx>") == null) // name boundary
+  }
+
   test("urlset: all four fields, entity-decoded loc, trimmed padding, missing fields null") {
     val sm =
       """<?xml version="1.0" encoding="UTF-8"?>

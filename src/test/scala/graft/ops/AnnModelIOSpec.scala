@@ -16,6 +16,24 @@ class AnnModelIOSpec extends AnyFunSuite with SparkTestBase {
   private def freshDir(kind: String): String =
     Files.createTempDirectory(s"graft-$kind-model").toString + "/t"
 
+  test("defaultModelRoot: warehouse-dir default, spark-conf override, env precedence") {
+    // no env override in the test JVM: the root must resolve under the
+    // session's warehouse dir — the cluster-visible location — NOT
+    // java.io.tmpdir (the r07-verdict footgun: node-local /tmp silently
+    // defeated the train-once contract across drivers)
+    assume(sys.env.get("GRAFT_MODEL_DIR").isEmpty)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+    assert(AnnModelIO.defaultModelRoot == whPath + "/graft-models")
+    assert(AnnModelIO.modelDir("ivf", "/some/corpus", "k16")
+      .startsWith(whPath + "/graft-models/ivf-k16-"))
+    // per-application spark-conf override wins over the warehouse default
+    spark.conf.set("spark.graft.modelDir", "/tmp/graft-conf-models")
+    try assert(AnnModelIO.defaultModelRoot == "/tmp/graft-conf-models")
+    finally spark.conf.unset("spark.graft.modelDir")
+    assert(AnnModelIO.defaultModelRoot == whPath + "/graft-models")
+  }
+
   test("centroids: write/read roundtrip is bit-identical and manifested") {
     val dir = freshDir("ivf")
     val trained = IvfAnn.trainCentroids(emb, "embedding", "vec_id", k = 8, iters = 2)

@@ -47,8 +47,10 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
 
   test("search matches an independent exact BM25 on every returned row") {
     val terms = Seq("join", "hash", "vector")
+    // maxDfPermille = 1000: the synthetic vocabulary puts every term in
+    // ~77% of docs, and this test checks the UNCAPPED exact contract
     val out = Bm25.search(docs, queries(terms.map("q0" -> _): _*),
-        "text", "doc_id", k = 10)
+        "text", "doc_id", k = 10, maxDfPermille = 1000)
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val ref = referenceScores(texts, terms)
@@ -67,9 +69,10 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
   test("per-query isolation: scores depend only on that query's terms") {
     val both = Bm25.search(docs,
         queries("qa" -> "join", "qb" -> "vector", "qb" -> "merge"),
-        "text", "doc_id", k = 5)
+        "text", "doc_id", k = 5, maxDfPermille = 1000)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
-    val solo = Bm25.search(docs, queries("qa" -> "join"), "text", "doc_id", k = 5)
+    val solo = Bm25.search(docs, queries("qa" -> "join"), "text", "doc_id",
+        k = 5, maxDfPermille = 1000)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(both.filter(_._1 == "qa") == solo)
   }
@@ -86,8 +89,38 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
     assert(capped == rareOnly)
     val uncapped = Bm25.search(docs, queries("q" -> "join", "q" -> "vector"),
-      "text", "doc_id", k = 5).collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+        "text", "doc_id", k = 5, maxDfPermille = 1000)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
     assert(uncapped != capped)
+  }
+
+  test("DEFAULT maxDf cap is on: a corpus-frequency stop word never reaches the rank window") {
+    // 'join' sits in ~77% of the synthetic docs (> the 500-permille default),
+    // so the library default must drop its postings from the candidate join
+    // — the r07-verdict footgun: an uncapped default dragged a most-of-corpus
+    // postings list into ONE per-query window partition
+    val dflt = Bm25.search(docs, queries("q" -> "join", "q" -> "vector"),
+        "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val rareOnly = Bm25.search(docs, queries("q" -> "vector"),
+        "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(dflt == rareOnly)
+  }
+
+  test("two-level rank window: any fanout returns the identical ranking") {
+    // the salted local top-k prunes only rows that cannot be in the global
+    // top-k, so output is bit-identical at every fanout (incl. disabled)
+    val q = queries("q0" -> "join", "q0" -> "vector", "q1" -> "merge")
+    def rows(fanout: Int) =
+      Bm25.search(docs, q, "text", "doc_id", k = 7,
+          maxDfPermille = 1000, rankFanout = fanout)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._1, t._2))
+    val base = rows(1) // local level disabled: the single-window reference
+    assert(rows(0) == base)   // auto fanout
+    assert(rows(4) == base)
+    assert(rows(97) == base)
   }
 
   test("committed inverted file: ranked results identical, index built exactly once") {
@@ -121,7 +154,8 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
 
   test("docs matching no query term never appear; k bounds each query") {
     val out = Bm25.search(docs,
-        queries("q0" -> "join", "q1" -> "nosuchtokenanywhere"), "text", "doc_id", k = 3)
+        queries("q0" -> "join", "q1" -> "nosuchtokenanywhere"), "text", "doc_id",
+        k = 3, maxDfPermille = 1000)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
     assert(out.count(_._1 == "q0") == 3)
     assert(!out.exists(_._1 == "q1")) // zero candidates, zero rows

@@ -455,6 +455,38 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(gotExtra.filter(col("dom") === "ghost").count() == 0)
   }
 
+  test("tokenBudgetMix: negative costs clamp to 0 — the running sum stays monotone") {
+    // an un-clamped negative cost made the running sum non-monotone, so rows
+    // AFTER the budget boundary could re-enter under the target, silently
+    // breaking the longest-prefix guarantee (r07 advice)
+    val docs = spark.range(100).select(col("id").as("doc_id"), lit("d0").as("dom"),
+      when(col("id") % 4 === 0, lit(-1000L)).otherwise(lit(10L)).as("cost"))
+    val got = CurationOps.tokenBudgetMix(docs, "doc_id", "dom", "cost",
+      Seq("d0" -> 1000L), budget = 300L) // target 300
+    val rows = got.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    // clamped reference: the PREFIX rule — a running sum over every row in
+    // splitmix64(doc_id ^ seed) order, row admitted while the clamped
+    // cumulative (including its own cost) stays <= 300
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val ordered = (0L until 100L).map(id => (mix(id ^ 0x5eedL), id)).sortBy(identity)
+    var cum = 0L
+    val expect = scala.collection.mutable.Set.empty[Long]
+    ordered.foreach { case (_, id) =>
+      val c = math.max(0L, if (id % 4 == 0) -1000L else 10L)
+      cum += c
+      if (cum <= 300L) expect += id
+    }
+    assert(rows == expect.toSet, s"got ${rows.size}, expect ${expect.size}")
+    // positive-cost mass admitted never exceeds the target
+    val kept = got.filter(col("cost") > 0).agg(sum("cost")).collect()(0).getLong(0)
+    assert(kept <= 300L)
+  }
+
   test("tokenBudgetMix is bucket-count-invariant and partition-invariant") {
     val docs = spark.range(500).select(col("id").as("doc_id"),
       concat(lit("d"), (col("id") % 2).cast("string")).as("dom"),

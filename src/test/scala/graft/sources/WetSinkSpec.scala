@@ -26,6 +26,11 @@ class WetSinkSpec extends AnyFunSuite with SparkTestBase {
     val onDisk = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.wet.gz"))
     assert(onDisk.length.toLong == files && onDisk.forall(_.length > 0),
       onDisk.map(f => s"${f.getName}:${f.length}").mkString(","))
+    // commit protocol: every attempt temp was renamed or deleted — nothing
+    // but published part files (and Hadoop local-FS .crc sidecars) remains
+    val leftovers = new java.io.File(dir).listFiles().filter(
+      _.getName.contains(".attempt-"))
+    assert(leftovers.isEmpty, leftovers.map(_.getName).mkString(","))
     val back = WarcSource.pages(spark, dir)
       .select("url", "text", "html").collect()
       .map(r => (r.getString(0), r.getString(1), r.get(2))).toList.sortBy(_._1)
