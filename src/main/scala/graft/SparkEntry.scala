@@ -21,8 +21,19 @@ import graft.functions._
  */
 object SparkEntry {
 
+  // Table-relation memo: `s.read.parquet` re-lists the path and re-reads
+  // parquet footers for schema on EVERY call — pure metadata work repeated
+  // ~150× per bench sweep (plus once per query construction anywhere else).
+  // The memo caches the resolved DataFrame (the logical relation: file
+  // listing + schema), NOT data — every execution still scans the parquet
+  // from disk. Session-keyed: DataFrames are session-bound. Stale-listing
+  // caveat: a table dir mutated in place mid-JVM would serve the old file
+  // list, same stance as Spark's own filesourcePartitionFileCache; the
+  // driver's testdata dirs are immutable per run.
+  private val tableMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableMemo.getOrElseUpdate((s, dir, name), s.read.parquet(s"$dir/$name.parquet"))
 
   // Deterministic fixture payloads are PLAN CONSTANTS — building them
   // (codec encoders, PdfCrypto's iterated-KDF encrypts) is driver-side work

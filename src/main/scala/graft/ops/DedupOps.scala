@@ -309,10 +309,22 @@ object DedupOps {
       case Some(q) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("component")).orderBy(col("_q").desc, col("id"))
-        comp.join(df.select(col(idCol).as("id"), col(q).as("_q")), Seq("id"))
+        val l = comp.join(df.select(col(idCol).as("id"), col(q).as("_q")), Seq("id"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") > 1)
           .select(col("id").as(idCol))
+        // when CC resolved locally, losers ≤ the 2^20 localThreshold ids —
+        // but the attach-join + rank window hide that from size estimation,
+        // so the final anti-join fell to SortMergeJoin and (pushed through
+        // the caller's union) re-ran the window subtree per union arm with a
+        // full id exchange each. The hint makes it ONE broadcast build +
+        // ReusedExchange per arm, no corpus shuffle. The distributed-CC path
+        // (unbounded losers) keeps size-based planning. NOTE: df.isLocal is
+        // false here even for the local path (toDF projects over the
+        // LocalRelation), hence the leaf check.
+        val compIsLocal = comp.queryExecution.analyzed.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        if (compIsLocal) broadcast(l) else l
     }
     df.join(losers, Seq(idCol), "left_anti")
   }
