@@ -397,6 +397,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(s.contains("BroadcastHashJoin"), s.take(3000))
   }
 
+  test("quality-keeper dedup: the bounded losers side broadcasts, never sort-merges") {
+    // dropNearDupsCC(qualityCol) claims (r08): when CC resolved via the
+    // local path, the losers frame is bounded by localThreshold ids and is
+    // broadcast-hinted — without the hint the attach-join + rank window hid
+    // its size and the final anti-join fell to SortMergeJoin, re-running the
+    // window subtree once per union arm with a full corpus-side id exchange
+    val s = planString(SparkEntry.queries("q104_dedup_cc_keeper")(spark, sf))
+    assert(!s.contains("SortMergeJoin LeftAnti"),
+      s"q104 anti-join degraded to sort-merge:\n${s.take(3000)}")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(s).nonEmpty,
+      s"q104 anti-join is not a broadcast hash join:\n${s.take(3000)}")
+  }
+
   test("no cartesian products in any LSH/dedup/ANN candidate plan") {
     // every near-dup/ANN path must join on bucket keys — a cross join in any
     // of these plans is the exact scale failure the LSH machinery exists to
@@ -406,7 +419,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q34_embedding_near_dups", "q37_ann_ivf", "q41_embedding_dedup_cc",
       "q47_decontaminate", "q51_line_dedup", "q70_lm_filter", "q72_image_near_dups",
       "q80_semdedup", "q81_remove_dup_spans", "q83_host_pagerank", "q84_ppl_buckets",
-      "q98_dedup_incremental", "q99_bm25_topk", "q103_token_mix")
+      "q98_dedup_incremental", "q99_bm25_topk", "q103_token_mix",
+      "q104_dedup_cc_keeper")
     bucketJoined.foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
