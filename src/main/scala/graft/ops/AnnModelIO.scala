@@ -48,10 +48,13 @@ object AnnModelIO {
   def defaultModelRoot: String = {
     def stripFileScheme(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    // getActiveSession is THREAD-local — a caller thread that never touched
+    // the session would silently fall through to tmpdir, so the global
+    // default session backs it up
+    val session = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     sys.env.get("GRAFT_MODEL_DIR")
-      .orElse(SparkSession.getActiveSession.flatMap(s =>
-        s.conf.getOption("spark.graft.modelDir")))
-      .orElse(SparkSession.getActiveSession.map(s =>
+      .orElse(session.flatMap(s => s.conf.getOption("spark.graft.modelDir")))
+      .orElse(session.map(s =>
         stripFileScheme(s.conf.get("spark.sql.warehouse.dir")) + "/graft-models"))
       .getOrElse(
         System.getProperty("java.io.tmpdir", "/tmp") + "/graft-models")

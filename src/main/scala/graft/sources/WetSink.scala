@@ -105,7 +105,15 @@ object WetSink {
           // race means another attempt already published identical bytes.
           if (n > 0) {
             fs.delete(dst, false)
-            if (!fs.rename(path, dst)) fs.delete(path, false)
+            if (!fs.rename(path, dst)) {
+              // lost the race to another attempt (identical bytes already
+              // published) — or a real FS fault: records must never vanish
+              // silently, so no winner file means FAIL the task (retry)
+              val winnerExists = fs.exists(dst)
+              fs.delete(path, false)
+              if (!winnerExists)
+                throw new java.io.IOException(s"WetSink: failed to publish $dst")
+            }
           }
           committed = true
         } finally if (!committed) fs.delete(path, false)
