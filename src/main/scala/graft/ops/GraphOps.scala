@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -43,9 +43,12 @@ object GraphOps {
     *   uniformly to every node, conserving total rank up to floor
     *   truncation instead of dropping it (the default, which matches the
     *   q83 oracle's documented simplification). Costs one localCheckpoint of
-    *   the two-column rank frame plus one scalar agg per iteration (the
-    *   convergence-probe shape — the probe action would otherwise replay the
-    *   whole uncheckpointed iteration lineage) — integer arithmetic, so
+    *   the narrow rank frame plus one scalar agg per iteration AFTER the
+    *   first (the probe action would otherwise replay the whole
+    *   uncheckpointed iteration lineage; iteration 0's mass is the closed
+    *   form nDangling·InitRank because the initial ranks are uniform, and
+    *   later probes filter a precomputed dangling flag carried on the rank
+    *   frame — no per-iteration join) — integer arithmetic, so
     *   partition-invariance holds either way. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 2, convergeDelta: Long = 0L,
@@ -63,25 +66,49 @@ object GraphOps {
     val usePersist = iters >= 3 || convergeDelta > 0L || redistributeDangling
     def cached(df: DataFrame): DataFrame =
       if (usePersist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
-    // the deduped edge set is persisted FIRST: withDeg/nodes/dangling all
-    // derive from it, and without this cache each of their first
-    // materializations re-runs the whole upstream extraction (3× the scan
-    // at link-extraction cost — measured 3.98 s → ~1.5 s on the q97 shape)
+    // the deduped edge set is persisted FIRST: withDeg/nodes all derive from
+    // it, and without this cache each of their first materializations re-runs
+    // the whole upstream extraction (3× the scan at link-extraction cost —
+    // measured 3.98 s → ~1.5 s on the q97 shape)
     val e = cached(edges.select(col(srcCol).cast("string").as("_src"),
         col(dstCol).cast("string").as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct())
     val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     val withDeg = cached(e.join(deg, Seq("_src")))
-    val nodes = cached(e.select(col("_src").as("host"))
-      .unionByName(e.select(col("_dst").as("host"))).distinct())
-    // dangling = nodes with no outgoing edges; their count and membership
-    // are iteration-invariant, computed once on the cached frames
-    val dangling =
+    // dangling = nodes with no outgoing edges; membership is iteration-
+    // invariant, so it is attached ONCE as a boolean flag on the node frame
+    // (one left join at build time) and rides the two-column rank frame from
+    // then on — the per-iteration mass probe is a filter+agg over the already-
+    // materialized rank blocks instead of a semi-join against a separate
+    // cached dangling frame (one fewer join and one fewer cache per run,
+    // same integer arithmetic)
+    val nodesBase = e.select(col("_src").as("host"))
+      .unionByName(e.select(col("_dst").as("host"))).distinct()
+    val nodes = cached(
       if (redistributeDangling)
-        cached(nodes.join(deg.select(col("_src").as("host")), Seq("host"), "left_anti"))
-      else null
-    val nNodes = if (redistributeDangling) math.max(1L, nodes.count()) else 1L
+        nodesBase.join(deg.select(col("_src").as("host"), lit(true).as("_out")),
+            Seq("host"), "left")
+          .select(col("host"), col("_out").isNull.as("_dangling"))
+      else nodesBase)
+    // one setup job yields BOTH counts (node total and dangling total); the
+    // first iteration's ranks are uniform (InitRank), so its dangling mass is
+    // the closed form nDangling·InitRank — no probe job at it=0
+    // scalar probe actions are labeled (guide-style job descriptions) so the
+    // UI — and the job-count spec — can tell setup from per-iteration probes
+    def labeled[A](desc: String)(f: => A): A = {
+      val sc = edges.sparkSession.sparkContext
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(desc)
+      try f finally sc.setJobDescription(prev)
+    }
+    val (nNodes, nDangling) =
+      if (redistributeDangling) {
+        val r = labeled("pagerank: node+dangling setup counts")(
+          nodes.agg(count(lit(1)),
+            coalesce(sum(col("_dangling").cast("long")), lit(0L))).first())
+        (math.max(1L, r.getLong(0)), r.getLong(1))
+      } else (1L, 0L)
     var ranks = nodes.withColumn("rank_micro", lit(InitRank))
     var it = 0
     var converged = false
@@ -115,22 +142,33 @@ object GraphOps {
           .join(ranks.withColumnRenamed("host", "_src"), Seq("_src"))
           .select(col("_dst"), expr("rank_micro div _deg").as("_c"))
           .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
-        // uniform share of the dangling nodes' rank mass (0 when off)
+        // uniform share of the dangling nodes' rank mass (0 when off); the
+        // first iteration's ranks are uniform so its sum is closed-form —
+        // later iterations probe the flagged rows of the materialized rank
+        // frame (filter+agg, no join)
         val share =
           if (redistributeDangling) {
-            val dsum = ranks.join(dangling, Seq("host"), "left_semi")
-              .agg(coalesce(sum(col("rank_micro")), lit(0L))).first().getLong(0)
+            val dsum =
+              if (it == 0) nDangling * InitRank
+              else labeled(s"pagerank: dangling mass probe it=$it")(
+                ranks.filter(col("_dangling"))
+                  .agg(coalesce(sum(col("rank_micro")), lit(0L))).first().getLong(0))
             850L * dsum / (1000L * nNodes)
           } else 0L
+        val carry: Seq[Column] =
+          if (redistributeDangling) Seq(col("host"), col("_dangling"))
+          else Seq(col("host"))
         val next = nodes.join(contrib.withColumnRenamed("_dst", "host"), Seq("host"), "left")
-          .select(col("host"),
-            (lit(150000L + share) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"))
+          .select(carry :+
+            (lit(150000L + share) + expr("850 * coalesce(_in, 0L) div 1000")).as("rank_micro"): _*)
         if (convergeDelta > 0L && it + 1 < iters) {
           // materialize the step once, probe the max delta on the (host,
           // rank) frames — two-column rows, never the edge set
           val stepped = next.localCheckpoint(true)
-          val delta = stepped.withColumnRenamed("rank_micro", "_new")
-            .join(ranks.withColumnRenamed("rank_micro", "_old"), Seq("host"))
+          // explicit two-column projections: with the dangling flag on, both
+          // sides carry _dangling and an unprojected join would emit it twice
+          val delta = stepped.select(col("host"), col("rank_micro").as("_new"))
+            .join(ranks.select(col("host"), col("rank_micro").as("_old")), Seq("host"))
             .agg(max(abs(col("_new") - col("_old")))).first()
           converged = delta.isNullAt(0) || delta.getLong(0) <= convergeDelta
           // the superseded step's checkpoint blocks are dead once the delta
@@ -153,15 +191,15 @@ object GraphOps {
       val out =
         if (usePersist && !ranksMaterialized) ranks.localCheckpoint(true) else ranks
       // the last probe/dangling checkpoint may BE the output frame — its
-      // blocks must survive the cleanup
+      // blocks must survive the cleanup; the internal flag column never
+      // reaches the caller (drop is a no-op when the flag was never attached)
       if (prevStep != null && !(prevStep eq out)) prevStep.unpersist(blocking = false)
-      out
+      out.drop("_dangling")
     } finally {
       if (usePersist) {
         e.unpersist(blocking = false)
         withDeg.unpersist(blocking = false)
         nodes.unpersist(blocking = false)
-        if (dangling != null) dangling.unpersist(blocking = false)
       }
     }
   }

@@ -155,4 +155,47 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     // one edge a->b: r1(a)=150000, r1(b)=150000+850*1000000 div 1000=1000000
     assert(got == Map("a" -> 150000L, "b" -> 1000000L))
   }
+
+  test("dangling redistribution: iteration 0's mass probe is closed-form, no probe job") {
+    // the initial ranks are uniform (InitRank), so iteration 0's dangling sum
+    // is nDangling·InitRank — computed in the one setup agg, never as a
+    // per-iteration probe job. Probe actions are labeled with job
+    // descriptions inside GraphOps (raw job counts/call sites are noisy:
+    // broadcast-exchange builds and AQE stage materializations each start
+    // their own job), so count by label: a 1-iteration run must fire ZERO
+    // "dangling mass probe" jobs — a reintroduced it-0 probe (the semi-join
+    // shape this replaced) fires one.
+    // distinct labels, not job counts: one probe's first() may launch several
+    // incremental executeTake jobs, all carrying the same it=N description
+    val probes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        if (desc.contains("dangling mass probe")) { probes.add(desc); () }
+      }
+    }
+    val e = Seq(("a", "b")).toDF("src", "dst").localCheckpoint(true)
+    spark.sparkContext.addSparkListener(listener)
+    val ranks = GraphOps.pageRank(e, "src", "dst", iters = 1, redistributeDangling = true)
+    Thread.sleep(500) // listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    assert(probes.isEmpty,
+      s"dangling-mass probes $probes fired for a 1-iteration run (expected none: " +
+        "iteration 0's mass is closed-form) — a per-iteration it-0 probe is back")
+    // complement: a 2-iteration run fires exactly one probe (it=1) — proves
+    // the label counting is live, not vacuous
+    probes.clear()
+    spark.sparkContext.addSparkListener(listener)
+    GraphOps.pageRank(e, "src", "dst", iters = 2, redistributeDangling = true).count()
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    assert(probes.size() == 1,
+      s"dangling-mass probes $probes for a 2-iteration run (expected exactly it=1's)")
+    // share = 850*1e6/(1000*2) = 425000: r1(a) = 575000, r1(b) = 1425000
+    val got = ranks.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 575000L, "b" -> 1425000L), got.toString)
+    // the internal dangling flag must never reach the caller
+    assert(ranks.columns.toSeq == Seq("host", "rank_micro"), ranks.columns.mkString(","))
+  }
 }
