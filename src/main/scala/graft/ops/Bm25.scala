@@ -93,9 +93,14 @@ object Bm25 {
     // scalar collects — so n and sumdl fold into the tiny df frame as plan
     // literals and the corpus side sees only broadcast HASH joins on _term,
     // never a nested-loop scalar attach (a constant-key equi-join between the
-    // two driver-sized frames constant-folds back into a BNLJ)
-    val statsRow = index.groupBy(col("_id")).agg(first(col("_dl")).as("_dl"))
-      .agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    // two driver-sized frames constant-folds back into a BNLJ). No per-doc
+    // dedup shuffle: Σ_tf over ALL index rows IS Σ_doc dl (a doc's tf rows
+    // sum to its dl by construction), and N is an exact count-distinct of
+    // the id — partial aggregation on both, where the former
+    // groupBy(_id).first(_dl) pre-pass exchanged one row per document of the
+    // whole inverted file per query run
+    val statsRow = index.agg(
+        count_distinct(col("_id")).as("_n"), sum(col("_tf")).as("_sumdl"))
       .collect()(0)
     val n = statsRow.getLong(0)
     val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)

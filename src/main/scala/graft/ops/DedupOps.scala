@@ -74,16 +74,32 @@ object DedupOps {
 
   /** Two-phase near-dup detection: MinHash-LSH candidates verified by EXACT
     * token-shingle Jaccard (computed only on candidate pairs — the standard
-    * generate-then-verify shape; estimates never reach the output). */
+    * generate-then-verify shape; estimates never reach the output).
+    *
+    * Text attach is ONE corpus join, not two: each (a, b) candidate melts to
+    * its two member ids, the corpus text attaches to the melted sliver in a
+    * single join, and a (a, b)-keyed pivot reassembles the pair row. The
+    * two-join form read the corpus text column twice (once per side) and at
+    * small scale broadcast the TEXT side twice; this shape scans it once and
+    * shuffles only candidate-member texts — pairs are a sliver of the corpus,
+    * so the heavy bytes move once (ids are unique per the dedup-family
+    * contract: signatures, components and keepers are all per-id). */
   def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                            threshold: Double = 0.8,
                            candidateThreshold: Double = 0.5, shingleSize: Int = 3,
                            rowsPerBand: Int = 8): DataFrame = {
     val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_t"))
-    nearDupPairs(df, textCol, idCol, candidateThreshold,
+    val cand = nearDupPairs(df, textCol, idCol, candidateThreshold,
       shingleSize = shingleSize, rowsPerBand = rowsPerBand)
-      .join(texts.select(col("_tid"), col("_t").as("_ta")), col("a") === col("_tid")).drop("_tid")
-      .join(texts.select(col("_tid"), col("_t").as("_tb")), col("b") === col("_tid")).drop("_tid")
+    val melted = cand.select(col("a"), col("b"),
+      explode(array(
+        struct(lit("a").as("_side"), col("a").as("_tid")),
+        struct(lit("b").as("_side"), col("b").as("_tid")))).as("_m"))
+      .select(col("a"), col("b"), col("_m._side").as("_side"), col("_m._tid").as("_tid"))
+    melted.join(texts, Seq("_tid"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(when(col("_side") === "a", col("_t"))).as("_ta"),
+        max(when(col("_side") === "b", col("_t"))).as("_tb"))
       .withColumn("jaccard", round(shingle_jaccard(col("_ta"), col("_tb"), shingleSize), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
