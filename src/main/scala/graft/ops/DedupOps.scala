@@ -64,6 +64,13 @@ object DedupOps {
         org.apache.spark.sql.graft.ColumnBridge.expression(col("_siga")),
         org.apache.spark.sql.graft.ColumnBridge.expression(col("_sigb"))))
       .cast("double") / numHashes
+    // sig attach stays TWO joins against the checkpointed narrow frame — the
+    // verifiedNearDupPairs melt shape was tried here and measured SLOWER
+    // (q39 +0.4 s at sf0.1): the sigs are materialized localCheckpoint
+    // blocks (re-reading them is a local block read, not a corpus re-scan),
+    // while pre-est-filter candidates are NOT a sliver on dup-heavy corpora,
+    // so the melt's groupBy shuffled ~2×|candidates| of 64-long signatures
+    // across the network to save two cheap block re-reads
     candidates
       .join(sigs.select(col("_sid"), col("_sig").as("_siga")), col("a") === col("_sid")).drop("_sid")
       .join(sigs.select(col("_sid"), col("_sig").as("_sigb")), col("b") === col("_sid")).drop("_sid")
@@ -409,9 +416,15 @@ object DedupOps {
     val fresh = buildDedupIndex(newDf, textCol, idCol,
         numHashes, shingleSize, rowsPerBand)
       .localCheckpoint(true)
-    val exactKeeper = index.groupBy(col("_digest")).agg(min(col("_id")).as("_xid"))
+    // exact arm: batch digests join the index FIRST, then min-per-batch-row —
+    // identical to pre-aggregating min-id-per-digest over the whole index
+    // (ids are unique per the dedup-family contract), but the full-index
+    // groupBy(_digest) exchange is gone: only MATCHED rows aggregate (map-side
+    // combined), and with a small batch AQE broadcasts it so the historic
+    // index is never shuffled at all on the exact arm
     val exactHit = fresh.select(col("_id"), col("_digest"))
-      .join(exactKeeper, Seq("_digest")).select(col("_id"), col("_xid"))
+      .join(index.select(col("_digest"), col("_id").as("_xid")), Seq("_digest"))
+      .groupBy(col("_id")).agg(min(col("_xid")).as("_xid"))
     val wIdx = org.apache.spark.sql.expressions.Window.partitionBy(col("_band"))
     val idxBands = index.select(col("_id").as("_iid"), explode(col("_bands")).as("_band"))
       .withColumn("_bsize", count(lit(1)).over(wIdx))
